@@ -1,0 +1,253 @@
+"""One parameterized ViT covering the whole non-diffusion tower zoo.
+
+The reference keeps four near-identical tower wrappers around HF models
+(`llava/model/multimodal_encoder/{clip,dinov2,siglip}_encoder.py`); here a
+single Flax module expresses all of them via `ViTConfig`:
+
+- CLIP-L/14 @224 & @336 (`openai/clip-vit-large-patch14[-336]`): class token,
+  pre-embedding LayerNorm, quick-GELU, patch conv without bias.
+- OpenCLIP-L/14 (`laion/CLIP-ViT-L-14-laion2B-s32B-b82K`): same, exact GELU.
+- SigLIP-B/16 @224 (`google/siglip-base-patch16-224`): no class token, biased
+  patch conv, tanh-GELU.
+- DINOv2-L/14 (`facebook/dinov2-large`): class token, LayerScale, exact GELU;
+  position embeddings are interpolated to the configured resolution at weight
+  *port* time (torch bicubic+antialias, matching HF runtime interpolation)
+  so the TPU graph stays static-shape.
+
+TPU-first choices:
+- patch embedding is an unfold + matmul (identical math to a stride=p conv,
+  but lands directly on the MXU with no conv lowering),
+- `feature_layer` compiles only the layers actually needed — the reference
+  runs all 24 layers then indexes `hidden_states[-2]`
+  (`clip_encoder.py:29-36`), wasting the final block,
+- fp32 LayerNorm statistics + softmax with bf16 matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..core.precision import Precision, DEFAULT_PRECISION
+from ..ops.activations import ACT2FN
+from ..ops.attention import mha
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+    use_class_token: bool = True
+    use_pre_layernorm: bool = True
+    patch_bias: bool = False
+    use_layerscale: bool = False
+    num_channels: int = 3
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + (1 if self.use_class_token else 0)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    def resolve_layer(self, select_layer: int) -> int:
+        """Map an HF-style hidden_states index (e.g. -2) to a layer count.
+
+        HF's hidden_states tuple has num_layers+1 entries (embeddings output
+        plus one per block); `resolve_layer(-2) == num_layers - 1` means "run
+        num_layers-1 blocks".
+        """
+        return select_layer % (self.num_layers + 1)
+
+
+# ---------------------------------------------------------------------------
+# Presets for the representations studied in the paper (README.md:66-80).
+# ---------------------------------------------------------------------------
+
+def clip_l14(image_size: int = 224, act: str = "quick_gelu") -> ViTConfig:
+    return ViTConfig(image_size=image_size, patch_size=14, hidden_size=1024,
+                     num_layers=24, num_heads=16, intermediate_size=4096,
+                     hidden_act=act, layer_norm_eps=1e-5,
+                     use_class_token=True, use_pre_layernorm=True,
+                     patch_bias=False)
+
+
+def siglip_b16(image_size: int = 224) -> ViTConfig:
+    return ViTConfig(image_size=image_size, patch_size=16, hidden_size=768,
+                     num_layers=12, num_heads=12, intermediate_size=3072,
+                     hidden_act="gelu_tanh", layer_norm_eps=1e-6,
+                     use_class_token=False, use_pre_layernorm=False,
+                     patch_bias=True)
+
+
+def dinov2_large(image_size: int = 224) -> ViTConfig:
+    return ViTConfig(image_size=image_size, patch_size=14, hidden_size=1024,
+                     num_layers=24, num_heads=16, intermediate_size=4096,
+                     hidden_act="gelu", layer_norm_eps=1e-6,
+                     use_class_token=True, use_pre_layernorm=False,
+                     patch_bias=True, use_layerscale=True)
+
+
+VIT_PRESETS = {
+    "openai/clip-vit-large-patch14": lambda: clip_l14(224),
+    "openai/clip-vit-large-patch14-336": lambda: clip_l14(336),
+    "laion/CLIP-ViT-L-14-laion2B-s32B-b82K": lambda: clip_l14(224, act="gelu"),
+    "google/siglip-base-patch16-224": lambda: siglip_b16(224),
+    "facebook/dinov2-large": lambda: dinov2_large(224),
+    "facebook/dinov2-large-336": lambda: dinov2_large(336),
+}
+
+
+class _LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics, output cast to compute dtype."""
+    eps: float
+    precision: Precision
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32,
+                         param_dtype=self.precision.param_dtype,
+                         name="ln")(x.astype(jnp.float32))
+        return y.astype(self.precision.compute_dtype)
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTConfig
+    precision: Precision
+
+    @nn.compact
+    def __call__(self, x):
+        cfg, prec = self.cfg, self.precision
+        dense = lambda name: nn.Dense(  # noqa: E731
+            cfg.hidden_size, dtype=prec.compute_dtype,
+            param_dtype=prec.param_dtype, name=name)
+
+        h = _LayerNorm(cfg.layer_norm_eps, prec, name="ln1")(x)
+        b, s, _ = h.shape
+        q = dense("q")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = dense("k")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        v = dense("v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        attn = mha(q, k, v, accum_dtype=prec.accum_dtype)
+        attn = dense("o")(attn.reshape(b, s, cfg.hidden_size))
+        if cfg.use_layerscale:
+            ls1 = self.param("ls1", nn.initializers.ones,
+                             (cfg.hidden_size,), prec.param_dtype)
+            attn = attn * ls1.astype(attn.dtype)
+        x = x + attn
+
+        h = _LayerNorm(cfg.layer_norm_eps, prec, name="ln2")(x)
+        h = nn.Dense(cfg.intermediate_size, dtype=prec.compute_dtype,
+                     param_dtype=prec.param_dtype, name="fc1")(h)
+        h = ACT2FN[cfg.hidden_act](h)
+        h = dense("fc2")(h)
+        if cfg.use_layerscale:
+            ls2 = self.param("ls2", nn.initializers.ones,
+                             (cfg.hidden_size,), prec.param_dtype)
+            h = h * ls2.astype(h.dtype)
+        return x + h
+
+
+class ViTEncoder(nn.Module):
+    """Vision transformer trunk.
+
+    `__call__(pixel_values)` takes NHWC images already preprocessed to the
+    tower's normalization, and returns the requested hidden state.
+    """
+    cfg: ViTConfig
+    precision: Precision = DEFAULT_PRECISION
+
+    @nn.compact
+    def __call__(self, pixel_values, *, num_blocks: int | None = None,
+                 output_hidden_states: bool = False) -> Any:
+        cfg, prec = self.cfg, self.precision
+        b, h, w, c = pixel_values.shape
+        p = cfg.patch_size
+        gh, gw = h // p, w // p
+
+        # Patch embedding as unfold + matmul (MXU-friendly).
+        x = pixel_values.astype(prec.compute_dtype)
+        x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * c)
+        kernel = self.param("patch_kernel", nn.initializers.lecun_normal(),
+                            (p, p, c, cfg.hidden_size), prec.param_dtype)
+        x = x @ kernel.reshape(p * p * c, cfg.hidden_size).astype(x.dtype)
+        if cfg.patch_bias:
+            pb = self.param("patch_bias", nn.initializers.zeros,
+                            (cfg.hidden_size,), prec.param_dtype)
+            x = x + pb.astype(x.dtype)
+
+        if cfg.use_class_token:
+            cls = self.param("cls_token", nn.initializers.zeros,
+                             (1, 1, cfg.hidden_size), prec.param_dtype)
+            cls = jnp.broadcast_to(cls.astype(x.dtype),
+                                   (b, 1, cfg.hidden_size))
+            x = jnp.concatenate([cls, x], axis=1)
+
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, cfg.seq_len, cfg.hidden_size), prec.param_dtype)
+        x = x + pos.astype(x.dtype)
+
+        if cfg.use_pre_layernorm:
+            x = _LayerNorm(cfg.layer_norm_eps, prec, name="pre_ln")(x)
+
+        n = cfg.num_layers if num_blocks is None else num_blocks
+        hidden_states = [x]
+        for i in range(n):
+            x = ViTBlock(cfg, prec, name=f"block_{i}")(x)
+            if output_hidden_states:
+                hidden_states.append(x)
+
+        if output_hidden_states:
+            return x, hidden_states
+        return x
+
+
+class ViTTower(nn.Module):
+    """The LLaVA-facing tower: hidden-layer selection + CLS handling.
+
+    Mirrors `CLIPVisionTower.feature_select` (`clip_encoder.py:29-36`):
+    `select_layer` indexes the HF hidden_states tuple (default -2) and
+    `select_feature` in {"patch", "cls_patch"} drops or keeps the class token.
+    Only the required `num_blocks` are compiled.
+    """
+    cfg: ViTConfig
+    select_layer: int = -2
+    select_feature: str = "patch"
+    precision: Precision = DEFAULT_PRECISION
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        n = self.cfg.resolve_layer(self.select_layer)
+        feats = ViTEncoder(self.cfg, self.precision, name="encoder")(
+            pixel_values, num_blocks=n)
+        if self.select_feature == "patch" and self.cfg.use_class_token:
+            feats = feats[:, 1:]
+        elif self.select_feature not in ("patch", "cls_patch"):
+            raise ValueError(f"bad select_feature {self.select_feature}")
+        return feats
+
+    @property
+    def hidden_size(self) -> int:
+        return self.cfg.hidden_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.cfg.num_patches

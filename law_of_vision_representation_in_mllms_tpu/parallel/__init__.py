@@ -1,0 +1,1 @@
+from .mesh import make_mesh, local_mesh, shard_batch, replicate, with_sharding

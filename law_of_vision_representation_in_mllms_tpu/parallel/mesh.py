@@ -1,0 +1,62 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with deepspeed ZeRO-2/3 over NCCL
+(`scripts/zero2.json`, `scripts/zero3.json`, `default_config.yaml`). The
+TPU-native equivalent is a single 2-D `jax.sharding.Mesh` with axes
+
+- ``data``  — batch sharding (DDP / ZeRO falls out of GSPMD param sharding),
+- ``model`` — tensor parallelism for the 7B decoder (optional; size 1 by
+  default on a v5e-8).
+
+XLA emits all collectives (psum / all-gather / reduce-scatter) over ICI; there
+is no hand-written communication backend.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {len(devices)} devices")
+    arr = np.array(devices).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def local_mesh() -> Mesh:
+    """All local devices on the data axis (the common single-host case)."""
+    return make_mesh(n_model=1)
+
+
+def shard_batch(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def with_sharding(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def process_shard(items, process_index: int | None = None,
+                  process_count: int | None = None):
+    """Rank-slice a document list (the eval harness's data parallelism).
+
+    Replaces the reference's `DistributedSampler` doc sharding
+    (`llava/feature/extract.py:213`, lmms-eval rank slicing).
+    """
+    i = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    return items[i::n]
