@@ -1,0 +1,95 @@
+"""Fused Pallas kernel for the A-score max-cosine reduction.
+
+Computes, per image n:  mean_t max_a  <t,a> / ((||t||+eps) (||a||+eps))
+for target [N, St, D] and anchor [N, Sa, D] — the hot op of
+`A_score/compute.py:51-72` — without ever materializing normalized copies or
+the [St, Sa] similarity matrix in HBM. The D dimension is tiled; partial dot
+products and squared norms accumulate in VMEM scratch; the final tile applies
+normalization, row-max and mean in-register.
+
+Cost per image: 2*St*Sa*D flops on the MXU; HBM traffic is exactly one read
+of each input (the jnp path reads inputs, writes normalized copies, writes
+and re-reads the sim matrix).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-10
+
+
+def _kernel(t_ref, a_ref, out_ref, sim_acc, tn_acc, an_acc):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        sim_acc[:] = jnp.zeros_like(sim_acc)
+        tn_acc[:] = jnp.zeros_like(tn_acc)
+        an_acc[:] = jnp.zeros_like(an_acc)
+
+    t = t_ref[0].astype(jnp.float32)   # [St, Dk]
+    a = a_ref[0].astype(jnp.float32)   # [Sa, Dk]
+    sim_acc[:] += jax.lax.dot_general(
+        t, a, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    tn_acc[:] += jnp.sum(t * t, axis=1, keepdims=True)
+    an_acc[:] += jnp.sum(a * a, axis=1, keepdims=True)
+
+    @pl.when(k == nk - 1)
+    def _finish():
+        tn = jnp.sqrt(tn_acc[:]) + EPS          # [St, 1]
+        an = jnp.sqrt(an_acc[:]) + EPS          # [Sa, 1]
+        cos = sim_acc[:] / (tn * an.T)
+        # keepdims reductions: Mosaic can't relayout 1-D vectors here
+        row_max = jnp.max(cos, axis=1, keepdims=True)      # [St, 1]
+        mean = jnp.sum(row_max) / row_max.shape[0]
+        # scalar result broadcast into the (8,128)-aligned output tile
+        out_ref[0] = jnp.full(out_ref.shape[1:], mean, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_d", "interpret"))
+def max_cos_pallas(target, anchor, *, block_d: int = 512,
+                   interpret: bool = False):
+    """Fused mean-of-row-max cosine similarity.
+
+    Args:
+      target: [N, St, D], anchor: [N, Sa, D] (any float dtype; fp32 math).
+    Returns: [N] fp32.
+    """
+    n, st, d = target.shape
+    _, sa, _ = anchor.shape
+    if d % block_d != 0:
+        block_d = d  # small-D fallback: single K step
+    nk = d // block_d
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n, nk),
+        in_specs=[
+            pl.BlockSpec((1, st, block_d), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sa, block_d), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, k: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((st, sa), jnp.float32),
+            pltpu.VMEM((st, 1), jnp.float32),
+            pltpu.VMEM((sa, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * st * sa * d,
+            bytes_accessed=4 * n * d * (st + sa) + 4 * n,
+            transcendentals=0),
+        interpret=interpret,
+    )(target, anchor)
+    return out[:, 0, 0]

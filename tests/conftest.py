@@ -15,6 +15,10 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon site hook (/root/.axon_site) forces jax_platforms="axon,cpu",
+# ignoring the env var — override via config before backend init so tests
+# run on the 8-device virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
