@@ -171,3 +171,37 @@ def port_vit(family: str, state_dict, cfg: ViTConfig,
                   if not k.startswith("block_")
                   or int(k.split("_")[1]) < num_blocks}
     return params
+
+
+def port_llama(state_dict, cfg) -> Dict:
+    """HF LlamaForCausalLM -> stacked-layer param pytree (models/llama.py).
+
+    Per-layer weights are stacked on a leading axis for the lax.scan trunk.
+    """
+    sd = state_dict
+
+    def stack(fmt, transpose=True):
+        ws = []
+        for i in range(cfg.num_layers):
+            w = _t(sd, fmt.format(i=i))
+            ws.append(w.T if transpose else w)
+        return np.stack(ws)
+
+    return {
+        "embed": _t(sd, "model.embed_tokens.weight"),
+        "layers": {
+            "wq": stack("model.layers.{i}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{i}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{i}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{i}.self_attn.o_proj.weight"),
+            "gate": stack("model.layers.{i}.mlp.gate_proj.weight"),
+            "up": stack("model.layers.{i}.mlp.up_proj.weight"),
+            "down": stack("model.layers.{i}.mlp.down_proj.weight"),
+            "rms1": stack("model.layers.{i}.input_layernorm.weight",
+                          transpose=False),
+            "rms2": stack("model.layers.{i}.post_attention_layernorm.weight",
+                          transpose=False),
+        },
+        "final_norm": _t(sd, "model.norm.weight"),
+        "lm_head": _t(sd, "lm_head.weight").T,
+    }

@@ -1,0 +1,285 @@
+"""LLaMA decoder, TPU-native.
+
+Functional implementation (pure functions over a stacked-parameter pytree)
+rather than a module tree: layers are stacked along a leading axis and the
+trunk is one `lax.scan`, which keeps compile time flat in depth and gives
+GSPMD a single well-annotated weight tensor per role to shard.
+
+Replaces the reference's `LlavaLlamaForCausalLM` torch wrapper
+(`llava/model/language_model/llava_llama.py:31-160`) and its flash-attn
+monkey patch (`llava/train/llama_flash_attn_monkey_patch.py`). Numerics match
+HF `LlamaForCausalLM` (golden-tested): RMSNorm in fp32, rotate-half RoPE,
+fp32 softmax, SwiGLU MLP, optional GQA.
+
+Sharding (2-D mesh (data, model)):
+  wq/wk/wv/gate/up: shard last dim on "model"; wo/down: shard first dim;
+  embed/lm_head: shard vocab. Activations shard batch on "data". See
+  `param_partition_specs`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..core.precision import Precision, DEFAULT_PRECISION
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_seq_len: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def vicuna_7b() -> LlamaConfig:
+    """lmsys/vicuna-7b-v1.5 — the decoder used by every reference model
+    (scripts/v1_5/train/pretrain.sh:5)."""
+    return LlamaConfig()
+
+
+def tiny(vocab_size: int = 256, hidden_size: int = 64, num_layers: int = 2,
+         num_heads: int = 4, num_kv_heads: int = 2,
+         intermediate_size: int = 128, max_seq_len: int = 128
+         ) -> LlamaConfig:
+    return LlamaConfig(vocab_size=vocab_size, hidden_size=hidden_size,
+                       intermediate_size=intermediate_size,
+                       num_layers=num_layers, num_heads=num_heads,
+                       num_kv_heads=num_kv_heads, max_seq_len=max_seq_len)
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def init_params(rng, cfg: LlamaConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = jax.random.split(rng, 8)
+    d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    nh, nkv, L = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+
+    def norm_init(k, *shape):
+        return (jax.random.normal(k, shape) * 0.02).astype(dtype)
+
+    return {
+        "embed": norm_init(keys[0], cfg.vocab_size, d),
+        "layers": {
+            "wq": norm_init(keys[1], L, d, nh * hd),
+            "wk": norm_init(keys[2], L, d, nkv * hd),
+            "wv": norm_init(keys[3], L, d, nkv * hd),
+            "wo": norm_init(keys[4], L, nh * hd, d),
+            "gate": norm_init(keys[5], L, d, i),
+            "up": norm_init(keys[6], L, d, i),
+            "down": norm_init(keys[7], L, i, d),
+            "rms1": jnp.ones((L, d), dtype),
+            "rms2": jnp.ones((L, d), dtype),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+        "lm_head": norm_init(keys[0], d, cfg.vocab_size),
+    }
+
+
+def param_partition_specs(cfg: LlamaConfig) -> Dict[str, Any]:
+    """PartitionSpecs for the (data, model) mesh — Megatron-style TP."""
+    return {
+        "embed": P("model", None),
+        "layers": {
+            "wq": P(None, None, "model"),
+            "wk": P(None, None, "model"),
+            "wv": P(None, None, "model"),
+            "wo": P(None, "model", None),
+            "gate": P(None, None, "model"),
+            "up": P(None, None, "model"),
+            "down": P(None, "model", None),
+            "rms1": P(None, None),
+            "rms2": P(None, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, "model"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Core math
+# ---------------------------------------------------------------------------
+
+def rms_norm(x, weight, eps: float):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(cfg: LlamaConfig, positions):
+    """cos/sin tables for given positions [B, S] (HF rotate-half layout)."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (
+        jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,S,hd/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)              # [B,S,hd]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x, cos, sin):
+    """x: [B, S, H, Dh]; cos/sin: [B, S, Dh]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos[..., None, :]
+            + rotated.astype(jnp.float32) * sin[..., None, :]).astype(x.dtype)
+
+
+def _attention(q, k, v, mask, accum_dtype=jnp.float32):
+    """q [B,S,H,Dh], k/v [B,T,H,Dh], mask [B,1,S,T] bool."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=accum_dtype) * scale
+    logits = jnp.where(mask, logits, jnp.asarray(-1e30, accum_dtype))
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=accum_dtype)
+    return out.astype(q.dtype)
+
+
+def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
+           prec: Precision):
+    """One decoder block. cache_kv: optional (k,v) [B,Tmax,KV,Dh] buffers."""
+    b, s, d = h.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cd = prec.compute_dtype
+
+    x = rms_norm(h, lp["rms1"], cfg.rms_eps)
+    q = (x @ lp["wq"].astype(cd)).reshape(b, s, nh, hd)
+    k = (x @ lp["wk"].astype(cd)).reshape(b, s, nkv, hd)
+    v = (x @ lp["wv"].astype(cd)).reshape(b, s, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        k_all, v_all = ck.astype(cd), cv.astype(cd)
+        new_cache = (ck, cv)
+    else:
+        k_all, v_all = k, v
+        new_cache = None
+
+    if nkv != nh:
+        rep = nh // nkv
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+    attn = _attention(q, k_all, v_all, mask, prec.accum_dtype)
+    attn = attn.reshape(b, s, nh * hd) @ lp["wo"].astype(cd)
+    h = h + attn
+
+    x = rms_norm(h, lp["rms2"], cfg.rms_eps)
+    gated = jax.nn.silu(x @ lp["gate"].astype(cd)) * (x @ lp["up"].astype(cd))
+    h = h + gated @ lp["down"].astype(cd)
+    return h, new_cache
+
+
+def forward(params, cfg: LlamaConfig, embeds, positions, *,
+            attn_mask=None, cache=None, cache_index=None,
+            precision: Precision = DEFAULT_PRECISION):
+    """Run the trunk.
+
+    Args:
+      embeds: [B, S, D] input embeddings (post token-embedding / splice).
+      positions: [B, S] int32 absolute positions (for RoPE).
+      attn_mask: [B, T] bool validity of key positions, where T is S
+        (no cache) or the cache length. Combined with causality.
+      cache: optional dict with "k","v" [L, B, Tmax, KV, Dh] and the new
+        entries are written at cache_index.
+    Returns (hidden [B,S,D], new_cache or None).
+    """
+    b, s, d = embeds.shape
+    cd = precision.compute_dtype
+    h = embeds.astype(cd)
+    cos, sin = rope_tables(cfg, positions)
+
+    if cache is None:
+        q_pos = positions
+        k_pos = positions
+        causal = k_pos[:, None, :] <= q_pos[:, :, None]        # [B,S,T]
+    else:
+        # Causality over cache SLOTS, not RoPE positions: with padded
+        # prefills slot index and position diverge. A query written at slot
+        # cache_index+i may attend to slots <= its own; per-slot validity
+        # (padding, not-yet-written) comes from attn_mask.
+        t = cache["k"].shape[2]
+        k_slot = jnp.arange(t)[None, :]                         # [1,T]
+        q_slot = cache_index + jnp.arange(s)                    # [S]
+        causal = k_slot[:, None, :] <= q_slot[None, :, None]    # [1,S,T]
+        causal = jnp.broadcast_to(causal, (b, s, t))
+    mask = causal[:, None, :, :]
+    if attn_mask is not None:
+        mask = mask & attn_mask[:, None, None, :]
+
+    def body(carry, xs):
+        h = carry
+        if cache is None:
+            lp = xs
+            h, _ = _layer(cfg, h, lp, cos, sin, mask, None, None, precision)
+            return h, ()
+        lp, ck, cv = xs
+        h, (nk, nv) = _layer(cfg, h, lp, cos, sin, mask, (ck, cv),
+                             cache_index, precision)
+        return h, (nk, nv)
+
+    if cache is None:
+        h, _ = lax.scan(body, h, params["layers"])
+        new_cache = None
+    else:
+        h, (nk, nv) = lax.scan(body, h,
+                               (params["layers"], cache["k"], cache["v"]))
+        new_cache = {"k": nk, "v": nv}
+
+    h = rms_norm(h, params["final_norm"], cfg.rms_eps)
+    return h, new_cache
+
+
+def logits_fn(params, hidden, precision: Precision = DEFAULT_PRECISION):
+    return (hidden @ params["lm_head"].astype(hidden.dtype)
+            ).astype(jnp.float32)
+
+
+def embed_tokens(params, input_ids, precision: Precision = DEFAULT_PRECISION):
+    """Token embedding lookup; out-of-range ids (e.g. the -200 image token)
+    are clamped — callers overwrite those positions via the splice."""
+    ids = jnp.clip(input_ids, 0, params["embed"].shape[0] - 1)
+    return params["embed"][ids].astype(precision.compute_dtype)
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16):
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def causal_lm_loss(logits, labels, ignore_index: int = -100):
+    """Next-token cross-entropy with IGNORE_INDEX masking
+    (`llava/constants.py:6`, HF shift convention)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,189 @@
+"""LLaVA-1.5 model: tower(s) -> concat -> mm_projector -> splice -> LLaMA.
+
+The TPU-native re-design of `llava/model/llava_arch.py` +
+`llava/model/language_model/llava_llama.py`:
+
+- `encode_images` — per-tower ViT forward (frozen; under stop_gradient) then
+  channel concat and the shared projector (`llava_arch.py:260-286`).
+- `loss_fn` — splice + decoder CE in a single jittable graph, static shapes
+  throughout (the reference's `prepare_inputs_labels_for_multimodal` is a
+  Python loop, `llava_arch.py:293-478`).
+- `generate_greedy` — prefill + lax.scan decode with a KV cache
+  (`llava_llama.py:105-143` pre-splices embeddings the same way).
+- `dump_image_embeds` — the A-score embedding hook (post-projector, LLM
+  space) as a first-class function instead of commented-out code
+  (`llava_arch.py:475-476`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.precision import Precision, DEFAULT_PRECISION
+from . import llama as L
+from .projector import apply_projector, init_projector
+from .splice import splice_plan, splice_embeds, IGNORE_INDEX
+from .towers import TowerSpec, TowerEntry, parse_tower_spec
+from .vit import ViTTower
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    tower_spec: TowerSpec
+    decoder: L.LlamaConfig
+    projector_type: str = "mlp2x_gelu"
+    select_layer: int = -2
+    select_feature: str = "patch"
+
+    @classmethod
+    def build(cls, tower: str, decoder: Optional[L.LlamaConfig] = None,
+              **kw) -> "LlavaConfig":
+        return cls(tower_spec=parse_tower_spec(tower),
+                   decoder=decoder or L.vicuna_7b(), **kw)
+
+    @property
+    def num_patches(self) -> int:
+        return self.tower_spec.num_patches
+
+
+def init_params(rng, cfg: LlavaConfig,
+                precision: Precision = DEFAULT_PRECISION,
+                init_towers: bool = True) -> Dict[str, Any]:
+    """Random-init params (tests / tiny models). Real checkpoints come from
+    io.hf_port + io.checkpoint."""
+    k_tow, k_proj, k_dec = jax.random.split(rng, 3)
+    towers = []
+    if init_towers:
+        for i, e in enumerate(cfg.tower_spec.entries):
+            if e.kind == "vit":
+                mod = ViTTower(e.vit_config, cfg.select_layer,
+                               _select_feature(cfg, e), precision)
+                px = jnp.zeros((1, e.vit_config.image_size,
+                                e.vit_config.image_size, 3))
+                towers.append(mod.init(jax.random.fold_in(k_tow, i),
+                                       px)["params"])
+            else:
+                towers.append({})  # diffusion/feature towers ported later
+    proj = init_projector(k_proj, cfg.projector_type,
+                          cfg.tower_spec.mm_hidden_size,
+                          cfg.decoder.hidden_size)
+    dec = L.init_params(k_dec, cfg.decoder)
+    return {"towers": towers, "projector": proj, "decoder": dec}
+
+
+def _select_feature(cfg: LlavaConfig, entry: TowerEntry) -> str:
+    # SigLIP has no CLS token; the reference forces 'cls_patch'
+    # (`siglip_encoder.py:15`) meaning "keep all tokens".
+    if entry.vit_family == "siglip":
+        return "cls_patch"
+    return cfg.select_feature
+
+
+def encode_images(params, cfg: LlavaConfig, pixel_values: List[jnp.ndarray],
+                  precision: Precision = DEFAULT_PRECISION,
+                  diffusion_apply=None) -> jnp.ndarray:
+    """pixel_values: one NHWC array per tower entry. Returns projected
+    features [B, P, D_llm]. Towers are frozen (stop_gradient), matching
+    `requires_grad_(False)` in every reference tower."""
+    feats = []
+    for i, e in enumerate(cfg.tower_spec.entries):
+        if e.kind == "vit":
+            mod = ViTTower(e.vit_config, cfg.select_layer,
+                           _select_feature(cfg, e), precision)
+            f = mod.apply({"params": params["towers"][i]}, pixel_values[i])
+        elif e.kind == "diffusion":
+            if diffusion_apply is None:
+                raise ValueError("diffusion tower requires diffusion_apply "
+                                 "(models.featurizer)")
+            f = diffusion_apply(params["towers"][i], e, pixel_values[i])
+        elif e.kind == "feature":
+            f = pixel_values[i]          # precomputed features pass through
+        else:
+            raise ValueError(e.kind)
+        feats.append(lax.stop_gradient(f.astype(precision.compute_dtype)))
+    cat = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+    return apply_projector(params["projector"], cat, precision)
+
+
+def dump_image_embeds(params, cfg: LlavaConfig, pixel_values,
+                      precision: Precision = DEFAULT_PRECISION):
+    """A-score hook: the post-projector per-image embeddings the reference
+    dumps via `save_tensor_to_folder` (`llava_arch.py:229-248,475-476`)."""
+    return encode_images(params, cfg, pixel_values, precision)
+
+
+def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
+            precision: Precision = DEFAULT_PRECISION,
+            diffusion_apply=None):
+    """Training loss.
+
+    batch: input_ids [B,L] (with -200 image slots), labels [B,L],
+    text_mask [B,L] bool, pixel_values: list of NHWC arrays per tower.
+    """
+    plan = splice_plan(batch["input_ids"], batch["labels"],
+                       batch["text_mask"], cfg.num_patches)
+    img = encode_images(params, cfg, batch["pixel_values"], precision,
+                        diffusion_apply)
+    txt = L.embed_tokens(params["decoder"], batch["input_ids"], precision)
+    embeds = splice_embeds(plan, txt, img)
+    h, _ = L.forward(params["decoder"], cfg.decoder, embeds, plan.positions,
+                     attn_mask=plan.attn_mask, precision=precision)
+    logits = L.logits_fn(params["decoder"], h, precision)
+    return L.causal_lm_loss(logits, plan.labels)
+
+
+def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
+                    pixel_values, *, max_new_tokens: int, eos_id: int,
+                    precision: Precision = DEFAULT_PRECISION,
+                    diffusion_apply=None):
+    """Greedy decode. Returns [B, max_new_tokens] token ids (eos-padded)."""
+    b, l = input_ids.shape
+    plan = splice_plan(input_ids, jnp.full_like(input_ids, IGNORE_INDEX),
+                       text_mask, cfg.num_patches)
+    img = encode_images(params, cfg, pixel_values, precision,
+                        diffusion_apply)
+    txt = L.embed_tokens(params["decoder"], input_ids, precision)
+    embeds = splice_embeds(plan, txt, img)
+
+    l_out = embeds.shape[1]
+    t_max = l_out + max_new_tokens
+    cache = L.init_cache(cfg.decoder, b, t_max, precision.compute_dtype)
+    slot_valid = jnp.concatenate(
+        [plan.attn_mask, jnp.zeros((b, max_new_tokens), bool)], axis=1)
+
+    h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
+                         plan.positions, attn_mask=slot_valid, cache=cache,
+                         cache_index=0, precision=precision)
+    # last VALID position's logits seed generation (right padding)
+    n_valid = jnp.sum(plan.attn_mask, axis=1)                    # [B]
+    last_idx = jnp.maximum(n_valid - 1, 0)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+    logits = L.logits_fn(params["decoder"], h_last[:, None], precision)
+    first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    def step(carry, t):
+        cache, tok, done, pos = carry
+        emb = L.embed_tokens(params["decoder"], tok[:, None], precision)
+        # slots [l_out, l_out+t] hold generated tokens; mark them valid
+        gen_slots = jnp.arange(max_new_tokens) <= t
+        sv = jnp.concatenate(
+            [plan.attn_mask, jnp.broadcast_to(gen_slots,
+                                              (b, max_new_tokens))], axis=1)
+        h, new_cache = L.forward(params["decoder"], cfg.decoder, emb,
+                                 pos[:, None], attn_mask=sv, cache=cache,
+                                 cache_index=l_out + t, precision=precision)
+        logits = L.logits_fn(params["decoder"], h, precision)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        done = done | (tok == eos_id)
+        nxt = jnp.where(done, eos_id, nxt)
+        return (new_cache, nxt, done, pos + 1), tok
+
+    init = (cache, first_tok, jnp.zeros((b,), bool), n_valid)
+    _, toks = lax.scan(step, init, jnp.arange(max_new_tokens))
+    return jnp.transpose(toks)                                   # [B, T_new]
