@@ -1,0 +1,1 @@
+from .train_step import TrainConfig, make_train_step, init_train_state

@@ -1,0 +1,117 @@
+"""Stage-1 / stage-2 training steps, GSPMD-sharded.
+
+Reference training (`llava/train/train.py:899-1136` + deepspeed ZeRO-2/3):
+- stage 1 ("pretrain"): towers + decoder frozen, only the mm_projector
+  trains (lr 1e-3, cosine, warmup 0.03 — `scripts/v1_5/train/pretrain.sh`).
+- stage 2 ("finetune"): projector + decoder train, towers stay frozen
+  (lr 2e-5 — `scripts/v1_5/train/finetune.sh`).
+
+TPU-native: one jitted `train_step` over a (data, model) mesh. Parameter /
+optimizer-state sharding (the ZeRO equivalent) falls out of NamedSharding
+rules — decoder weights use Megatron-style TP specs on the "model" axis and
+are otherwise replicated; batches shard on "data"; XLA inserts the
+all-reduces. Freezing uses `optax.multi_transform` with `set_to_zero` for
+frozen subtrees, so frozen params carry no optimizer state at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.precision import Precision, DEFAULT_PRECISION
+from ..models import llama, llava
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    stage: int = 1                    # 1: projector-only, 2: full finetune
+    learning_rate: float = 1e-3      # stage-2 default: 2e-5
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03       # pretrain.sh:24
+    total_steps: int = 1000
+    max_grad_norm: float = 1.0
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+def _freeze_labels(params, stage: int):
+    """'train' / 'freeze' label tree. Towers never train (reference freezes
+    them in both stages, `train.py:1024-1031`)."""
+
+    def label(path_and_leaf):
+        return path_and_leaf
+
+    labels = jax.tree.map(lambda _: "train", params)
+    labels["towers"] = jax.tree.map(lambda _: "freeze", params["towers"])
+    if stage == 1:
+        labels["decoder"] = jax.tree.map(lambda _: "freeze",
+                                         params["decoder"])
+    return labels
+
+
+def make_optimizer(params, cfg: TrainConfig):
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.learning_rate,
+        warmup_steps=max(1, int(cfg.warmup_ratio * cfg.total_steps)),
+        decay_steps=cfg.total_steps, end_value=0.0)
+    adamw = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2,
+                    weight_decay=cfg.weight_decay),
+    )
+    return optax.multi_transform(
+        {"train": adamw, "freeze": optax.set_to_zero()},
+        _freeze_labels(params, cfg.stage))
+
+
+def param_shardings(params, model_cfg: llava.LlavaConfig, mesh: Mesh):
+    """NamedSharding tree: decoder gets TP specs, everything else
+    replicated."""
+    dec_specs = llama.param_partition_specs(model_cfg.decoder)
+    specs = jax.tree.map(lambda _: P(), params)
+    specs["decoder"] = jax.tree.map(
+        lambda leaf, s: s, params["decoder"], dec_specs)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def init_train_state(params, train_cfg: TrainConfig):
+    opt = make_optimizer(params, train_cfg)
+    return {"params": params, "opt_state": opt.init(params),
+            "step": jnp.zeros((), jnp.int32)}, opt
+
+
+def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
+                    opt, precision: Precision = DEFAULT_PRECISION,
+                    diffusion_apply=None):
+    """Returns step(state, batch) -> (state, metrics); jit/pjit-ready."""
+
+    def loss(params, batch):
+        return llava.loss_fn(params, model_cfg, batch, precision,
+                             diffusion_apply)
+
+    def step(state, batch):
+        l, grads = jax.value_and_grad(loss)(state["params"], batch)
+        updates, opt_state = opt.update(grads, state["opt_state"],
+                                        state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1}
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": l, "grad_norm": gnorm,
+                           "step": state["step"] + 1}
+
+    return step
+
+
+def shard_batch_specs(batch, mesh: Mesh):
+    """Data-parallel batch sharding (leading axis on 'data')."""
+    def spec(x):
+        return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+    return jax.tree.map(spec, batch)
