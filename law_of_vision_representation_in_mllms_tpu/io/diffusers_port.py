@@ -175,3 +175,71 @@ def port_vae_encoder(state_dict, cfg: VAEConfig) -> Dict:
     if cfg.use_quant_conv:
         params["quant_conv"] = _conv(sd, "quant_conv")
     return params
+
+
+def port_dit(state_dict, cfg, up_ft_indices=(-1,)) -> Dict:
+    """diffusers DiTTransformer2DModel -> DiTHarvest params (class-embedding
+    branch intentionally dropped: the featurizer conditions on timestep only,
+    `dift_dit.py MyCombinedTimestepLabelEmbeddings`)."""
+    sd = state_dict
+    resolved = tuple(i % cfg.num_layers for i in up_ft_indices)
+    params = {"patch_proj": _conv(sd, "pos_embed.proj")}
+    for i in range(max(resolved) + 1):
+        p = f"transformer_blocks.{i}"
+        params[f"t_embedder_{i}"] = {
+            "fc1": _dense(sd, f"{p}.norm1.emb.timestep_embedder.linear_1"),
+            "fc2": _dense(sd, f"{p}.norm1.emb.timestep_embedder.linear_2")}
+        params[f"block_{i}"] = {
+            "norm1": {"linear": _dense(sd, f"{p}.norm1.linear")},
+            "attn1": {"to_q": _dense(sd, f"{p}.attn1.to_q"),
+                      "to_k": _dense(sd, f"{p}.attn1.to_k"),
+                      "to_v": _dense(sd, f"{p}.attn1.to_v"),
+                      "to_out": _dense(sd, f"{p}.attn1.to_out.0")},
+            "ff": {"proj_in": _dense(sd, f"{p}.ff.net.0.proj"),
+                   "proj_out": _dense(sd, f"{p}.ff.net.2")},
+        }
+    return params
+
+
+def port_mmdit(state_dict, cfg, up_ft_indices=(-1,)) -> Dict:
+    """diffusers SD3Transformer2DModel -> MMDiTHarvest params."""
+    sd = state_dict
+    resolved = tuple(i % cfg.num_layers for i in up_ft_indices)
+    params = {
+        "patch_proj": _conv(sd, "pos_embed.proj"),
+        "pos_embed": _t(sd, "pos_embed.pos_embed"),
+        "timestep_embedder": {
+            "fc1": _dense(sd, "time_text_embed.timestep_embedder.linear_1"),
+            "fc2": _dense(sd, "time_text_embed.timestep_embedder.linear_2")},
+        "text_embedder": {
+            "fc1": _dense(sd, "time_text_embed.text_embedder.linear_1"),
+            "fc2": _dense(sd, "time_text_embed.text_embedder.linear_2")},
+        "context_embedder": _dense(sd, "context_embedder"),
+    }
+    for i in range(max(resolved) + 1):
+        p = f"transformer_blocks.{i}"
+        pre_only = i == cfg.num_layers - 1
+        blk = {
+            "norm1": {"linear": _dense(sd, f"{p}.norm1.linear")},
+            "to_q": _dense(sd, f"{p}.attn.to_q"),
+            "to_k": _dense(sd, f"{p}.attn.to_k"),
+            "to_v": _dense(sd, f"{p}.attn.to_v"),
+            "add_q_proj": _dense(sd, f"{p}.attn.add_q_proj"),
+            "add_k_proj": _dense(sd, f"{p}.attn.add_k_proj"),
+            "add_v_proj": _dense(sd, f"{p}.attn.add_v_proj"),
+            "to_out": _dense(sd, f"{p}.attn.to_out.0"),
+            "ff": {"proj_in": _dense(sd, f"{p}.ff.net.0.proj"),
+                   "proj_out": _dense(sd, f"{p}.ff.net.2")},
+        }
+        if pre_only:
+            blk["norm1_context_linear"] = _dense(
+                sd, f"{p}.norm1_context.linear")
+        else:
+            blk["norm1_context"] = {
+                "linear": _dense(sd, f"{p}.norm1_context.linear")}
+            blk["to_add_out"] = _dense(sd, f"{p}.attn.to_add_out")
+            blk["ff_context"] = {
+                "proj_in": _dense(sd, f"{p}.ff_context.net.0.proj"),
+                "proj_out": _dense(sd, f"{p}.ff_context.net.2")}
+        params[f"block_{i}"] = blk
+    return params

@@ -205,3 +205,12 @@ def port_llama(state_dict, cfg) -> Dict:
         "final_norm": _t(sd, "model.norm.weight"),
         "lm_head": _t(sd, "lm_head.weight").T,
     }
+
+
+def port_clip_vision_pooled(state_dict, cfg) -> Dict:
+    """CLIPVisionModelWithProjection -> CLIPVisionPooled params."""
+    sd = state_dict
+    params = {"encoder": port_clip_vision(sd, cfg)}
+    params["post_ln"] = _ln(sd, "vision_model.post_layernorm")
+    params["visual_projection"] = _t(sd, "visual_projection.weight").T
+    return params

@@ -132,6 +132,7 @@ class _LayerNorm(nn.Module):
 class ViTBlock(nn.Module):
     cfg: ViTConfig
     precision: Precision
+    causal: bool = False   # reused by the CLIP *text* encoders
 
     @nn.compact
     def __call__(self, x):
@@ -145,7 +146,11 @@ class ViTBlock(nn.Module):
         q = dense("q")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = dense("k")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         v = dense("v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        attn = mha(q, k, v, accum_dtype=prec.accum_dtype)
+        mask = None
+        if self.causal:
+            from ..ops.attention import causal_mask
+            mask = causal_mask(s, s)[None, None]
+        attn = mha(q, k, v, mask=mask, accum_dtype=prec.accum_dtype)
         attn = dense("o")(attn.reshape(b, s, cfg.hidden_size))
         if cfg.use_layerscale:
             ls1 = self.param("ls1", nn.initializers.ones,
@@ -251,3 +256,23 @@ class ViTTower(nn.Module):
     @property
     def num_patches(self) -> int:
         return self.cfg.num_patches
+
+
+class CLIPVisionPooled(nn.Module):
+    """CLIPVisionModelWithProjection: full trunk -> post-LN on CLS ->
+    visual_projection. Used by the SD-image-variations featurizer as the
+    image-conditioning encoder (`dift_imsd.py:215-221`)."""
+    cfg: ViTConfig
+    projection_dim: int
+    precision: Precision = DEFAULT_PRECISION
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        x = ViTEncoder(self.cfg, self.precision, name="encoder")(pixel_values)
+        cls = x[:, 0]
+        cls = _LayerNorm(self.cfg.layer_norm_eps, self.precision,
+                         name="post_ln")(cls)
+        proj = self.param("visual_projection", nn.initializers.normal(0.02),
+                          (self.cfg.hidden_size, self.projection_dim),
+                          self.precision.param_dtype)
+        return cls @ proj.astype(cls.dtype)
