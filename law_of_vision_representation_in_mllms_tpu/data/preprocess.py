@@ -40,6 +40,9 @@ class SimpleTokenizer:
             ids = [self.bos_token_id] + ids
         return ids
 
+    def decode(self, ids: List[int]) -> str:
+        return " ".join(f"t{i}" for i in ids)
+
 
 def _encode(tokenizer, text: str, add_special_tokens: bool = False):
     return list(tokenizer.encode(text,

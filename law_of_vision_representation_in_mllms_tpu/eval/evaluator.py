@@ -1,0 +1,86 @@
+"""The evaluation loop (`lmms_eval/evaluator.py simple_evaluate/evaluate`).
+
+Data parallelism follows the reference's doc-sharding scheme: each process
+evaluates docs[process_index::process_count] and results are merged on host
+(the reference uses accelerate gather; a single-host TPU run needs no
+collective — multi-host runs merge via `all_gather_results`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .api import Instance, LMM
+from .metrics import AGGREGATIONS, bootstrap_stderr
+from .task import Task
+
+
+def evaluate(model: LMM, tasks: Sequence[Task], *,
+             process_index: int = 0, process_count: int = 1,
+             log_samples: bool = False) -> Dict[str, Dict]:
+    results: Dict[str, Dict] = {}
+    for task in tasks:
+        doc_ids = list(range(len(task.docs)))[process_index::process_count]
+        requests = task.build_requests(doc_ids)
+        if task.cfg.output_type == "generate_until":
+            preds = model.generate_until(requests)
+        else:
+            preds = [str(p) for p, _ in model.loglikelihood(requests)]
+
+        records = []
+        for req, pred in zip(requests, preds):
+            rec = task.process_results(req.doc, pred)
+            rec["doc_id"] = req.doc_id
+            rec["prediction"] = pred
+            records.append(rec)
+
+        agg_name = task.cfg.aggregation
+        if agg_name == "mean":
+            scores = [r["score"] for r in records]
+            value = float(np.mean(scores)) if scores else 0.0
+            stderr = bootstrap_stderr(scores)
+        else:
+            value = AGGREGATIONS[agg_name](records)
+            stderr = 0.0
+        results[task.name] = {
+            "value": value,
+            "stderr": stderr,
+            "n": len(records),
+            "samples": records if log_samples else None,
+        }
+    return results
+
+
+def merge_process_results(per_process: List[Dict[str, Dict]],
+                          tasks: Sequence[Task]) -> Dict[str, Dict]:
+    """Merge doc-sharded results from multiple processes (host-side)."""
+    merged = {}
+    for task in tasks:
+        recs = []
+        for res in per_process:
+            r = res[task.name]
+            if r["samples"] is None:
+                raise ValueError("merge requires log_samples=True")
+            recs.extend(r["samples"])
+        agg_name = task.cfg.aggregation
+        if agg_name == "mean":
+            scores = [r["score"] for r in recs]
+            value = float(np.mean(scores)) if scores else 0.0
+        else:
+            value = AGGREGATIONS[agg_name](recs)
+        merged[task.name] = {"value": value, "n": len(recs),
+                             "samples": recs}
+    return merged
+
+
+def simple_evaluate(model: LMM, task_paths: Sequence, *,
+                    limit: Optional[int] = None, log_samples: bool = False,
+                    process_index: int = 0, process_count: int = 1
+                    ) -> Dict[str, Dict]:
+    from .task import load_task
+    overrides = {"limit": limit} if limit else {}
+    tasks = [load_task(p, **overrides) for p in task_paths]
+    return evaluate(model, tasks, process_index=process_index,
+                    process_count=process_count, log_samples=log_samples)

@@ -1,0 +1,164 @@
+"""Our LLaVA model as an evaluation LMM (`lmms_eval/models/llava.py:54-447`).
+
+- `generate_until`: template-rendered prompts with '<image>' splicing,
+  per-tower image preprocessing, shape-bucketed jitted greedy decode.
+- `loglikelihood`: continuation logprob + greedy-match flag
+  (`models/llava.py:217-283`).
+- `dump_image_embeds_for_docs`: the A-score hook as a first-class method —
+  saves the post-projector [seq, D_llm] embedding of each doc's image as
+  tensor_{i}.npy (the reference requires uncommenting `llava_arch.py:475-476`
+  and re-running eval; here it's a flag).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.precision import Precision, DEFAULT_PRECISION
+from ..data.conversation import Conversation, IMAGE_PLACEHOLDER
+from ..data.image_processing import preprocess_image, processor_for_tower
+from ..data.preprocess import tokenizer_image_token
+from ..models import llama as L
+from ..models import llava as M
+from ..models.splice import IGNORE_INDEX
+from .api import Instance, LMM
+
+
+def _bucket(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class LlavaLMM(LMM):
+    def __init__(self, params, cfg: M.LlavaConfig, tokenizer,
+                 template: Conversation, *,
+                 precision: Precision = DEFAULT_PRECISION,
+                 diffusion_apply=None, batch_size: int = 8,
+                 pad_square: bool = False):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.template = template
+        self.precision = precision
+        self.diffusion_apply = diffusion_apply
+        self.batch_size = batch_size
+        self.pad_square = pad_square
+        self.processors = [processor_for_tower(e.name, e.img_size)
+                           for e in cfg.tower_spec.entries]
+        self._gen_fns: Dict[Tuple[int, int], callable] = {}
+
+    # ------------------------------------------------------------------
+
+    def _prompt(self, context: str) -> str:
+        text = IMAGE_PLACEHOLDER + "\n" + context
+        return self.template.prompt_for_generation([("human", text)])
+
+    def _encode_batch(self, requests: List[Instance]):
+        ids_list = [tokenizer_image_token(self._prompt(r.args[0]), self.tok)
+                    for r in requests]
+        n = _bucket(max(len(x) for x in ids_list))
+        b = len(requests)
+        ids = np.zeros((b, n), np.int32)
+        mask = np.zeros((b, n), bool)
+        for i, x in enumerate(ids_list):
+            ids[i, :len(x)] = x
+            mask[i, :len(x)] = True
+        pixels = []
+        for t, proc in enumerate(self.processors):
+            arrs = []
+            for r in requests:
+                if r.visual:
+                    arrs.append(preprocess_image(r.visual[0], proc,
+                                                 pad_square=self.pad_square))
+                else:
+                    arrs.append(np.zeros((proc.crop, proc.crop, 3),
+                                         np.float32))
+            pixels.append(jnp.asarray(np.stack(arrs)))
+        return jnp.asarray(ids), jnp.asarray(mask), pixels
+
+    def _gen_fn(self, seq_len: int, max_new: int):
+        key = (seq_len, max_new)
+        if key not in self._gen_fns:
+            def fn(params, ids, mask, pixels):
+                return M.generate_greedy(
+                    params, self.cfg, ids, mask, pixels,
+                    max_new_tokens=max_new, eos_id=self.tok.eos_token_id,
+                    precision=self.precision,
+                    diffusion_apply=self.diffusion_apply)
+            self._gen_fns[key] = jax.jit(fn)
+        return self._gen_fns[key]
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        out: List[str] = []
+        for s in range(0, len(requests), self.batch_size):
+            chunk = requests[s:s + self.batch_size]
+            ids, mask, pixels = self._encode_batch(chunk)
+            max_new = chunk[0].args[1].get("max_new_tokens", 16)
+            toks = self._gen_fn(ids.shape[1], max_new)(
+                self.params, ids, mask, pixels)
+            toks = np.asarray(toks)
+            for row in toks:
+                row = row.tolist()
+                if self.tok.eos_token_id in row:
+                    row = row[:row.index(self.tok.eos_token_id)]
+                out.append(self.tok.decode(row).strip())
+        return out
+
+    def loglikelihood(self, requests: List[Instance]
+                      ) -> List[Tuple[float, bool]]:
+        from ..models.splice import splice_plan, splice_embeds
+        out = []
+        for r in requests:
+            context, continuation = r.args[0], r.args[1]
+            ctx_ids = tokenizer_image_token(self._prompt(context), self.tok)
+            cont_ids = list(self.tok.encode(continuation,
+                                            add_special_tokens=False))
+            ids = np.asarray([ctx_ids + cont_ids], np.int32)
+            mask = np.ones_like(ids, bool)
+            _, _, pixels = self._encode_batch([r])
+            plan = splice_plan(jnp.asarray(ids),
+                               jnp.full_like(jnp.asarray(ids), IGNORE_INDEX),
+                               jnp.asarray(mask), self.cfg.num_patches)
+            img = M.encode_images(self.params, self.cfg, pixels,
+                                  self.precision, self.diffusion_apply)
+            txt = L.embed_tokens(self.params["decoder"], jnp.asarray(ids),
+                                 self.precision)
+            embeds = splice_embeds(plan, txt, img)
+            h, _ = L.forward(self.params["decoder"], self.cfg.decoder,
+                             embeds, plan.positions,
+                             attn_mask=plan.attn_mask,
+                             precision=self.precision)
+            logits = L.logits_fn(self.params["decoder"], h, self.precision)
+            # continuation tokens occupy the LAST len(cont) positions
+            k = len(cont_ids)
+            lp = jax.nn.log_softmax(logits[0, -k - 1:-1], axis=-1)
+            tgt = jnp.asarray(cont_ids)
+            token_lp = jnp.take_along_axis(lp, tgt[:, None], axis=-1)[:, 0]
+            greedy = bool(jnp.all(jnp.argmax(lp, axis=-1) == tgt))
+            out.append((float(jnp.sum(token_lp)), greedy))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def dump_image_embeds_for_docs(self, requests: List[Instance],
+                                   out_dir: str, limit: int = 100) -> int:
+        """A-score embedding dump (`A_score/compute.py` protocol: first
+        `limit` docs, post-projector embeddings, 1-indexed files)."""
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for r in requests[:limit]:
+            _, _, pixels = self._encode_batch([r])
+            emb = M.dump_image_embeds(self.params, self.cfg, pixels,
+                                      self.precision, self.diffusion_apply)
+            np.save(os.path.join(out_dir, f"tensor_{n + 1}.npy"),
+                    np.asarray(emb[0], np.float32))
+            n += 1
+        return n

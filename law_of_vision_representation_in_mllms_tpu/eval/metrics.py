@@ -1,0 +1,176 @@
+"""Metric functions + aggregation + bootstrap stderr.
+
+Covers the metrics the 8 paper benchmarks use (`lmms_eval/api/metrics.py`
+plus per-task utils): exact match, multiple-choice accuracy, the VQA-v2
+soft accuracy with its answer normalization (`llava/eval/m4c_evaluator.py`
+semantics), ANLS, and MME's per-category score.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# answer normalization (VQA protocol)
+# ---------------------------------------------------------------------------
+
+_CONTRACTIONS = {
+    "aint": "ain't", "arent": "aren't", "cant": "can't",
+    "couldve": "could've", "couldnt": "couldn't", "didnt": "didn't",
+    "doesnt": "doesn't", "dont": "don't", "hadnt": "hadn't",
+    "hasnt": "hasn't", "havent": "haven't", "hed": "he'd", "hes": "he's",
+    "howd": "how'd", "howll": "how'll", "hows": "how's", "im": "i'm",
+    "ive": "i've", "isnt": "isn't", "itd": "it'd", "itll": "it'll",
+    "lets": "let's", "maam": "ma'am", "mightve": "might've",
+    "mustve": "must've", "shant": "shan't", "shed": "she'd",
+    "shes": "she's", "shouldve": "should've", "shouldnt": "shouldn't",
+    "thats": "that's", "theres": "there's", "theyd": "they'd",
+    "theyll": "they'll", "theyre": "they're", "theyve": "they've",
+    "wasnt": "wasn't", "wed": "we'd", "weve": "we've", "werent": "weren't",
+    "whatll": "what'll", "whats": "what's", "wheres": "where's",
+    "whod": "who'd", "wholl": "who'll", "whos": "who's", "whove": "who've",
+    "whyll": "why'll", "whyre": "why're", "whys": "why's", "wont": "won't",
+    "wouldve": "would've", "wouldnt": "wouldn't", "youd": "you'd",
+    "youll": "you'll", "youre": "you're", "youve": "you've",
+}
+
+_NUMBERS = {"none": "0", "zero": "0", "one": "1", "two": "2", "three": "3",
+            "four": "4", "five": "5", "six": "6", "seven": "7",
+            "eight": "8", "nine": "9", "ten": "10"}
+
+_ARTICLES = {"a", "an", "the"}
+_PUNCT = re.compile(r"[;/\[\]\"{}()=+\\_\-><@`,?!]")
+_PERIOD = re.compile(r"(?<!\d)\.(?!\d)")
+
+
+def vqa_normalize(ans: str) -> str:
+    """VQA-v2 answer processing: punctuation, number words, articles,
+    contractions."""
+    ans = ans.replace("\n", " ").replace("\t", " ").strip().lower()
+    ans = _PUNCT.sub("", ans)
+    ans = _PERIOD.sub("", ans)
+    words = []
+    for w in ans.split():
+        w = _NUMBERS.get(w, w)
+        if w in _ARTICLES:
+            continue
+        words.append(_CONTRACTIONS.get(w, w))
+    return " ".join(words)
+
+
+def vqa_accuracy(prediction: str, gt_answers: Sequence[str]) -> float:
+    """VQA soft accuracy: min(#matching humans / 3, 1), averaged over
+    leave-one-out subsets of the 10 annotators."""
+    pred = vqa_normalize(prediction)
+    gts = [vqa_normalize(a) for a in gt_answers]
+    if len(gts) == 1:
+        return float(pred == gts[0])
+    accs = []
+    for i in range(len(gts)):
+        others = gts[:i] + gts[i + 1:]
+        accs.append(min(1.0, sum(o == pred for o in others) / 3.0))
+    return float(np.mean(accs))
+
+
+def exact_match(prediction: str, target: str) -> float:
+    return float(prediction.strip().lower() == target.strip().lower())
+
+
+def anls(prediction: str, targets: Sequence[str],
+         threshold: float = 0.5) -> float:
+    """Average normalized Levenshtein similarity."""
+    def lev(a, b):
+        if not a or not b:
+            return max(len(a), len(b))
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    p = prediction.strip().lower()
+    best = 0.0
+    for t in targets:
+        t = t.strip().lower()
+        d = lev(p, t)
+        s = 1 - d / max(len(p), len(t), 1)
+        best = max(best, s if s >= threshold else 0.0)
+    return best
+
+
+_MC_PREFIX = re.compile(r"^\(?([A-E])\)?[.:)\s]?", re.IGNORECASE)
+
+
+def parse_multi_choice(prediction: str, choices: Sequence[str],
+                       letters: Sequence[str] = "ABCDE") -> str:
+    """Extract a choice letter from a free-form answer (lmms-eval mmbench /
+    seedbench-style parsing, simplified): leading letter, exact option text,
+    or option-substring match."""
+    pred = prediction.strip()
+    m = _MC_PREFIX.match(pred)
+    if m and (len(pred) <= 3 or not pred[m.end():m.end() + 1].isalnum()):
+        return m.group(1).upper()
+    low = pred.lower()
+    for i, c in enumerate(choices):
+        if low == str(c).strip().lower():
+            return letters[i]
+    for i, c in enumerate(choices):
+        if str(c).strip().lower() and str(c).strip().lower() in low:
+            return letters[i]
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+def aggregate_mean(values: Sequence[float]) -> float:
+    return float(np.mean(values)) if len(values) else 0.0
+
+
+def mme_aggregate(records: List[Dict]) -> float:
+    """MME score: per category, acc (per question) + acc+ (both questions of
+    an image right), each x100, summed over categories
+    (`lmms_eval/tasks/mme/utils.py` semantics)."""
+    by_cat: Dict[str, Dict[str, List]] = {}
+    for r in records:
+        cat = r["category"]
+        img = r["image_id"]
+        by_cat.setdefault(cat, {}).setdefault(img, []).append(r["correct"])
+    total = 0.0
+    for cat, imgs in by_cat.items():
+        flat = [c for v in imgs.values() for c in v]
+        acc = np.mean(flat)
+        acc_plus = np.mean([all(v) for v in imgs.values()])
+        total += 100.0 * acc + 100.0 * acc_plus
+    return float(total)
+
+
+def bootstrap_stderr(values: Sequence[float], n_resamples: int = 1000,
+                     seed: int = 1234) -> float:
+    """Bootstrap standard error of the mean (`api/metrics.py` bootstrap)."""
+    v = np.asarray(values, np.float64)
+    if len(v) <= 1:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(v), size=(n_resamples, len(v)))
+    return float(np.std(v[idx].mean(axis=1), ddof=1))
+
+
+METRICS = {
+    "exact_match": exact_match,
+    "vqa_accuracy": vqa_accuracy,
+    "anls": anls,
+}
+
+AGGREGATIONS = {
+    "mean": aggregate_mean,
+    "mme": mme_aggregate,
+}

@@ -1,0 +1,13 @@
+import os
+
+from . import paper_tasks  # noqa: F401  (registers doc hooks)
+
+TASK_DIR = os.path.dirname(__file__)
+
+
+def task_yaml(name: str) -> str:
+    return os.path.join(TASK_DIR, f"{name}.yaml")
+
+
+PAPER_TASKS = ["mme", "mmbench_en", "mmmu_val", "ok_vqa", "textvqa_val",
+               "vizwiz_vqa_val", "scienceqa_img", "seed_image"]

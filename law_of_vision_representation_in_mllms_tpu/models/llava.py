@@ -112,10 +112,12 @@ def encode_images(params, cfg: LlavaConfig, pixel_values: List[jnp.ndarray],
 
 
 def dump_image_embeds(params, cfg: LlavaConfig, pixel_values,
-                      precision: Precision = DEFAULT_PRECISION):
+                      precision: Precision = DEFAULT_PRECISION,
+                      diffusion_apply=None):
     """A-score hook: the post-projector per-image embeddings the reference
     dumps via `save_tensor_to_folder` (`llava_arch.py:229-248,475-476`)."""
-    return encode_images(params, cfg, pixel_values, precision)
+    return encode_images(params, cfg, pixel_values, precision,
+                         diffusion_apply)
 
 
 def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],

@@ -1,0 +1,151 @@
+"""Eval harness tests: task loading, scoring (MME/MC/VQA), doc sharding +
+merge, and the LLaVA adapter end-to-end on a tiny model (generate + embedding
+dump)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from law_of_vision_representation_in_mllms_tpu.eval import (
+    Instance, LMM, load_task, evaluate, simple_evaluate)
+from law_of_vision_representation_in_mllms_tpu.eval.evaluator import (
+    merge_process_results)
+from law_of_vision_representation_in_mllms_tpu.eval.metrics import (
+    vqa_accuracy, parse_multi_choice, anls, mme_aggregate)
+from law_of_vision_representation_in_mllms_tpu.eval.tasks import task_yaml
+
+
+class EchoLMM(LMM):
+    """Returns canned answers keyed by doc_id."""
+
+    def __init__(self, answers):
+        self.answers = answers
+
+    def generate_until(self, requests):
+        return [self.answers[r.doc_id] for r in requests]
+
+    def loglikelihood(self, requests):
+        return [(0.0, True) for _ in requests]
+
+
+def _write_task(tmp_path, name, docs, yaml_name=None):
+    d = tmp_path / name
+    os.makedirs(d, exist_ok=True)
+    with open(d / "questions.json", "w") as f:
+        json.dump(docs, f)
+    import yaml as pyyaml
+    with open(task_yaml(yaml_name or name)) as f:
+        cfg = pyyaml.safe_load(f)
+    cfg["dataset_path"] = str(d / "questions.json")
+    cfg["image_root"] = str(d)
+    return cfg
+
+
+def test_mme_task_scoring(tmp_path):
+    docs = [
+        {"question": "Is there a cat?", "answer": "Yes",
+         "category": "existence", "image_id": "img0"},
+        {"question": "Is there a dog?", "answer": "No",
+         "category": "existence", "image_id": "img0"},
+        {"question": "Is it red?", "answer": "Yes",
+         "category": "color", "image_id": "img1"},
+        {"question": "Is it blue?", "answer": "No",
+         "category": "color", "image_id": "img1"},
+    ]
+    cfg = _write_task(tmp_path, "mme", docs)
+    model = EchoLMM({0: "Yes", 1: "No", 2: "Yes", 3: "Yes"})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    # existence: acc 1.0, acc+ 1.0 -> 200; color: acc .5, acc+ 0 -> 50
+    assert abs(res["mme"]["value"] - 250.0) < 1e-6
+
+
+def test_mc_and_vqa_scoring(tmp_path):
+    mc_docs = [
+        {"question": "Shape?", "options": ["circle", "square"],
+         "answer": "A"},
+        {"question": "Color?", "options": ["red", "blue"], "answer": "B"},
+    ]
+    cfg = _write_task(tmp_path, "mmbench_en", mc_docs)
+    model = EchoLMM({0: "A. circle", 1: "The answer is red"})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    assert abs(res["mmbench_en"]["value"] - 0.5) < 1e-9
+
+    vqa_docs = [{"question": "What animal?",
+                 "answers": ["cat"] * 6 + ["kitten"] * 4}]
+    cfg = _write_task(tmp_path, "ok_vqa", vqa_docs)
+    res = simple_evaluate(EchoLMM({0: "a cat"}), [cfg], log_samples=True)
+    assert res["ok_vqa"]["value"] == 1.0  # 'a' article stripped, 6/3 >= 1
+
+
+def test_doc_sharding_and_merge(tmp_path):
+    docs = [{"question": f"q{i}", "options": ["x", "y"], "answer": "A"}
+            for i in range(7)]
+    cfg = _write_task(tmp_path, "seed_image", docs)
+    model = EchoLMM({i: ("A" if i % 2 == 0 else "B") for i in range(7)})
+    parts = []
+    tasks = [load_task(cfg)]
+    for p in range(2):
+        parts.append(evaluate(model, tasks, process_index=p,
+                              process_count=2, log_samples=True))
+    merged = merge_process_results(parts, tasks)
+    assert merged["seed_image"]["n"] == 7
+    assert abs(merged["seed_image"]["value"] - 4 / 7) < 1e-9
+
+
+def test_metric_functions():
+    assert vqa_accuracy("Two", ["2"] * 10) == 1.0
+    assert parse_multi_choice("(B)", ["a", "b"]) == "B"
+    assert parse_multi_choice("blue thing", ["red", "blue"]) == "B"
+    assert anls("hello", ["hallo"]) > 0.5
+    recs = [{"category": "c", "image_id": "i", "correct": True},
+            {"category": "c", "image_id": "i", "correct": False}]
+    assert mme_aggregate(recs) == 50.0
+
+
+def test_llava_adapter_generate_and_dump(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter import (
+        LlavaLMM)
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import ViTConfig
+    from PIL import Image
+
+    vit_cfg = ViTConfig(image_size=224, patch_size=32, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="openai/clip-vit-large-patch14", kind="vit",
+                       vit_config=vit_cfg, vit_family="clip",
+                       hidden_size=16, num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=L.tiny(vocab_size=1000, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    tok = SimpleTokenizer()
+    lmm = LlavaLMM(params, cfg, tok, get_template("v1"),
+                   precision=FP32_PRECISION, batch_size=2)
+
+    img = Image.new("RGB", (64, 48), (200, 30, 90))
+    reqs = [Instance("generate_until", {}, i, "t",
+                     ("what is this?", {"max_new_tokens": 4}), [img])
+            for i in range(3)]
+    outs = lmm.generate_until(reqs)
+    assert len(outs) == 3 and all(isinstance(o, str) for o in outs)
+
+    ll = lmm.loglikelihood([Instance("loglikelihood", {}, 0, "t",
+                                     ("what is this?", "a cat"), [img])])
+    assert np.isfinite(ll[0][0]) and isinstance(ll[0][1], bool)
+
+    out_dir = str(tmp_path / "embeds")
+    n = lmm.dump_image_embeds_for_docs(reqs, out_dir, limit=2)
+    assert n == 2
+    emb = np.load(os.path.join(out_dir, "tensor_1.npy"))
+    assert emb.shape == (vit_cfg.num_patches, 32)
