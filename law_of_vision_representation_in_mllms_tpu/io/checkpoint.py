@@ -1,0 +1,94 @@
+"""Checkpointing (orbax): full train state, projector-only stage-1 saves,
+and auto-resume.
+
+Reference behavior being replaced:
+- stage 1 saves ONLY `mm_projector.bin` + config
+  (`llava/train/llava_trainer.py:167-192`);
+- stage 2 consumes `--pretrain_mm_mlp_adapter` (`llava_arch.py:183-197`);
+- auto-resume picks the latest checkpoint glob (`train.py:1114-1117`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_train_state(ckpt_dir: str, state: Dict[str, Any], step: int
+                     ) -> str:
+    ocp = _ocp()
+    path = os.path.join(os.path.abspath(ckpt_dir), f"checkpoint-{step}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for d in os.listdir(ckpt_dir):
+        if d.startswith("checkpoint-") and d.split("-")[-1].isdigit():
+            steps.append(int(d.split("-")[-1]))
+    if not steps:
+        return None
+    return os.path.join(os.path.abspath(ckpt_dir),
+                        f"checkpoint-{max(steps)}")
+
+
+def restore_train_state(path: str, template: Dict[str, Any]
+                        ) -> Dict[str, Any]:
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)
+
+
+def save_projector(ckpt_dir: str, projector_params: Dict,
+                   config: Optional[Dict] = None) -> str:
+    """Stage-1 projector-only checkpoint (mm_projector.bin equivalent)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    flat = {}
+    for i, layer in enumerate(projector_params["layers"]):
+        for k, v in layer.items():
+            flat[f"layers.{i}.{k}"] = np.asarray(v)
+    path = os.path.join(ckpt_dir, "mm_projector.npz")
+    np.savez(path, **flat)
+    if config is not None:
+        with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+            json.dump(config, f, indent=1)
+    return path
+
+
+def load_projector(path: str) -> Dict:
+    """Load a projector-only checkpoint back into the param pytree."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "mm_projector.npz")
+    data = np.load(path)
+    n = 1 + max(int(k.split(".")[1]) for k in data.files)
+    layers = []
+    for i in range(n):
+        layers.append({k.split(".")[-1]: data[k] for k in data.files
+                       if k.startswith(f"layers.{i}.")})
+    return {"layers": layers}
+
+
+def load_projector_from_torch(path: str) -> Dict:
+    """Port a reference `mm_projector.bin` (torch) checkpoint."""
+    import torch
+
+    from ..models.projector import port_projector
+    sd = torch.load(path, map_location="cpu")
+    prefix = "model.mm_projector." if any(
+        k.startswith("model.mm_projector.") for k in sd) else ""
+    depth = len({k for k in sd if k.endswith(".weight")})
+    return port_projector(sd, f"mlp{depth}x_gelu" if depth > 1 else "linear",
+                          prefix=prefix)

@@ -1,0 +1,115 @@
+"""Pipeline drivers: feature extraction -> C score end-to-end on a synthetic
+SPair tree; A-score runner over dumped embeddings; checkpoint round-trips."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from law_of_vision_representation_in_mllms_tpu.core.precision import (
+    FP32_PRECISION)
+from law_of_vision_representation_in_mllms_tpu.io.checkpoint import (
+    save_projector, load_projector, save_train_state, latest_checkpoint,
+    restore_train_state)
+from law_of_vision_representation_in_mllms_tpu.models.vit import ViTConfig
+from law_of_vision_representation_in_mllms_tpu.models.projector import (
+    init_projector)
+from law_of_vision_representation_in_mllms_tpu.pipeline import (
+    extract_tower_features, make_vit_extractor, compute_a_scores,
+    run_c_score)
+from law_of_vision_representation_in_mllms_tpu.data.image_processing import (
+    ImageProcessorConfig)
+from tests.test_spair import _make_synthetic_spair
+
+
+def test_extract_and_c_score_end_to_end(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.models.vit import ViTTower
+    root = str(tmp_path / "SPair-71k")
+    _make_synthetic_spair(root, n_pairs=3)
+    # create the actual jpgs referenced by the pairs
+    from PIL import Image
+    img_dir = f"{root}/JPEGImages/cat"
+    names = set()
+    for p in range(3):
+        for idx in (2 * p, 2 * p + 1):
+            names.add(f"img{idx}.jpg")
+    for n in names:
+        Image.new("RGB", (64, 48), (10 * len(n), 80, 30)).save(
+            f"{img_dir}/{n}")
+
+    cfg = ViTConfig(image_size=28, patch_size=7, hidden_size=32,
+                    num_layers=2, num_heads=4, intermediate_size=64)
+    tower = ViTTower(cfg, select_layer=-1, select_feature="patch",
+                     precision=FP32_PRECISION)
+    params = tower.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 28, 28, 3)))["params"]
+    fn = jax.jit(lambda px: tower.apply({"params": params}, px))
+
+    proc = ImageProcessorConfig("clip", size=28, crop=28)
+    feat_dir = str(tmp_path / "features")
+    paths = sorted(f"{img_dir}/{n}" for n in names)
+    written = extract_tower_features(fn, paths, proc, feat_dir,
+                                     batch_size=4)
+    assert len(written) == len(names)
+    f0 = np.load(written[0])
+    assert f0.shape == (cfg.num_patches, cfg.hidden_size)
+
+    res = run_c_score(root, feat_dir, suffix="", num_patches=cfg.grid,
+                      anno_size=64, categories=["cat"])
+    assert len(res["per_img"]) == 3
+    assert 0.0 <= res["per_img"][0] <= 1.0
+    assert "geo" in res
+
+
+def test_extract_process_sharding(tmp_path):
+    from PIL import Image
+    imgs = []
+    for i in range(5):
+        p = str(tmp_path / f"i{i}.jpg")
+        Image.new("RGB", (32, 32), (i * 40, 10, 10)).save(p)
+        imgs.append(p)
+    proc = ImageProcessorConfig("diff", size=16, crop=16)
+    fn = lambda px: px.reshape(px.shape[0], -1, 3)  # trivial featurizer
+    out = str(tmp_path / "out")
+    w0 = extract_tower_features(fn, imgs, proc, out, batch_size=2,
+                                process_index=0, process_count=2)
+    w1 = extract_tower_features(fn, imgs, proc, out, batch_size=2,
+                                process_index=1, process_count=2)
+    assert len(w0) + len(w1) == 5
+    assert not set(w0) & set(w1)
+
+
+def test_a_score_runner(tmp_path):
+    rng = np.random.RandomState(0)
+    base = str(tmp_path)
+    for rep in ("clip336", "clip224", "dino"):
+        os.makedirs(f"{base}/{rep}")
+        for i in range(1, 6):
+            np.save(f"{base}/{rep}/tensor_{i}.npy",
+                    rng.randn(7 + i, 16).astype(np.float32))
+    scores = compute_a_scores(base, ["dino", "clip336"], n_images=5)
+    assert 0 <= scores["dino"] <= 1
+    # a rep scored against itself as target uses identical tensors for the
+    # 336 anchor -> its max-cos there is exactly 1
+    assert scores["clip336"] > scores["dino"]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    proj = init_projector(jax.random.PRNGKey(0), "mlp2x_gelu", 16, 32)
+    d = str(tmp_path / "stage1")
+    save_projector(d, proj, config={"mm_projector_type": "mlp2x_gelu"})
+    back = load_projector(d)
+    for a, b in zip(jax.tree.leaves(proj), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}
+    ck = str(tmp_path / "ckpts")
+    save_train_state(ck, state, 7)
+    save_train_state(ck, jax.tree.map(lambda x: x * 2, state), 9)
+    latest = latest_checkpoint(ck)
+    assert latest.endswith("checkpoint-9")
+    got = restore_train_state(latest, jax.tree.map(np.zeros_like, state))
+    np.testing.assert_allclose(np.asarray(got["params"]["w"]),
+                               np.arange(4.0) * 2)
