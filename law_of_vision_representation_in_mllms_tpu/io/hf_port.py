@@ -31,6 +31,9 @@ def _linear(sd, prefix):
     return out
 
 
+
+
+
 def _ln(sd, prefix):
     return {"ln": {"scale": _t(sd, prefix + ".weight"),
                    "bias": _t(sd, prefix + ".bias")}}

@@ -115,7 +115,7 @@ class CLIPTextEncoder(nn.Module):
 def port_clip_text(state_dict, cfg: TextConfig,
                    num_blocks: int | None = None):
     """HF CLIPTextModel(WithProjection) -> CLIPTextEncoder params."""
-    from .. io.hf_port import _t, _linear  # reuse helpers
+    from ..io.hf_port import _t, _linear  # reuse helpers
 
     sd = state_dict
     pre = "text_model"
