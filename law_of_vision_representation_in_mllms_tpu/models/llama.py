@@ -156,7 +156,7 @@ def _attention(q, k, v, mask, accum_dtype=jnp.float32):
 
 
 def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
-           prec: Precision):
+           prec: Precision, use_flash: bool = False):
     """One decoder block. cache_kv: optional (k,v) [B,Tmax,KV,Dh] buffers."""
     b, s, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -179,6 +179,25 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
         k_all, v_all = k, v
         new_cache = None
 
+    if use_flash:
+        # Pallas flash over the LOCAL k/v (valid only for prefill at
+        # cache_index 0 / no-cache inference with right padding — the
+        # caller guarantees it). No custom VJP yet: inference-only.
+        from ..ops.flash_attention import flash_mha
+        kf, vf = k, v
+        if nkv != nh:
+            rep = nh // nkv
+            kf = jnp.repeat(kf, rep, axis=2)
+            vf = jnp.repeat(vf, rep, axis=2)
+        attn = flash_mha(q, kf, vf, causal=True)
+        attn = attn.reshape(b, s, nh * hd) @ lp["wo"].astype(cd)
+        h = h + attn
+        x = rms_norm(h, lp["rms2"], cfg.rms_eps)
+        gated = jax.nn.silu(x @ lp["gate"].astype(cd)) * (
+            x @ lp["up"].astype(cd))
+        h = h + gated @ lp["down"].astype(cd)
+        return h, new_cache
+
     if nkv != nh:
         rep = nh // nkv
         k_all = jnp.repeat(k_all, rep, axis=2)
@@ -196,7 +215,8 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
 
 def forward(params, cfg: LlamaConfig, embeds, positions, *,
             attn_mask=None, cache=None, cache_index=None,
-            precision: Precision = DEFAULT_PRECISION):
+            precision: Precision = DEFAULT_PRECISION,
+            use_flash: bool = False):
     """Run the trunk.
 
     Args:
@@ -231,15 +251,22 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
     if attn_mask is not None:
         mask = mask & attn_mask[:, None, None, :]
 
+    # Pallas flash attention is safe only for right-padded prefill-style
+    # passes over local k/v (inference-only: no custom VJP yet)
+    flash_ok = use_flash and s > 1 and (cache is None or
+                                        (isinstance(cache_index, int)
+                                         and cache_index == 0))
+
     def body(carry, xs):
         h = carry
         if cache is None:
             lp = xs
-            h, _ = _layer(cfg, h, lp, cos, sin, mask, None, None, precision)
+            h, _ = _layer(cfg, h, lp, cos, sin, mask, None, None, precision,
+                          use_flash=flash_ok)
             return h, ()
         lp, ck, cv = xs
         h, (nk, nv) = _layer(cfg, h, lp, cos, sin, mask, (ck, cv),
-                             cache_index, precision)
+                             cache_index, precision, use_flash=flash_ok)
         return h, (nk, nv)
 
     if cache is None:

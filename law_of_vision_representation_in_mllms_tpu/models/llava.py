@@ -143,8 +143,10 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
 def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
                     pixel_values, *, max_new_tokens: int, eos_id: int,
                     precision: Precision = DEFAULT_PRECISION,
-                    diffusion_apply=None):
+                    diffusion_apply=None, use_flash: Optional[bool] = None):
     """Greedy decode. Returns [B, max_new_tokens] token ids (eos-padded)."""
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
     b, l = input_ids.shape
     plan = splice_plan(input_ids, jnp.full_like(input_ids, IGNORE_INDEX),
                        text_mask, cfg.num_patches)
@@ -161,7 +163,8 @@ def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
 
     h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
                          plan.positions, attn_mask=slot_valid, cache=cache,
-                         cache_index=0, precision=precision)
+                         cache_index=0, precision=precision,
+                         use_flash=use_flash)
     # last VALID position's logits seed generation (right padding)
     n_valid = jnp.sum(plan.attn_mask, axis=1)                    # [B]
     last_idx = jnp.maximum(n_valid - 1, 0)

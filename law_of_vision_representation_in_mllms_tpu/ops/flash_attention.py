@@ -131,9 +131,12 @@ def _round_up(n: int, m: int) -> int:
 
 def flash_mha(q, k, v, *, causal: bool = False, scale: float | None = None,
               block_q: int = 256, block_k: int = 512,
-              interpret: bool = False):
+              interpret: bool | None = None):
     """Drop-in for ops.attention.mha: q [B, Sq, H, D], k/v [B, Skv, H, D].
-    Pads sequences to block multiples internally."""
+    Pads sequences to block multiples internally. interpret=None runs the
+    compiled kernel on TPU and the interpreter elsewhere (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, sq, h, d = q.shape
     _, skv, _, _ = k.shape
 
