@@ -105,11 +105,18 @@ class LlavaLMM(LMM):
             toks = self._gen_fn(ids.shape[1], max_new)(
                 self.params, ids, mask, pixels)
             toks = np.asarray(toks)
+            until = chunk[0].args[1].get("until", [])
             for row in toks:
                 row = row.tolist()
                 if self.tok.eos_token_id in row:
                     row = row[:row.index(self.tok.eos_token_id)]
-                out.append(self.tok.decode(row).strip())
+                text = self.tok.decode(row).strip()
+                # stop-string truncation (KeywordsStoppingCriteria /
+                # lmms-eval "until" semantics, `mm_utils.py:122-156`)
+                for stop in until:
+                    if stop and stop in text:
+                        text = text.split(stop)[0]
+                out.append(text.strip())
         return out
 
     def loglikelihood(self, requests: List[Instance]

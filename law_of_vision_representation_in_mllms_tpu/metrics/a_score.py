@@ -99,3 +99,11 @@ def a_score_from_arrays(target_list, anchor336_list, anchor224_list) -> float:
     a224, am224 = pad(anchor224_list)
     return float(a_score(t, a336, a224, target_mask=tm,
                          anchor336_mask=am336, anchor224_mask=am224))
+
+
+@jax.jit
+def language_align_score(target, anchor224):
+    """The `llava/eval/language_align.py:1-69` variant: max-cos alignment
+    against the CLIP224 anchor only (used for clipdino reps). Returns the
+    mean over images."""
+    return jnp.mean(max_cos_similarity(target, anchor224))
