@@ -1,0 +1,198 @@
+"""Single CLI entry point: `lvr <command>`.
+
+Replaces the reference's zoo of shell scripts and edit-in-place drivers
+(`scripts/v1_5/train/*.sh`, `scripts/v1_5/feature/*.sh`,
+`run_embed_extract.sh`, `A_score/compute.py` constants,
+`C_score/extract_feature.py:16-23` edit-me paths, `policy/*.py` argparse).
+
+Commands:
+  train             stage-1/2 LLaVA training from a RunConfig YAML
+  c-train           supervised correspondence training
+  eval              benchmark evaluation (lmms-eval-compatible tasks)
+  extract-embeds    A-score embedding dump (first-class, no code edits)
+  extract-features  offline per-image tower features
+  a-score           compute A scores over dumped embeddings
+  c-score           compute C scores (SPair PCK) over cached features
+  policy            fit / predict / validate the AC policy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--config", help="RunConfig YAML")
+    p.add_argument("--set", action="append", default=[],
+                   help="override, e.g. --set train.stage=2")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="lvr", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="LLaVA stage-1/2 training")
+    _add_common(p)
+
+    p = sub.add_parser("eval", help="benchmark evaluation")
+    _add_common(p)
+    p.add_argument("--tasks", nargs="+", required=True)
+    p.add_argument("--limit", type=int)
+    p.add_argument("--output", default="eval_results.json")
+
+    p = sub.add_parser("extract-embeds", help="A-score embedding dump")
+    _add_common(p)
+    p.add_argument("--task", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--limit", type=int, default=100)
+
+    p = sub.add_parser("extract-features", help="offline feature dump")
+    _add_common(p)
+    p.add_argument("--images", required=True,
+                   help="directory or json list of image paths")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--suffix", default="")
+
+    p = sub.add_parser("a-score")
+    p.add_argument("--base-folder", required=True)
+    p.add_argument("--reps", nargs="+", required=True)
+    p.add_argument("--n-images", type=int, default=100)
+
+    p = sub.add_parser("c-score")
+    p.add_argument("--spair-dir", required=True)
+    p.add_argument("--feature-dir", required=True)
+    p.add_argument("--num-patches", type=int, required=True)
+    p.add_argument("--suffix", default="")
+    p.add_argument("--suffix2", help="two-feature concat variant")
+    p.add_argument("--anno-size", type=int, default=840)
+    p.add_argument("--window", type=int, default=5)
+    p.add_argument("--categories", nargs="*")
+    p.add_argument("--subsample", type=int)
+
+    p = sub.add_parser("c-train", help="supervised correspondence training")
+    _add_common(p)
+
+    p = sub.add_parser("policy")
+    p.add_argument("action", choices=["fit", "predict", "validate"])
+    p.add_argument("--csv", required=True)
+    p.add_argument("--benchmark")
+    p.add_argument("--data", default="AC",
+                   choices=["AC", "A", "C", "random", "Ar"])
+    p.add_argument("--model", default="polynomial",
+                   choices=["polynomial", "linear"])
+    p.add_argument("--train-models", nargs="*")
+    p.add_argument("--top", type=int, default=1)
+
+    args = parser.parse_args(argv)
+    return DISPATCH[args.cmd](args)
+
+
+# ---------------------------------------------------------------------------
+
+def _cmd_a_score(args):
+    from .pipeline import compute_a_scores
+    scores = compute_a_scores(args.base_folder, args.reps,
+                              n_images=args.n_images)
+    print(json.dumps(scores, indent=1))
+    return 0
+
+
+def _cmd_c_score(args):
+    from .pipeline import run_c_score
+    res = run_c_score(args.spair_dir, args.feature_dir, suffix=args.suffix,
+                      suffix2=args.suffix2, num_patches=args.num_patches,
+                      anno_size=args.anno_size, window=args.window,
+                      categories=args.categories or None,
+                      subsample=args.subsample)
+    out = {"per_img_pck": res["per_img"], "per_kpt_pck": res["per_kpt"]}
+    if "geo" in res:
+        out["geo_pck"] = res["geo"]
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def _cmd_policy(args):
+    from .policy import (load_ac_csv, fit_policy, validate_run, BENCHMARKS,
+                         prediction_accuracy, ALL_MODELS)
+    table = load_ac_csv(args.csv)
+    if args.action == "fit":
+        for b in ([args.benchmark] if args.benchmark else BENCHMARKS):
+            fit = fit_policy(table, b, data=args.data, model=args.model)
+            print(f"{b}: r2={fit.r2:.4f} mse={fit.mse:.5f}")
+    elif args.action == "validate":
+        ok, top = validate_run(table, args.benchmark,
+                               args.train_models or ALL_MODELS,
+                               top=args.top)
+        print(json.dumps({"hit": bool(ok), "top": list(top)}))
+    else:
+        for k in (4, 8, 12):
+            acc = prediction_accuracy(table, k=k, data=args.data,
+                                      model=args.model, top=args.top)
+            print(f"k={k}: accuracy={acc:.4f}")
+    return 0
+
+
+def _cmd_train(args):
+    from .core.config import RunConfig
+    from .train.runner import run_training
+    cfg = RunConfig.from_yaml(args.config, args.set)
+    return run_training(cfg)
+
+
+def _cmd_eval(args):
+    from .core.config import RunConfig
+    from .eval.runner import run_evaluation
+    cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
+        else RunConfig.from_dict({})
+    res = run_evaluation(cfg, args.tasks, limit=args.limit)
+    with open(args.output, "w") as f:
+        json.dump({k: {kk: vv for kk, vv in v.items() if kk != "samples"}
+                   for k, v in res.items()}, f, indent=1)
+    print(json.dumps({k: v["value"] for k, v in res.items()}, indent=1))
+    return 0
+
+
+def _cmd_extract_embeds(args):
+    from .core.config import RunConfig
+    from .eval.runner import run_embed_extraction
+    cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
+        else RunConfig.from_dict({})
+    n = run_embed_extraction(cfg, args.task, args.out_dir, limit=args.limit)
+    print(f"dumped {n} embeddings to {args.out_dir}")
+    return 0
+
+
+def _cmd_extract_features(args):
+    from .pipeline.runner import run_feature_extraction
+    from .core.config import RunConfig
+    cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
+        else RunConfig.from_dict({})
+    n = run_feature_extraction(cfg, args.images, args.out_dir,
+                               batch_size=args.batch_size,
+                               suffix=args.suffix)
+    print(f"extracted {n} feature files to {args.out_dir}")
+    return 0
+
+
+def _cmd_c_train(args):
+    raise SystemExit("c-train requires a dataset config; see "
+                     "train/c_score_train.py for the programmatic API")
+
+
+DISPATCH = {
+    "a-score": _cmd_a_score,
+    "c-score": _cmd_c_score,
+    "policy": _cmd_policy,
+    "train": _cmd_train,
+    "eval": _cmd_eval,
+    "extract-embeds": _cmd_extract_embeds,
+    "extract-features": _cmd_extract_features,
+    "c-train": _cmd_c_train,
+}
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""One typed run-config for the whole pipeline.
+
+The reference mixes three config styles plus hardcoded path dicts
+(SURVEY.md §5: HF dataclasses + shell flags, argparse + YAML namespace
+mutation, lmms-eval YAML + k=v strings, edit-in-place constants). Here every
+entry point consumes one `RunConfig` loadable from YAML/CLI overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class ModelSection:
+    vision_tower: str = "openai/clip-vit-large-patch14-336"
+    decoder: str = "vicuna-7b"             # vicuna-7b | tiny | path
+    projector_type: str = "mlp2x_gelu"
+    select_layer: int = -2
+    select_feature: str = "patch"
+    # diffusion tower knobs (`train.py:83-88`)
+    up_ft_index: int = 0
+    t: int = 1
+    prompt: str = ""
+    ensemble_size: int = 1
+    img_size: int = 768
+    conv_template: str = "v1"
+    checkpoint: Optional[str] = None       # orbax train-state dir
+    tokenizer: Optional[str] = None        # HF tokenizer path (host-side)
+
+
+@dataclasses.dataclass
+class TrainSection:
+    stage: int = 1
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    epochs: int = 1
+    batch_size: int = 32
+    grad_accum: int = 1
+    max_length: int = 2048
+    bf16: bool = True
+    gradient_checkpointing: bool = False
+    group_by_modality_length: bool = False
+    pretrain_mm_mlp_adapter: Optional[str] = None
+    output_dir: str = "checkpoints/run"
+    save_steps: int = 500
+    logging_steps: int = 1
+    seed: int = 42
+
+
+@dataclasses.dataclass
+class DataSection:
+    data_path: str = ""
+    image_folder: str = ""
+    feature_folder: Optional[str] = None   # feature-cached training
+    image_aspect_ratio: str = "pad"
+
+
+@dataclasses.dataclass
+class ParallelSection:
+    n_data: Optional[int] = None
+    n_model: int = 1
+
+
+@dataclasses.dataclass
+class RunConfig:
+    model: ModelSection = dataclasses.field(default_factory=ModelSection)
+    train: TrainSection = dataclasses.field(default_factory=TrainSection)
+    data: DataSection = dataclasses.field(default_factory=DataSection)
+    parallel: ParallelSection = dataclasses.field(
+        default_factory=ParallelSection)
+
+    @classmethod
+    def from_yaml(cls, path: str, overrides: Optional[List[str]] = None
+                  ) -> "RunConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw, overrides)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any],
+                  overrides: Optional[List[str]] = None) -> "RunConfig":
+        cfg = cls()
+        for section_name in ("model", "train", "data", "parallel"):
+            section = getattr(cfg, section_name)
+            for k, v in (raw.get(section_name) or {}).items():
+                if not hasattr(section, k):
+                    raise ValueError(
+                        f"unknown config key {section_name}.{k}")
+                setattr(section, k, v)
+        for ov in overrides or []:
+            key, _, val = ov.partition("=")
+            section_name, _, field = key.partition(".")
+            section = getattr(cfg, section_name)
+            cur = getattr(section, field)  # raises on unknown keys
+            setattr(section, field, _coerce(val, cur))
+        return cfg
+
+
+def _coerce(val: str, like: Any):
+    if isinstance(like, bool):
+        return val.lower() in ("1", "true", "yes")
+    if isinstance(like, int):
+        return int(val)
+    if isinstance(like, float):
+        return float(val)
+    return val

@@ -37,6 +37,8 @@ class ImageProcessorConfig:
 
 def processor_for_tower(name: str, img_size: Optional[int] = None
                         ) -> ImageProcessorConfig:
+    if name == "debug/tiny-vit":
+        return ImageProcessorConfig("clip", size=28, crop=28)
     if name.startswith("openai/clip") or name.startswith("laion/"):
         s = 336 if "336" in name else 224
         return ImageProcessorConfig("clip", size=s, crop=s)

@@ -32,6 +32,7 @@ DIFFUSION_HIDDEN_SIZES = {
 }
 
 VIT_FAMILIES = {
+    "debug/tiny-vit": "clip",
     "openai/clip-vit-large-patch14": "clip",
     "openai/clip-vit-large-patch14-336": "clip",
     "laion/CLIP-ViT-L-14-laion2B-s32B-b82K": "clip",

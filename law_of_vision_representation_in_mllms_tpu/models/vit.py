@@ -109,7 +109,14 @@ def dinov2_large(image_size: int = 224) -> ViTConfig:
                      patch_bias=True, use_layerscale=True)
 
 
+def tiny_vit(image_size: int = 28) -> ViTConfig:
+    """Debug/smoke-run tower (also used by CLI tests)."""
+    return ViTConfig(image_size=image_size, patch_size=7, hidden_size=32,
+                     num_layers=2, num_heads=4, intermediate_size=64)
+
+
 VIT_PRESETS = {
+    "debug/tiny-vit": lambda: tiny_vit(),
     "openai/clip-vit-large-patch14": lambda: clip_l14(224),
     "openai/clip-vit-large-patch14-336": lambda: clip_l14(336),
     "laion/CLIP-ViT-L-14-laion2B-s32B-b82K": lambda: clip_l14(224, act="gelu"),

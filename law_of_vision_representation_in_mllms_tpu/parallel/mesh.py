@@ -25,10 +25,10 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    if n_data * n_model != len(devices):
+    if n_data * n_model > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_model} != {len(devices)} devices")
-    arr = np.array(devices).reshape(n_data, n_model)
+            f"mesh {n_data}x{n_model} > {len(devices)} devices")
+    arr = np.array(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

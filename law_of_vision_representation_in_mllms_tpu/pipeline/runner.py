@@ -1,0 +1,46 @@
+"""Feature-extraction runner: RunConfig -> per-image feature dump."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import jax
+
+from ..core.config import RunConfig
+from ..core.precision import DEFAULT_PRECISION, FP32_PRECISION
+from ..data.image_processing import processor_for_tower
+from ..models.towers import parse_tower_spec
+from ..models.vit import VIT_PRESETS
+from .features import extract_tower_features, make_vit_extractor
+
+
+def run_feature_extraction(cfg: RunConfig, images: str, out_dir: str, *,
+                           batch_size: int = 16, suffix: str = "") -> int:
+    precision = DEFAULT_PRECISION if cfg.train.bf16 else FP32_PRECISION
+    if os.path.isdir(images):
+        paths = sorted(p for ext in ("jpg", "jpeg", "png")
+                       for p in glob.glob(f"{images}/**/*.{ext}",
+                                          recursive=True))
+    else:
+        with open(images) as f:
+            paths = json.load(f)
+
+    spec = parse_tower_spec(cfg.model.vision_tower)
+    entry = spec.entries[0]
+    if entry.kind != "vit":
+        raise NotImplementedError(
+            "CLI feature extraction currently drives ViT towers; diffusion "
+            "towers go through pipeline.features with a featurizer apply_fn")
+    from ..train.runner import build_model
+    model_cfg, params = build_model(cfg)
+    fn = make_vit_extractor(entry.vit_config, params["towers"][0],
+                            select_layer=cfg.model.select_layer,
+                            precision=precision)
+    proc = processor_for_tower(entry.name, entry.img_size)
+    written = extract_tower_features(
+        fn, paths, proc, out_dir, batch_size=batch_size, suffix=suffix,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
+    return len(written)

@@ -1,0 +1,146 @@
+"""Training runner: RunConfig -> stage-1/2 training loop.
+
+The `deepspeed llava/train/train.py` + `scripts/v1_5/train/{pretrain,
+finetune}.sh` equivalent as one function: build model/datasets from config,
+jit the sharded train step, loop with the modality-grouped sampler, log
+JSONL metrics, checkpoint via orbax (projector-only save in stage 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import RunConfig
+from ..core.precision import DEFAULT_PRECISION, FP32_PRECISION
+from ..data import (SupervisedDataset, FeatureDataset, collate_batch,
+                    length_grouped_indices, get_template, SimpleTokenizer)
+from ..io.checkpoint import (save_train_state, save_projector,
+                             latest_checkpoint, restore_train_state,
+                             load_projector)
+from ..models import llama, llava
+from ..models.towers import parse_tower_spec
+from ..models.tower_runtime import make_diffusion_apply
+from ..parallel import make_mesh
+from ..train import TrainConfig, make_train_step, init_train_state
+from ..train.train_step import param_shardings, shard_batch_specs
+from ..utils import MetricsLogger, rank0_print
+
+
+def build_tokenizer(cfg: RunConfig):
+    if cfg.model.tokenizer:
+        from transformers import AutoTokenizer
+        return AutoTokenizer.from_pretrained(cfg.model.tokenizer)
+    return SimpleTokenizer(vocab_size=32000)
+
+
+def build_model(cfg: RunConfig, rng=None):
+    spec = parse_tower_spec(cfg.model.vision_tower,
+                            up_ft_index=cfg.model.up_ft_index,
+                            t=cfg.model.t,
+                            ensemble_size=cfg.model.ensemble_size)
+    if cfg.model.decoder == "vicuna-7b":
+        dec = llama.vicuna_7b()
+    elif cfg.model.decoder == "tiny":
+        dec = llama.tiny()
+    else:
+        raise ValueError(f"unknown decoder {cfg.model.decoder}")
+    model_cfg = llava.LlavaConfig(
+        tower_spec=spec, decoder=dec,
+        projector_type=cfg.model.projector_type,
+        select_layer=cfg.model.select_layer,
+        select_feature=cfg.model.select_feature)
+    params = llava.init_params(rng or jax.random.PRNGKey(cfg.train.seed),
+                               model_cfg)
+    if cfg.model.checkpoint:
+        path = latest_checkpoint(cfg.model.checkpoint) or \
+            cfg.model.checkpoint
+        state = restore_train_state(path, {"params": params})
+        params = state["params"]
+    if cfg.train.pretrain_mm_mlp_adapter:
+        params["projector"] = jax.tree.map(
+            jnp.asarray, load_projector(cfg.train.pretrain_mm_mlp_adapter))
+    return model_cfg, params
+
+
+def run_training(cfg: RunConfig) -> int:
+    precision = DEFAULT_PRECISION if cfg.train.bf16 else FP32_PRECISION
+    tokenizer = build_tokenizer(cfg)
+    template = get_template("plain" if cfg.train.stage == 1
+                            else cfg.model.conv_template)
+    model_cfg, params = build_model(cfg)
+
+    if cfg.data.feature_folder:
+        ds = FeatureDataset(cfg.data.data_path, cfg.data.feature_folder,
+                            template, tokenizer,
+                            max_length=cfg.train.max_length)
+    else:
+        ds = SupervisedDataset(cfg.data.data_path, cfg.data.image_folder,
+                               model_cfg.tower_spec, template, tokenizer,
+                               pad_square=cfg.data.image_aspect_ratio
+                               == "pad", max_length=cfg.train.max_length)
+
+    mesh = make_mesh(n_data=cfg.parallel.n_data,
+                     n_model=cfg.parallel.n_model)
+    n_data = mesh.shape["data"]
+    if cfg.train.batch_size % n_data:
+        raise ValueError(f"batch_size {cfg.train.batch_size} must divide "
+                         f"over the data axis ({n_data} ways)")
+    params = jax.device_put(params, param_shardings(params, model_cfg, mesh))
+
+    steps_per_epoch = max(1, len(ds) // cfg.train.batch_size)
+    total = steps_per_epoch * cfg.train.epochs
+    tcfg = TrainConfig(stage=cfg.train.stage,
+                       learning_rate=cfg.train.learning_rate,
+                       weight_decay=cfg.train.weight_decay,
+                       warmup_ratio=cfg.train.warmup_ratio,
+                       total_steps=total)
+    state, opt = init_train_state(params, tcfg)
+
+    diffusion_apply = None
+    if any(e.kind == "diffusion" for e in model_cfg.tower_spec.entries):
+        diffusion_apply = make_diffusion_apply(precision=precision)
+    step_fn = jax.jit(make_train_step(model_cfg, tcfg, opt, precision,
+                                      diffusion_apply))
+
+    logger = MetricsLogger(cfg.train.output_dir, "train",
+                           every=cfg.train.logging_steps)
+    step = 0
+    for epoch in range(cfg.train.epochs):
+        if cfg.train.group_by_modality_length and hasattr(ds, "lengths"):
+            order = length_grouped_indices(ds.lengths(),
+                                           cfg.train.batch_size, 1,
+                                           seed=cfg.train.seed + epoch)
+        else:
+            order = np.random.default_rng(
+                cfg.train.seed + epoch).permutation(len(ds))
+        for s in range(0, len(order) - cfg.train.batch_size + 1,
+                       cfg.train.batch_size):
+            samples = [ds[int(i)] for i in
+                       order[s:s + cfg.train.batch_size]]
+            batch = collate_batch(samples, max_length=cfg.train.max_length)
+            batch = {k: ([jnp.asarray(x) for x in v] if isinstance(v, list)
+                         else jnp.asarray(v)) for k, v in batch.items()}
+            batch = jax.device_put(batch, shard_batch_specs(batch, mesh))
+            state, metrics = step_fn(state, batch)
+            step += 1
+            logger.log(step, {"loss": metrics["loss"],
+                              "grad_norm": metrics["grad_norm"],
+                              "epoch": epoch})
+            if step % cfg.train.save_steps == 0:
+                save_train_state(cfg.train.output_dir, state, step)
+
+    if cfg.train.stage == 1:
+        save_projector(cfg.train.output_dir, state["params"]["projector"],
+                       config={"mm_projector_type":
+                               cfg.model.projector_type,
+                               "mm_hidden_size":
+                               model_cfg.tower_spec.mm_hidden_size})
+        rank0_print(f"stage-1 projector saved to {cfg.train.output_dir}")
+    else:
+        save_train_state(cfg.train.output_dir, state, step)
+    logger.close()
+    return 0

@@ -1,0 +1,58 @@
+"""Structured metrics logging.
+
+Replaces the reference's scattered logging (wandb in training
+`train.py:18`, loguru in C-score `C_score/utils/logger.py:13-21`, raw prints
+everywhere) with one JSONL metrics logger + rank-0 gating. The JSONL schema
+(step, timestamp, metrics...) is wandb-importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+
+
+def rank0_print(*args, **kwargs):
+    """Print only on process 0 (`train.py:46-48 rank0_print`)."""
+    if jax.process_index() == 0:
+        print(*args, **kwargs)
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: Optional[str] = None, run_name: str = "run",
+                 stdout: bool = True, every: int = 1):
+        self.stdout = stdout
+        self.every = every
+        self._fh = None
+        if log_dir and jax.process_index() == 0:
+            os.makedirs(log_dir, exist_ok=True)
+            path = os.path.join(log_dir, f"{run_name}.jsonl")
+            self._fh = open(path, "a")
+        self._t0 = time.time()
+
+    def log(self, step: int, metrics: Dict[str, Any]):
+        if step % self.every:
+            return
+        rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        if self._fh is not None:
+            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.flush()
+        if self.stdout and jax.process_index() == 0:
+            kv = " ".join(f"{k}={v:.5g}" if isinstance(v, float)
+                          else f"{k}={v}" for k, v in rec.items()
+                          if k != "time")
+            print(f"[{rec['time']:9.1f}s] {kv}", file=sys.stderr)
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()

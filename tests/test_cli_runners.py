@@ -1,0 +1,123 @@
+"""CLI + runner tests: a tiny stage-1 training run end-to-end from a YAML
+config, eval through the runner, and the pure-data CLI commands."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from law_of_vision_representation_in_mllms_tpu.cli import main as cli_main
+from law_of_vision_representation_in_mllms_tpu.core.config import RunConfig
+
+
+def test_config_yaml_and_overrides(tmp_path):
+    p = tmp_path / "run.yaml"
+    with open(p, "w") as f:
+        yaml.safe_dump({"train": {"stage": 2, "learning_rate": 2e-5},
+                        "model": {"vision_tower": "facebook/dinov2-large"}},
+                       f)
+    cfg = RunConfig.from_yaml(str(p), ["train.batch_size=4",
+                                       "train.bf16=false"])
+    assert cfg.train.stage == 2
+    assert cfg.train.batch_size == 4
+    assert cfg.train.bf16 is False
+    assert cfg.model.vision_tower == "facebook/dinov2-large"
+    with pytest.raises(ValueError):
+        RunConfig.from_dict({"train": {"nonexistent": 1}})
+
+
+def test_policy_cli(capsys):
+    ref = "/root/reference/policy/ablations_t.csv"
+    if not os.path.exists(ref):
+        pytest.skip("reference table not mounted")
+    rc = cli_main(["policy", "fit", "--csv", ref])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mme" in out and "r2=" in out
+
+
+def test_a_score_cli(tmp_path, capsys):
+    rng = np.random.RandomState(0)
+    for rep in ("clip336", "clip224", "dino"):
+        os.makedirs(tmp_path / rep)
+        for i in range(1, 4):
+            np.save(tmp_path / rep / f"tensor_{i}.npy",
+                    rng.randn(6, 8).astype(np.float32))
+    rc = cli_main(["a-score", "--base-folder", str(tmp_path),
+                   "--reps", "dino", "--n-images", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "dino" in out
+
+
+def _tiny_train_config(tmp_path):
+    # tiny end-to-end stage-1 run: SimpleTokenizer + tiny decoder + dinov2
+    # preset replaced by a tiny ViT via a small image size? Use the feature
+    # dataset path to avoid a full-size tower.
+    recs = [{"image": "a.jpg",
+             "conversations": [
+                 {"from": "human", "value": "<image>\ndescribe"},
+                 {"from": "gpt", "value": "a thing"}]}] * 4
+    with open(tmp_path / "data.json", "w") as f:
+        json.dump(recs, f)
+    feats = tmp_path / "feats"
+    os.makedirs(feats)
+    np.save(feats / "a.npy",
+            np.random.RandomState(0).randn(576, 1280).astype(np.float32))
+    return {
+        "model": {"vision_tower": "runwayml/stable-diffusion-v1-5_feature",
+                  "decoder": "tiny"},
+        "train": {"stage": 1, "batch_size": 2, "epochs": 1,
+                  "bf16": False, "max_length": 64,
+                  "output_dir": str(tmp_path / "out"), "save_steps": 1000},
+        "data": {"data_path": str(tmp_path / "data.json"),
+                 "feature_folder": str(feats)},
+        "parallel": {"n_data": 2, "n_model": 1},
+    }
+
+
+def test_train_runner_stage1_feature_cached(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        run_training)
+    cfg = RunConfig.from_dict(_tiny_train_config(tmp_path))
+    rc = run_training(cfg)
+    assert rc == 0
+    # projector-only checkpoint written
+    assert os.path.exists(tmp_path / "out" / "mm_projector.npz")
+    assert os.path.exists(tmp_path / "out" / "config.json")
+    # metrics logged
+    lines = open(tmp_path / "out" / "train.jsonl").read().strip().split("\n")
+    assert len(lines) >= 2
+    assert "loss" in json.loads(lines[0])
+
+
+def test_eval_runner_tiny(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.eval.runner import (
+        run_evaluation)
+    # tiny model over a 2-doc MC task
+    docs = [{"question": "Shape?", "options": ["circle", "square"],
+             "answer": "A"},
+            {"question": "Color?", "options": ["red", "blue"],
+             "answer": "B"}]
+    os.makedirs(tmp_path / "t")
+    with open(tmp_path / "t" / "q.json", "w") as f:
+        json.dump(docs, f)
+    import yaml as pyyaml
+    from law_of_vision_representation_in_mllms_tpu.eval.tasks import (
+        task_yaml)
+    with open(task_yaml("mmbench_en")) as f:
+        tcfg = pyyaml.safe_load(f)
+    tcfg["dataset_path"] = str(tmp_path / "t" / "q.json")
+    tcfg["image_root"] = str(tmp_path / "t")
+    tpath = tmp_path / "t" / "task.yaml"
+    with open(tpath, "w") as f:
+        pyyaml.safe_dump(tcfg, f)
+
+    cfg = RunConfig.from_dict({
+        "model": {"vision_tower": "debug/tiny-vit", "decoder": "tiny"},
+        "train": {"bf16": False}})
+    res = run_evaluation(cfg, [str(tpath)])
+    assert "mmbench_en" in res
+    assert 0.0 <= res["mmbench_en"]["value"] <= 1.0
