@@ -18,12 +18,14 @@ from ..metrics.c_score import compute_pck_batch, concat_two_features
 
 def _load_features(files: Sequence[str], feature_dir: str, suffix: str
                    ) -> np.ndarray:
-    feats = []
-    for f in files:
-        stem = os.path.splitext(os.path.basename(f))[0]
-        feats.append(np.load(os.path.join(feature_dir,
-                                          f"{stem}{suffix}.npy")))
-    return np.stack(feats)
+    paths = [os.path.join(
+        feature_dir,
+        f"{os.path.splitext(os.path.basename(f))[0]}{suffix}.npy")
+        for f in files]
+    first = np.load(paths[0])
+    # threaded native batch read (falls back to numpy when unbuilt)
+    from ..io.native_cache import batch_load
+    return batch_load(paths, first.shape, first.dtype)
 
 
 def run_c_score(spair_dir: str, feature_dir: str, *, suffix: str = "",
