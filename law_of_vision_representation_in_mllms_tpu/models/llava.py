@@ -70,9 +70,16 @@ def init_params(rng, cfg: LlavaConfig,
                                        px)["params"])
             else:
                 towers.append({})  # diffusion/feature towers ported later
-    proj = init_projector(k_proj, cfg.projector_type,
-                          cfg.tower_spec.mm_hidden_size,
-                          cfg.decoder.hidden_size)
+    if cfg.tower_spec.join == "mof":
+        # per-tower projectors (`llava_arch.py:169-181`)
+        proj = [init_projector(jax.random.fold_in(k_proj, i),
+                               cfg.projector_type, e.hidden_size,
+                               cfg.decoder.hidden_size)
+                for i, e in enumerate(cfg.tower_spec.entries)]
+    else:
+        proj = init_projector(k_proj, cfg.projector_type,
+                              cfg.tower_spec.mm_hidden_size,
+                              cfg.decoder.hidden_size)
     dec = L.init_params(k_dec, cfg.decoder)
     return {"towers": towers, "projector": proj, "decoder": dec}
 
@@ -107,6 +114,17 @@ def encode_images(params, cfg: LlavaConfig, pixel_values: List[jnp.ndarray],
         else:
             raise ValueError(e.kind)
         feats.append(lax.stop_gradient(f.astype(precision.compute_dtype)))
+    if cfg.tower_spec.join == "mof":
+        # MoF: per-tower projectors, tokens INTERLEAVED across towers —
+        # the reference's documented MoF design (its live encode path is
+        # commented out, `llava_arch.py:265-276`; the interleave follows
+        # that commented implementation, stack + transpose + reshape).
+        projected = [apply_projector(params["projector"][i], f, precision)
+                     for i, f in enumerate(feats)]
+        pmin = min(p.shape[1] for p in projected)
+        stack = jnp.stack([p[:, :pmin] for p in projected], axis=1)
+        b, n, t, d = stack.shape
+        return stack.transpose(0, 2, 1, 3).reshape(b, n * t, d)
     cat = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
     return apply_projector(params["projector"], cat, precision)
 

@@ -83,6 +83,10 @@ class TowerSpec:
 
     @property
     def num_patches(self) -> int:
+        if self.join == "mof":
+            # token-interleaved; towers truncated to the common token count
+            return len(self.entries) * min(e.num_patches
+                                           for e in self.entries)
         n = {e.num_patches for e in self.entries}
         if len(n) != 1:
             raise ValueError(

@@ -161,3 +161,35 @@ def test_generate_matches_uncached_greedy():
                                            FP32_PRECISION))[0]
             e = np.concatenate([e, ne])
         np.testing.assert_array_equal(got[b][:len(toks)], toks)
+
+
+def test_mof_multi_tower():
+    """',' join: per-tower projectors + token interleave."""
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        parse_tower_spec)
+    spec = parse_tower_spec("debug/tiny-vit,debug/tiny-vit")
+    assert spec.join == "mof"
+    cfg = M.LlavaConfig(
+        tower_spec=spec,
+        decoder=L.tiny(vocab_size=64, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    assert isinstance(params["projector"], list) and \
+        len(params["projector"]) == 2
+    px = jnp.asarray(np.random.RandomState(0)
+                     .randn(2, 28, 28, 3).astype(np.float32))
+    out = M.encode_images(params, cfg, [px, px], FP32_PRECISION)
+    # 16 patches per tiny tower, interleaved -> 32 tokens
+    assert out.shape == (2, 32, 32)
+    assert cfg.num_patches == 32
+    # loss runs end-to-end with the interleaved tokens
+    rng = np.random.RandomState(1)
+    ids = rng.randint(1, 60, size=(2, 6)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    labels = ids.copy()
+    labels[:, :2] = IGNORE_INDEX
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+             "text_mask": jnp.ones((2, 6), bool),
+             "pixel_values": [px, px]}
+    assert np.isfinite(float(M.loss_fn(params, cfg, batch,
+                                       FP32_PRECISION)))
