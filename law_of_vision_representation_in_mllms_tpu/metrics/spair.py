@@ -174,3 +174,80 @@ def weighted_aggregate(per_cat: Sequence[Dict]) -> Dict:
         v = np.stack([np.asarray(c[level]) for c in per_cat])
         out[level] = (v * w[:, None]).sum(0) / max(w.sum(), 1)
     return out
+
+
+def load_ap10k_data(path: str, category: str, split: str = "test",
+                    size: int = 840, subsample: Optional[int] = 20,
+                    seed: int = 42) -> SPairPairs:
+    """AP-10k pair loader (`utils_dataset.py:151-207`): per-pair json with
+    src/trg annotation paths; keypoint visibility halved (2 -> 1); PCK
+    threshold = max(bbox w, h) * scale (bbox is l,t,w,h)."""
+    np.random.seed(seed)
+    pairs = sorted(glob(f"{path}/PairAnnotation/{split}/*:{category}.json"))
+    if subsample:
+        pairs = [pairs[i] for i in np.random.choice(len(pairs), subsample)]
+    files, kps, thresholds = [], [], []
+    for pair in pairs:
+        with open(pair) as f:
+            data = json.load(f)
+        for side in ("src", "trg"):
+            anno_path = data[f"{side}_json_path"]
+            with open(anno_path) as f:
+                anno = json.load(f)
+            arr = np.asarray(anno["keypoints"], np.float64).reshape(-1, 3)
+            arr[:, 2] /= 2.0
+            arr, scale = preprocess_kps_pad(arr, anno["width"],
+                                            anno["height"], size)
+            kps.append(arr)
+            files.append(anno_path.replace("json", "jpg")
+                         .replace("ImageAnnotation", "JPEGImages"))
+            if side == "trg":
+                bbox = np.asarray(anno["bbox"])      # l, t, w, h
+                thresholds.append(max(bbox[3], bbox[2]) * scale)
+    kps = np.stack(kps)
+    used = np.where(kps[:, :, 2].any(axis=0))[0]
+    return SPairPairs(files=files, kps=kps[:, used],
+                      thresholds=np.asarray(thresholds, np.float32),
+                      used_kps=used)
+
+
+def load_pascal_data(path: str, category: str, split: str = "test",
+                     size: int = 256) -> SPairPairs:
+    """PF-Pascal pair loader (`utils_dataset.py:304-371`): CSV pair list
+    with ';'-separated keypoint coords, up to 20 kps, no bbox thresholds
+    (PCK threshold = image size, alphas (0.10, 0.05, 0.15))."""
+    import csv as _csv
+
+    classes = ["aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+               "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+               "motorbike", "person", "pottedplant", "sheep", "sofa",
+               "train", "tvmonitor"]
+    cat_id = classes.index(category) + 1
+    files, kps = [], []
+    with open(f"{path}/{split}_pairs_pf_pascal.csv") as f:
+        rows = list(_csv.reader(f))
+    header, rows = rows[0], rows[1:]
+    for row in rows:
+        if int(row[2]) != cat_id:
+            continue
+        src_fn = f"{path}/../{row[0]}"
+        trg_fn = f"{path}/../{row[1]}"
+        from PIL import Image
+        for fn, (xs, ys) in ((src_fn, (row[3], row[4])),
+                             (trg_fn, (row[5], row[6]))):
+            x = np.fromstring(xs, sep=";")
+            y = np.fromstring(ys, sep=";")
+            arr = np.zeros((20, 3))
+            arr[:len(x), 0] = x
+            arr[:len(x), 1] = y
+            arr[:len(x), 2] = 1
+            w, h = Image.open(fn).size
+            arr, _ = preprocess_kps_pad(arr, w, h, size)
+            kps.append(arr)
+            files.append(fn)
+    kps = np.stack(kps)
+    used = np.where(kps[:, :, 2].any(axis=0))[0]
+    n_pairs = len(files) // 2
+    return SPairPairs(files=files, kps=kps[:, used],
+                      thresholds=np.full(n_pairs, float(size), np.float32),
+                      used_kps=used)

@@ -102,3 +102,47 @@ def test_weighted_aggregate():
                                (0.5 * 10 + 1.0 * 30) / 40)
     np.testing.assert_allclose(agg["per_img"][0],
                                (0.6 * 2 + 1.0 * 6) / 8)
+
+
+def test_ap10k_loader(tmp_path):
+    import json as _json
+    root = str(tmp_path / "ap-10k")
+    os.makedirs(f"{root}/PairAnnotation/test", exist_ok=True)
+    os.makedirs(f"{root}/ImageAnnotation/cat", exist_ok=True)
+    rng = np.random.RandomState(0)
+    for idx in range(4):
+        anno = {"width": 100, "height": 80, "bbox": [5, 5, 60, 40],
+                "keypoints": [float(v) for kp in range(5)
+                              for v in (rng.randint(0, 100),
+                                        rng.randint(0, 80), 2)]}
+        with open(f"{root}/ImageAnnotation/cat/img{idx}.json", "w") as f:
+            _json.dump(anno, f)
+    for p in range(2):
+        pair = {"src_json_path": f"{root}/ImageAnnotation/cat/img{2*p}.json",
+                "trg_json_path":
+                    f"{root}/ImageAnnotation/cat/img{2*p+1}.json"}
+        with open(f"{root}/PairAnnotation/test/{p:06d}:cat.json", "w") as f:
+            _json.dump(pair, f)
+    pairs = S.load_ap10k_data(root, "cat", size=64, subsample=None)
+    assert pairs.kps.shape[0] == 4
+    # visibility flag halved: 2 -> 1
+    assert pairs.kps[..., 2].max() == 1.0
+    assert (pairs.thresholds > 0).all()
+
+
+def test_pascal_loader(tmp_path):
+    from PIL import Image
+    root = tmp_path / "PF-dataset-PASCAL"
+    os.makedirs(root)
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    for n in ("a.jpg", "b.jpg"):
+        Image.new("RGB", (60, 40)).save(img_dir / n)
+    with open(root / "test_pairs_pf_pascal.csv", "w") as f:
+        f.write("source_image,target_image,class,XA,YA,XB,YB\n")
+        f.write("imgs/a.jpg,imgs/b.jpg,8,10;20;30,5;15;25,12;22;32,"
+                "6;16;26\n")
+    pairs = S.load_pascal_data(str(root), "cat", size=64)
+    assert len(pairs.files) == 2
+    assert pairs.kps.shape[1] == 3          # 3 used keypoints
+    np.testing.assert_allclose(pairs.thresholds, [64.0])
