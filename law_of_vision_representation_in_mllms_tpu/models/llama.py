@@ -156,16 +156,24 @@ def _attention(q, k, v, mask, accum_dtype=jnp.float32):
 
 
 def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
-           prec: Precision, use_flash: bool = False):
-    """One decoder block. cache_kv: optional (k,v) [B,Tmax,KV,Dh] buffers."""
+           prec: Precision, use_flash: bool = False, lora=None,
+           lora_scaling: float = 1.0):
+    """One decoder block. cache_kv: optional (k,v) [B,Tmax,KV,Dh] buffers;
+    lora: optional per-layer low-rank factor dict (models/lora.py)."""
+    from .lora import lora_matmul
     b, s, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cd = prec.compute_dtype
+    lora = lora or {}
+
+    def mm(x_, name):
+        return lora_matmul(x_, lp[name].astype(cd), lora, name,
+                           lora_scaling)
 
     x = rms_norm(h, lp["rms1"], cfg.rms_eps)
-    q = (x @ lp["wq"].astype(cd)).reshape(b, s, nh, hd)
-    k = (x @ lp["wk"].astype(cd)).reshape(b, s, nkv, hd)
-    v = (x @ lp["wv"].astype(cd)).reshape(b, s, nkv, hd)
+    q = mm(x, "wq").reshape(b, s, nh, hd)
+    k = mm(x, "wk").reshape(b, s, nkv, hd)
+    v = mm(x, "wv").reshape(b, s, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -190,12 +198,10 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
             kf = jnp.repeat(kf, rep, axis=2)
             vf = jnp.repeat(vf, rep, axis=2)
         attn = flash_mha(q, kf, vf, causal=True)
-        attn = attn.reshape(b, s, nh * hd) @ lp["wo"].astype(cd)
-        h = h + attn
+        h = h + mm(attn.reshape(b, s, nh * hd), "wo")
         x = rms_norm(h, lp["rms2"], cfg.rms_eps)
-        gated = jax.nn.silu(x @ lp["gate"].astype(cd)) * (
-            x @ lp["up"].astype(cd))
-        h = h + gated @ lp["down"].astype(cd)
+        gated = jax.nn.silu(mm(x, "gate")) * mm(x, "up")
+        h = h + mm(gated, "down")
         return h, new_cache
 
     if nkv != nh:
@@ -204,19 +210,19 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
         v_all = jnp.repeat(v_all, rep, axis=2)
 
     attn = _attention(q, k_all, v_all, mask, prec.accum_dtype)
-    attn = attn.reshape(b, s, nh * hd) @ lp["wo"].astype(cd)
-    h = h + attn
+    h = h + mm(attn.reshape(b, s, nh * hd), "wo")
 
     x = rms_norm(h, lp["rms2"], cfg.rms_eps)
-    gated = jax.nn.silu(x @ lp["gate"].astype(cd)) * (x @ lp["up"].astype(cd))
-    h = h + gated @ lp["down"].astype(cd)
+    gated = jax.nn.silu(mm(x, "gate")) * mm(x, "up")
+    h = h + mm(gated, "down")
     return h, new_cache
 
 
 def forward(params, cfg: LlamaConfig, embeds, positions, *,
             attn_mask=None, cache=None, cache_index=None,
             precision: Precision = DEFAULT_PRECISION,
-            use_flash: bool = False):
+            use_flash: bool = False, lora=None,
+            lora_scaling: float = 1.0):
     """Run the trunk.
 
     Args:
@@ -260,21 +266,24 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
     def body(carry, xs):
         h = carry
         if cache is None:
-            lp = xs
+            lp, ll = xs
             h, _ = _layer(cfg, h, lp, cos, sin, mask, None, None, precision,
-                          use_flash=flash_ok)
+                          use_flash=flash_ok, lora=ll,
+                          lora_scaling=lora_scaling)
             return h, ()
-        lp, ck, cv = xs
+        lp, ll, ck, cv = xs
         h, (nk, nv) = _layer(cfg, h, lp, cos, sin, mask, (ck, cv),
-                             cache_index, precision, use_flash=flash_ok)
+                             cache_index, precision, use_flash=flash_ok,
+                             lora=ll, lora_scaling=lora_scaling)
         return h, (nk, nv)
 
+    lora_xs = lora if lora is not None else {}
     if cache is None:
-        h, _ = lax.scan(body, h, params["layers"])
+        h, _ = lax.scan(body, h, (params["layers"], lora_xs))
         new_cache = None
     else:
-        h, (nk, nv) = lax.scan(body, h,
-                               (params["layers"], cache["k"], cache["v"]))
+        h, (nk, nv) = lax.scan(body, h, (params["layers"], lora_xs,
+                                         cache["k"], cache["v"]))
         new_cache = {"k": nk, "v": nv}
 
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
