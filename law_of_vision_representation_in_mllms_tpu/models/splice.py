@@ -47,7 +47,8 @@ def find_image_positions(input_ids):
     return jnp.where(any_img, first, input_ids.shape[1]), any_img
 
 
-def splice_plan(input_ids, labels, text_mask, num_patches: int) -> Spliced:
+def splice_plan(input_ids, labels, text_mask, num_patches: int,
+                image_valid=None) -> Spliced:
     """Compute the gather/select plan.
 
     Args:
@@ -55,6 +56,8 @@ def splice_plan(input_ids, labels, text_mask, num_patches: int) -> Spliced:
       labels: [B, L] with IGNORE_INDEX for non-target tokens.
       text_mask: [B, L] bool — True for real (non-pad) text tokens.
       num_patches: P, static.
+      image_valid: optional [B, P] bool — validity of each image token
+        (anyres unpad masking, models/anyres.py); default all-valid.
 
     Returns Spliced with arrays of length L_out = L + P - 1.
     """
@@ -77,7 +80,12 @@ def splice_plan(input_ids, labels, text_mask, num_patches: int) -> Spliced:
     # text-only rows would re-gather text in the tail region [L, L+P-1);
     # those slots are pad, not duplicates
     dup_tail = (~has_img) & (j >= l)
-    out_valid = jnp.where(in_img, True, text_valid & ~dup_tail)
+    img_idx = jnp.clip(j - img_pos, 0, p - 1)
+    if image_valid is not None:
+        img_ok = jnp.take_along_axis(image_valid, img_idx, axis=1)
+    else:
+        img_ok = jnp.ones_like(in_img)
+    out_valid = jnp.where(in_img, img_ok, text_valid & ~dup_tail)
     # the -200 slot itself always falls in in_img, never in the text gather
 
     lbl = jnp.take_along_axis(labels, text_idx, axis=1)
@@ -87,7 +95,7 @@ def splice_plan(input_ids, labels, text_mask, num_patches: int) -> Spliced:
     positions = jnp.maximum(positions, 0)
 
     return Spliced(positions_map=text_idx, is_image=in_img,
-                   image_index=jnp.clip(j - img_pos, 0, p - 1),
+                   image_index=img_idx,
                    attn_mask=out_valid, labels=lbl, positions=positions)
 
 
