@@ -98,13 +98,23 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
 
     def step(state, batch):
         l, grads = jax.value_and_grad(loss)(state["params"], batch)
+        gnorm = optax.global_norm(grads)
+        # production guard (absent in the reference): skip the update when
+        # the loss/grads go non-finite instead of poisoning the params
+        finite = jnp.isfinite(l) & jnp.isfinite(gnorm)
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, opt_state = opt.update(grads, state["opt_state"],
                                         state["params"])
         params = optax.apply_updates(state["params"], updates)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), params,
+            state["params"])
         new_state = {"params": params, "opt_state": opt_state,
                      "step": state["step"] + 1}
-        gnorm = optax.global_norm(grads)
         return new_state, {"loss": l, "grad_norm": gnorm,
+                           "skipped_nonfinite": 1.0 - finite.astype(
+                               jnp.float32),
                            "step": state["step"] + 1}
 
     return step

@@ -1,0 +1,84 @@
+"""Robustness features: non-finite-grad skip guard, data cleanup, LMM
+registry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_nonfinite_guard_skips_update():
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IGNORE_INDEX, IMAGE_TOKEN_INDEX)
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        parse_tower_spec)
+    from law_of_vision_representation_in_mllms_tpu.train import (
+        TrainConfig, init_train_state, make_train_step)
+
+    cfg = M.LlavaConfig(tower_spec=parse_tower_spec("debug/tiny-vit"),
+                        decoder=L.tiny(vocab_size=64, hidden_size=32,
+                                       num_layers=2, num_heads=4,
+                                       num_kv_heads=4,
+                                       intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    tcfg = TrainConfig(stage=1, learning_rate=1e-2, total_steps=10)
+    state, opt = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 60, size=(2, 6)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    labels = ids.copy(); labels[:, :2] = IGNORE_INDEX
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+             "text_mask": jnp.ones((2, 6), bool),
+             "pixel_values": [jnp.asarray(
+                 rng.randn(2, 28, 28, 3).astype(np.float32))]}
+    # poison pixels with NaN -> loss goes NaN -> params must NOT change
+    bad = dict(batch)
+    bad["pixel_values"] = [batch["pixel_values"][0].at[0, 0, 0, 0]
+                           .set(jnp.nan)]
+    before = np.asarray(state["params"]["projector"]["layers"][0]["kernel"])
+    state2, m = step(state, bad)
+    assert float(m["skipped_nonfinite"]) == 1.0
+    after = np.asarray(
+        state2["params"]["projector"]["layers"][0]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    # a clean batch still updates
+    state3, m2 = step(state2, batch)
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    after2 = np.asarray(
+        state3["params"]["projector"]["layers"][0]["kernel"])
+    assert np.abs(after2 - after).max() > 0
+
+
+def test_clean_conversations():
+    from law_of_vision_representation_in_mllms_tpu.data.clean import (
+        clean_conversations)
+    recs = [
+        {"conversations": [{"from": "human", "value": "a"},
+                           {"from": "gpt", "value": "b"}]},
+        {"conversations": [{"from": "human", "value": ""},
+                           {"from": "gpt", "value": "x"}]},
+        {"conversations": [{"from": "gpt", "value": "y"},
+                           {"from": "human", "value": "z"}]},
+        {"conversations": [{"from": "human", "value": "solo"}]},
+    ]
+    clean, report = clean_conversations(recs)
+    assert report["kept"] == 1 and len(clean) == 1
+    assert report["dropped"]["empty"] == 1
+    assert report["dropped"]["role_order"] == 1
+    assert report["dropped"]["odd_turns"] == 1
+
+
+def test_lmm_registry():
+    from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
+        LMM_REGISTRY, build_lmm_by_name)
+    assert "llava" in LMM_REGISTRY and "hf-vision2seq" in LMM_REGISTRY
+    try:
+        build_lmm_by_name("nope")
+        assert False
+    except KeyError as e:
+        assert "llava" in str(e)
