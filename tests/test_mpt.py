@@ -1,0 +1,36 @@
+"""MPT decoder golden test vs HF MptForCausalLM."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from law_of_vision_representation_in_mllms_tpu.core.precision import (
+    FP32_PRECISION)
+from law_of_vision_representation_in_mllms_tpu.models import mpt as M
+
+
+def test_mpt_forward_golden():
+    from transformers import MptConfig as HFMptConfig, MptForCausalLM
+    hf_cfg = HFMptConfig(d_model=32, n_heads=4, n_layers=2, vocab_size=128,
+                         max_seq_len=64)
+    torch.manual_seed(0)
+    hf = MptForCausalLM(hf_cfg).eval()
+    cfg = M.tiny(vocab_size=128, hidden_size=32, num_layers=2, num_heads=4)
+    params = jax.tree.map(jnp.asarray, M.port_mpt(hf.state_dict(), cfg))
+
+    ids = np.random.RandomState(0).randint(0, 128, size=(2, 10))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(M.forward(params, cfg, jnp.asarray(ids),
+                               precision=FP32_PRECISION))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_alibi_slopes_match_hf():
+    from transformers.models.mpt.modeling_mpt import (
+        build_mpt_alibi_tensor)
+    for h in (4, 6, 8):
+        ref = build_mpt_alibi_tensor(h, 12).numpy()   # [H, 1, S]
+        got = np.asarray(M.alibi_bias(h, 12))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
