@@ -39,10 +39,6 @@ def _ln(sd, prefix):
                    "bias": _t(sd, prefix + ".bias")}}
 
 
-def _split_heads_noop(x):
-    return x
-
-
 def port_clip_vision(state_dict, cfg: ViTConfig) -> Dict:
     """openai/laion CLIPVisionModel -> ViTEncoder params.
 

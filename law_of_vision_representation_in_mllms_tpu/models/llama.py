@@ -222,7 +222,7 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
             attn_mask=None, cache=None, cache_index=None,
             precision: Precision = DEFAULT_PRECISION,
             use_flash: bool = False, lora=None,
-            lora_scaling: float = 1.0):
+            lora_scaling: float = 1.0, remat: bool = False):
     """Run the trunk.
 
     Args:
@@ -278,6 +278,10 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
         return h, (nk, nv)
 
     lora_xs = lora if lora is not None else {}
+    if remat:
+        # gradient checkpointing per block (reference:
+        # --gradient_checkpointing True, pretrain.sh:30)
+        body = jax.checkpoint(body)
     if cache is None:
         h, _ = lax.scan(body, h, (params["layers"], lora_xs))
         new_cache = None

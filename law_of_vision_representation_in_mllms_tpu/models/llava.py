@@ -18,7 +18,6 @@ The TPU-native re-design of `llava/model/llava_arch.py` +
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -140,7 +139,7 @@ def dump_image_embeds(params, cfg: LlavaConfig, pixel_values,
 
 def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
             precision: Precision = DEFAULT_PRECISION,
-            diffusion_apply=None):
+            diffusion_apply=None, remat: bool = False):
     """Training loss.
 
     batch: input_ids [B,L] (with -200 image slots), labels [B,L],
@@ -153,7 +152,8 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
     txt = L.embed_tokens(params["decoder"], batch["input_ids"], precision)
     embeds = splice_embeds(plan, txt, img)
     h, _ = L.forward(params["decoder"], cfg.decoder, embeds, plan.positions,
-                     attn_mask=plan.attn_mask, precision=precision)
+                     attn_mask=plan.attn_mask, precision=precision,
+                     remat=remat)
     logits = L.logits_fn(params["decoder"], h, precision)
     return L.causal_lm_loss(logits, plan.labels)
 

@@ -38,15 +38,12 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     b1: float = 0.9
     b2: float = 0.999
+    remat: bool = False              # per-block gradient checkpointing
 
 
 def _freeze_labels(params, stage: int):
     """'train' / 'freeze' label tree. Towers never train (reference freezes
     them in both stages, `train.py:1024-1031`)."""
-
-    def label(path_and_leaf):
-        return path_and_leaf
-
     labels = jax.tree.map(lambda _: "train", params)
     labels["towers"] = jax.tree.map(lambda _: "freeze", params["towers"])
     if stage == 1:
@@ -94,7 +91,7 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
 
     def loss(params, batch):
         return llava.loss_fn(params, model_cfg, batch, precision,
-                             diffusion_apply)
+                             diffusion_apply, remat=train_cfg.remat)
 
     def step(state, batch):
         l, grads = jax.value_and_grad(loss)(state["params"], batch)

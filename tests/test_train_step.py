@@ -104,3 +104,22 @@ def test_sharded_train_step_on_mesh(mesh8):
     # TP sharding actually applied to decoder weights
     wq = state["params"]["decoder"]["layers"]["wq"]
     assert len(wq.sharding.device_set) == 8
+
+
+def test_remat_matches_no_remat():
+    """Gradient checkpointing changes memory, not math."""
+    cfg, params = _tiny(3)
+    batch = _batch(np.random.RandomState(3))
+    for remat in (False, True):
+        tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=10,
+                           remat=remat)
+        state, opt = init_train_state(params, tcfg)
+        step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+        _, m = step(state, batch)
+        if remat:
+            np.testing.assert_allclose(float(m["loss"]), base_loss,
+                                       rtol=1e-6)
+            np.testing.assert_allclose(float(m["grad_norm"]), base_gnorm,
+                                       rtol=1e-5)
+        else:
+            base_loss, base_gnorm = float(m["loss"]), float(m["grad_norm"])
