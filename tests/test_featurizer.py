@@ -185,3 +185,87 @@ def test_ensemble_mean_and_determinism():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # 32px -> 16px latent -> mid 8 -> up0 out 16x16 = 256 tokens, C=16
     assert a.shape == (2, 256, 16)  # ensemble collapsed back to B=2
+
+
+def test_imsd_featurizer_conditioning_golden():
+    """image-variations family: conditioning = CLIP image embeds of the
+    bilinear-resized RAW [-1,1] pixels (`dift_imsd.py:215-221`), end-to-end
+    deterministic vs a torch composition."""
+    from diffusers import UNet2DConditionModel, AutoencoderKL, DDIMScheduler
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        ViTConfig)
+    from law_of_vision_representation_in_mllms_tpu.models.tower_runtime import (
+        make_image_embed_fn)
+    from law_of_vision_representation_in_mllms_tpu.io.hf_port import (
+        port_clip_vision_pooled)
+
+    torch.manual_seed(7)
+    hf_unet = UNet2DConditionModel(
+        sample_size=8, in_channels=4, out_channels=4,
+        block_out_channels=(8, 16), layers_per_block=1,
+        cross_attention_dim=12, attention_head_dim=2,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        norm_num_groups=4).eval()
+    hf_vae = _tiny_vae()
+    hf_clip = CLIPVisionModelWithProjection(CLIPVisionConfig(
+        hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=2, image_size=224, patch_size=32,
+        projection_dim=12)).eval()
+
+    vit_cfg = ViTConfig(image_size=224, patch_size=32, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    clip_params = port_clip_vision_pooled(hf_clip.state_dict(), vit_cfg)
+    embed_fn = make_image_embed_fn(vit_cfg, projection_dim=12,
+                                   precision=FP32_PRECISION)
+
+    rng = np.random.RandomState(7)
+    px = (rng.rand(2, 3, 32, 32).astype(np.float32) - 0.5) * 2
+    t = 261
+    sch = DDIMScheduler(beta_start=0.00085, beta_end=0.012,
+                        beta_schedule="scaled_linear",
+                        num_train_timesteps=1000)
+
+    with torch.no_grad():
+        px224 = torch.nn.functional.interpolate(
+            torch.from_numpy(px), size=(224, 224), mode="bilinear")
+        img_emb = hf_clip(px224).image_embeds[:, None, :]   # [B,1,12]
+        post = hf_vae.encode(torch.from_numpy(px)).latent_dist
+        latents = post.mean * hf_vae.config.scaling_factor
+        noisy = sch.add_noise(latents, torch.zeros_like(latents),
+                              torch.tensor(t))
+        ts = torch.tensor([t] * 2)
+        temb = hf_unet.time_embedding(hf_unet.time_proj(ts).to(noisy.dtype))
+        x = hf_unet.conv_in(noisy)
+        res = (x,)
+        for db in hf_unet.down_blocks:
+            if getattr(db, "has_cross_attention", False):
+                x, r = db(hidden_states=x, temb=temb,
+                          encoder_hidden_states=img_emb)
+            else:
+                x, r = db(hidden_states=x, temb=temb)
+            res += r
+        x = hf_unet.mid_block(x, temb, encoder_hidden_states=img_emb)
+        ub = hf_unet.up_blocks[0]
+        x = ub(hidden_states=x, temb=temb,
+               res_hidden_states_tuple=res[-len(ub.resnets):])
+        ref = _nhwc(x.numpy()).reshape(2, -1, x.shape[1])
+
+    cfg = F.FeaturizerConfig(
+        family="imsd", t=t, up_ft_index=0, img_size=32,
+        unet=UN.UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                           cross_attention_dim=12, num_heads=(2, None),
+                           transformer_depth=(1, 0), norm_groups=4),
+        vae=VA.VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                         latent_channels=4, norm_groups=4,
+                         scaling_factor=hf_vae.config.scaling_factor))
+    params = {
+        "vae": port_vae_encoder(hf_vae.state_dict(), cfg.vae),
+        "backbone": port_unet(hf_unet.state_dict(), cfg.unet, (0,)),
+        "image_encoder": clip_params,
+    }
+    got = F.extract_features(params, cfg, jnp.asarray(_nhwc(px)),
+                             deterministic=True, precision=FP32_PRECISION,
+                             image_embed_fn=embed_fn)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=1e-2)
