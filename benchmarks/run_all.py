@@ -1,0 +1,191 @@
+"""Benchmark suite (BASELINE.json metric families): vision-tower
+images/sec/chip across the ViT zoo, A-score wall-clock (Pallas vs XLA),
+C-score PCK wall-clock, and LLaVA greedy-decode samples/sec.
+
+Run on the real TPU chip: `python benchmarks/run_all.py [--quick]`.
+Writes benchmarks/results.json and prints one JSON record per metric.
+
+Measurement notes for this environment (axon relay): execution is deferred
+until data is fetched, identical dispatches can be cached, so every
+iteration varies its inputs and the loop ends with a scalar fetch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def _timed(fn, warm_args, iter_args, fetch):
+    fetch(fn(*warm_args))
+    t0 = time.perf_counter()
+    out = None
+    for args in iter_args:
+        out = fn(*args)
+    fetch(out)
+    return (time.perf_counter() - t0) / len(iter_args)
+
+
+def bench_towers(results, quick=False):
+    import jax
+    import jax.numpy as jnp
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        Precision)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        VIT_PRESETS, ViTTower)
+
+    prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    names = ["openai/clip-vit-large-patch14-336",
+             "openai/clip-vit-large-patch14",
+             "google/siglip-base-patch16-224",
+             "facebook/dinov2-large"]
+    if quick:
+        names = names[:1]
+    batch = 64
+    iters = 4 if quick else 10
+    rng = np.random.RandomState(0)
+    for name in names:
+        cfg = VIT_PRESETS[name]()
+        tower = ViTTower(cfg, select_layer=-2,
+                         select_feature="cls_patch"
+                         if "siglip" in name else "patch", precision=prec)
+        px = jnp.asarray(rng.randn(batch, cfg.image_size, cfg.image_size, 3)
+                         .astype(np.float32))
+        v = jax.jit(tower.init)(jax.random.PRNGKey(0), px)
+        v = jax.tree.map(lambda x: x.astype(jnp.bfloat16), v)
+        fn = jax.jit(lambda vv, p: tower.apply(vv, p))
+        dt = _timed(lambda p: fn(v, p), (px,),
+                    [(px * (1.0 + 0.003 * i),) for i in range(iters)],
+                    lambda o: float(jnp.sum(o)))
+        results.append({"metric": f"tower_throughput/{name}",
+                        "value": round(batch / dt, 2),
+                        "unit": "images/sec/chip"})
+
+
+def bench_a_score(results, quick=False):
+    import jax.numpy as jnp
+    from law_of_vision_representation_in_mllms_tpu.metrics.a_score import (
+        a_score_pairwise)
+    from law_of_vision_representation_in_mllms_tpu.ops.a_score_pallas import (
+        max_cos_pallas)
+
+    n, s, d = (20, 576, 4096) if quick else (100, 576, 4096)
+    rng = np.random.RandomState(1)
+    t_arr = jnp.asarray(rng.randn(n, s, d).astype(np.float32))
+    a_arr = jnp.asarray(rng.randn(n, s, d).astype(np.float32))
+    for name, fn in (("pallas", lambda x: max_cos_pallas(x, a_arr)),
+                     ("xla", lambda x: a_score_pairwise(x, a_arr))):
+        dt = _timed(fn, (t_arr,),
+                    [(t_arr * (1.0 + 0.01 * i),) for i in range(5)],
+                    lambda o: float(o.sum()))
+        results.append({"metric": f"a_score_100x576x4096/{name}",
+                        "value": round(1000 * dt * (100 / n), 3),
+                        "unit": "ms/protocol-run"})
+
+
+def bench_c_score(results, quick=False):
+    import jax.numpy as jnp
+    from law_of_vision_representation_in_mllms_tpu.metrics.c_score import (
+        compute_pck_batch)
+
+    pairs, p, c, npatch = (10, 576, 768, 24) if quick else (50, 576, 768, 24)
+    rng = np.random.RandomState(2)
+    d1 = jnp.asarray(rng.randn(pairs, p, c).astype(np.float32))
+    d2 = jnp.asarray(rng.randn(pairs, p, c).astype(np.float32))
+    kps = jnp.asarray((rng.rand(pairs, 20, 2) * 800).astype(np.float32))
+    vis = jnp.ones((pairs, 20), bool)
+    thr = jnp.full((pairs,), 500.0)
+
+    def fn(x):
+        res, _ = compute_pck_batch(x, d2, kps, kps, vis, thr,
+                                   num_patches=npatch, anno_size=840)
+        return res.per_img
+    dt = _timed(fn, (d1,), [(d1 * (1.0 + 0.01 * i),) for i in range(5)],
+                lambda o: float(o.sum()))
+    results.append({"metric": f"c_score_pck_{pairs}pairs",
+                    "value": round(1000 * dt, 2), "unit": "ms/batch"})
+
+
+def bench_decode(results, quick=False):
+    import jax
+    import jax.numpy as jnp
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        Precision)
+    from law_of_vision_representation_in_mllms_tpu.models import llama, llava
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IMAGE_TOKEN_INDEX)
+
+    prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                            intermediate_size=5632, num_layers=16,
+                            num_heads=16, num_kv_heads=16)
+    cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
+                                  decoder=dec)
+    params = llava.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    b, l, new = 8, 64, 16
+    rng = np.random.RandomState(3)
+    ids = rng.randint(1, 32000, size=(b, l)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    px = jnp.asarray(rng.randn(b, 336, 336, 3).astype(np.float32))
+
+    @jax.jit
+    def gen(p, i, pxv):
+        return llava.generate_greedy(p, cfg, i, jnp.ones_like(i, bool),
+                                     [pxv], max_new_tokens=new, eos_id=2,
+                                     precision=prec)
+    iters = 3 if quick else 6
+    dt = _timed(lambda pxv: gen(params, jnp.asarray(ids), pxv), (px,),
+                [(px * (1.0 + 0.01 * i),) for i in range(iters)],
+                lambda o: int(o[0, 0]))
+    results.append({"metric": "llava_1p4b_generate_b8_new16",
+                    "value": round(b / dt, 2), "unit": "samples/sec"})
+    results.append({"metric": "llava_1p4b_decode_tok_s",
+                    "value": round(b * new / dt, 1), "unit": "tokens/sec"})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", choices=["towers", "a", "c", "decode"])
+    args = ap.parse_args()
+    results = []
+    todo = {"towers": bench_towers, "a": bench_a_score, "c": bench_c_score,
+            "decode": bench_decode}
+    if args.only:
+        todo = {args.only: todo[args.only]}
+    for name, fn in todo.items():
+        try:
+            fn(results, quick=args.quick)
+        except Exception as e:  # keep the suite running
+            results.append({"metric": f"{name}", "error": str(e)[:200]})
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    # merge with prior runs (families are commonly run one at a time on the
+    # shared TPU tunnel)
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {r["metric"]: r for r in json.load(f)
+                          if "error" not in r}
+        except Exception:
+            merged = {}
+    for r in results:
+        merged[r["metric"]] = r
+    with open(out, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
