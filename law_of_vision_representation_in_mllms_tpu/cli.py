@@ -73,7 +73,15 @@ def main(argv=None):
     p.add_argument("--subsample", type=int)
 
     p = sub.add_parser("c-train", help="supervised correspondence training")
-    _add_common(p)
+    p.add_argument("--spair-dir", required=True)
+    p.add_argument("--feature-dir", required=True)
+    p.add_argument("--feature-dims", nargs="+", type=int, required=True)
+    p.add_argument("--num-patches", type=int, required=True)
+    p.add_argument("--anno-size", type=int, default=840)
+    p.add_argument("--suffix", default="")
+    p.add_argument("--categories", nargs="*")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--out-dir", default="c_train_out")
 
     p = sub.add_parser("policy")
     p.add_argument("action", choices=["fit", "predict", "validate"])
@@ -178,8 +186,16 @@ def _cmd_extract_features(args):
 
 
 def _cmd_c_train(args):
-    raise SystemExit("c-train requires a dataset config; see "
-                     "train/c_score_train.py for the programmatic API")
+    from .train.c_score_runner import run_c_training
+    res = run_c_training(args.spair_dir, args.feature_dir,
+                         feature_dims=args.feature_dims,
+                         num_patches=args.num_patches,
+                         anno_size=args.anno_size, suffix=args.suffix,
+                         categories=args.categories or None,
+                         steps=args.steps, out_dir=args.out_dir)
+    print(json.dumps({"best_pck": res["best_pck"],
+                      "history": res["history"][-3:]}))
+    return 0
 
 
 DISPATCH = {

@@ -26,6 +26,25 @@ def evaluate(model: LMM, tasks: Sequence[Task], *,
         requests = task.build_requests(doc_ids)
         if task.cfg.output_type == "generate_until":
             preds = model.generate_until(requests)
+        elif task.cfg.output_type == "multiple_choice":
+            # one loglikelihood per option; prediction = argmax option
+            # (lm-eval mc protocol; `api/task.py` loglikelihood requests)
+            flat = []
+            counts = []
+            for req in requests:
+                options = req.doc["options"]
+                counts.append(len(options))
+                for opt in options:
+                    flat.append(Instance("loglikelihood", req.doc,
+                                         req.doc_id, req.task_name,
+                                         (req.args[0], " " + str(opt)),
+                                         visual=req.visual))
+            lls = model.loglikelihood(flat)
+            preds, k = [], 0
+            for req, n in zip(requests, counts):
+                scores = [lls[k + i][0] for i in range(n)]
+                k += n
+                preds.append("ABCDEFGH"[int(np.argmax(scores))])
         else:
             preds = [str(p) for p, _ in model.loglikelihood(requests)]
 

@@ -86,3 +86,29 @@ def test_self_contrastive_runs():
     x = jnp.asarray(np.random.RandomState(5).randn(1, 6, 6, 4), jnp.float32)
     val = float(self_contrastive_loss(x, jax.random.PRNGKey(0)))
     assert np.isfinite(val)
+
+
+def test_c_train_runner_end_to_end(tmp_path):
+    """Full supervised loop on a synthetic SPair tree + feature cache."""
+    import os
+    from tests.test_spair import _make_synthetic_spair
+    from law_of_vision_representation_in_mllms_tpu.train.c_score_runner import (
+        run_c_training)
+
+    root = str(tmp_path / "SPair-71k")
+    _make_synthetic_spair(root, n_pairs=3)
+    feat_dir = str(tmp_path / "feats")
+    os.makedirs(feat_dir)
+    rng = np.random.RandomState(0)
+    g, dims = 4, (8, 8)
+    for p in range(3):
+        for idx in (2 * p, 2 * p + 1):
+            np.save(f"{feat_dir}/img{idx}.npy",
+                    rng.randn(g * g, sum(dims)).astype(np.float32))
+    res = run_c_training(root, feat_dir, feature_dims=dims, num_patches=g,
+                         anno_size=64, categories=["cat"],
+                         projection_dim=8, steps=10, batch_size=2,
+                         out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_pck"] <= 1.0
+    assert os.path.exists(tmp_path / "out" / "best.npz")
+    assert len(res["history"]) >= 1

@@ -149,3 +149,31 @@ def test_llava_adapter_generate_and_dump(tmp_path):
     assert n == 2
     emb = np.load(os.path.join(out_dir, "tensor_1.npy"))
     assert emb.shape == (vit_cfg.num_patches, 32)
+
+
+def test_multiple_choice_via_loglikelihood(tmp_path):
+    """output_type multiple_choice: per-option loglikelihood argmax."""
+    import yaml as pyyaml
+    docs = [{"question": "pick", "options": ["aa", "bb"], "answer": "B"}]
+    d = tmp_path / "mc"
+    os.makedirs(d)
+    with open(d / "q.json", "w") as f:
+        json.dump(docs, f)
+    cfg = {"task": "mc_ll", "dataset_path": str(d / "q.json"),
+           "dataset_backend": "json", "output_type": "multiple_choice",
+           "doc_to_text": "mmbench_en.doc_to_text",
+           "process_results": "mmbench_en.process_results",
+           "aggregation": "mean"}
+
+    class LLModel(LMM):
+        def generate_until(self, requests):
+            raise AssertionError("should not be called")
+
+        def loglikelihood(self, requests):
+            # option 'bb' more likely
+            return [(-5.0, False) if "aa" in r.args[1] else (-1.0, True)
+                    for r in requests]
+
+    res = simple_evaluate(LLModel(), [cfg], log_samples=True)
+    assert res["mc_ll"]["value"] == 1.0
+    assert res["mc_ll"]["samples"][0]["prediction"] == "B"
