@@ -188,16 +188,16 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
         new_cache = None
 
     if use_flash:
-        # Pallas flash over the LOCAL k/v (valid only for prefill at
-        # cache_index 0 / no-cache inference with right padding — the
-        # caller guarantees it). No custom VJP yet: inference-only.
-        from ..ops.flash_attention import flash_mha
+        # Pallas flash over the LOCAL k/v (valid for prefill at
+        # cache_index 0 / no-cache passes with right padding — the caller
+        # guarantees it). Differentiable: custom-VJP backward kernels.
+        from ..ops.flash_attention import flash_mha_trainable
         kf, vf = k, v
         if nkv != nh:
             rep = nh // nkv
             kf = jnp.repeat(kf, rep, axis=2)
             vf = jnp.repeat(vf, rep, axis=2)
-        attn = flash_mha(q, kf, vf, causal=True)
+        attn = flash_mha_trainable(q, kf, vf, causal=True)
         h = h + mm(attn.reshape(b, s, nh * hd), "wo")
         x = rms_norm(h, lp["rms2"], cfg.rms_eps)
         gated = jax.nn.silu(mm(x, "gate")) * mm(x, "up")
@@ -257,8 +257,8 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
     if attn_mask is not None:
         mask = mask & attn_mask[:, None, None, :]
 
-    # Pallas flash attention is safe only for right-padded prefill-style
-    # passes over local k/v (inference-only: no custom VJP yet)
+    # Pallas flash attention applies to right-padded prefill-style passes
+    # over local k/v (training + inference; custom-VJP backward)
     flash_ok = use_flash and s > 1 and (cache is None or
                                         (isinstance(cache_index, int)
                                          and cache_index == 0))

@@ -139,7 +139,8 @@ def dump_image_embeds(params, cfg: LlavaConfig, pixel_values,
 
 def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
             precision: Precision = DEFAULT_PRECISION,
-            diffusion_apply=None, remat: bool = False):
+            diffusion_apply=None, remat: bool = False,
+            use_flash: bool = False):
     """Training loss.
 
     batch: input_ids [B,L] (with -200 image slots), labels [B,L],
@@ -153,7 +154,7 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
     embeds = splice_embeds(plan, txt, img)
     h, _ = L.forward(params["decoder"], cfg.decoder, embeds, plan.positions,
                      attn_mask=plan.attn_mask, precision=precision,
-                     remat=remat)
+                     remat=remat, use_flash=use_flash)
     logits = L.logits_fn(params["decoder"], h, precision)
     return L.causal_lm_loss(logits, plan.labels)
 

@@ -167,3 +167,320 @@ def flash_mha(q, k, v, *, causal: bool = False, scale: float | None = None,
                                interpret=interpret)
     out = out[:, :sq].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable flash attention (custom VJP).
+#
+# Forward additionally stores the log-sum-exp per query row; backward runs
+# two Pallas kernels (dq over q-blocks, dk/dv over k-blocks) with the
+# standard recomputation: p = exp(qk*scale - lse), ds = p*(dout v^T - delta),
+# delta = rowsum(dout * out). Replaces the reference flash-attn CUDA
+# backward; makes the flash path usable in training.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_lse_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr,
+                    acc_scr, *, scale, causal, kv_len, block_q, block_k):
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    qb = pl.program_id(1)
+    k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = k_idx < kv_len
+    if causal:
+        q_idx = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape,
+                                                        0)
+        mask = mask & (k_idx <= q_idx)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+
+    @pl.when(kb == nk - 1)
+    def _finish():
+        l = l_scr[:]
+        out_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)
+                      ).astype(out_ref.dtype)
+        lse = jnp.where(l > 0, m_scr[:] + jnp.log(jnp.maximum(l, 1e-30)),
+                        0.0)
+        lse_ref[0] = jnp.broadcast_to(lse, (block_q, lse_ref.shape[-1]))
+
+
+def _recompute_p(q, k, scale, lse, qb, kb, block_q, block_k, causal,
+                 kv_len):
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = k_idx < kv_len
+    if causal:
+        q_idx = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape,
+                                                        0)
+        mask = mask & (k_idx <= q_idx)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    return p
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, scale, causal, kv_len, block_q, block_k):
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+    p = _recompute_p(q, k, scale, lse, pl.program_id(1), kb, block_q,
+                     block_k, causal, kv_len)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_scr[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ) * scale
+
+    @pl.when(kb == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal,
+                    kv_len, block_q, block_k):
+    qb = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+    p = _recompute_p(q, k, scale, lse, qb, pl.program_id(1), block_q,
+                     block_k, causal, kv_len)
+    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ) * scale
+
+    @pl.when(qb == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_fwd_lse(q, k, v, *, scale, causal, kv_len, block_q, block_k,
+                   interpret):
+    bh, sq, d = q.shape
+    _, skv, _ = k.shape
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(skv, block_k)
+    kernel = functools.partial(_fwd_lse_kernel, scale=scale, causal=causal,
+                               kv_len=kv_len, block_q=block_q,
+                               block_k=block_k)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq, 8), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+def flash_attention_trainable(q, k, v, *, causal: bool = False,
+                              scale: float | None = None,
+                              kv_len: int | None = None,
+                              block_q: int = 256, block_k: int = 512,
+                              interpret: bool | None = None):
+    """Differentiable flash attention on [BH, S, D] (padded to blocks)."""
+    bh, sq, d = q.shape
+    _, skv, _ = k.shape
+    if scale is None:
+        scale = d ** -0.5
+    if kv_len is None:
+        kv_len = skv
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    @jax.custom_vjp
+    def _attn(q, k, v):
+        out, _ = _flash_fwd_lse(q, k, v, scale=scale, causal=causal,
+                                kv_len=kv_len, block_q=block_q,
+                                block_k=block_k, interpret=interpret)
+        return out
+
+    def _fwd(q, k, v):
+        out, lse = _flash_fwd_lse(q, k, v, scale=scale, causal=causal,
+                                  kv_len=kv_len, block_q=block_q,
+                                  block_k=block_k, interpret=interpret)
+        return out, (q, k, v, out, lse)
+
+    def _bwd(res, do):
+        q, k, v, out, lse = res
+        delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1, keepdims=True)                  # [BH,S,1]
+        delta8 = jnp.broadcast_to(delta, (*delta.shape[:2], 8))
+        nq = pl.cdiv(sq, block_q)
+        nk = pl.cdiv(skv, block_k)
+        common_in = [
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),                 # q
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),                 # k
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),                 # v
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),                 # do
+            pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),                 # lse
+            pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),                 # delta
+        ]
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                              kv_len=kv_len, block_q=block_q,
+                              block_k=block_k),
+            grid=(bh, nq, nk),
+            in_specs=common_in,
+            out_specs=pl.BlockSpec((1, block_q, d),
+                                   lambda b, i, j: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(q, k, v, do, lse, delta8)
+
+        # dk/dv: swap inner grid to loop q blocks per k block
+        dkv_in = [
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),                 # q
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),                 # k
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),                 # v
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),                 # do
+            pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),                 # lse
+            pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),                 # delta
+        ]
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                              kv_len=kv_len, block_q=block_q,
+                              block_k=block_k),
+            grid=(bh, nk, nq),
+            in_specs=dkv_in,
+            out_specs=(
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, skv, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, skv, d), v.dtype),
+            ),
+            scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                            pltpu.VMEM((block_k, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(q, k, v, do, lse, delta8)
+        return dq, dk, dv
+
+    _attn.defvjp(_fwd, _bwd)
+    return _attn(q, k, v)
+
+
+def flash_mha_trainable(q, k, v, *, causal: bool = False,
+                        scale: float | None = None, block_q: int = 256,
+                        block_k: int = 512,
+                        interpret: bool | None = None):
+    """Differentiable drop-in for mha: q [B, Sq, H, D], k/v [B, Skv, H, D]."""
+    b, sq, h, d = q.shape
+    _, skv, _, _ = k.shape
+
+    def pick(pref, s):
+        s_p = _round_up(s, 128)
+        if s_p <= 1024:
+            return s_p, s_p
+        for cand in (pref, 512, 256, 128):
+            if cand <= s_p and s_p % cand == 0:
+                return cand, s_p
+        return s_p, s_p
+
+    bq, sq_p = pick(block_q, sq)
+    bk, skv_p = pick(block_k, skv)
+
+    def fold(x, s, s_p):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if s_p != s:
+            x = jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
+        return x
+
+    out = flash_attention_trainable(
+        fold(q, sq, sq_p), fold(k, skv, skv_p), fold(v, skv, skv_p),
+        causal=causal, scale=scale, kv_len=skv, block_q=bq, block_k=bk,
+        interpret=interpret)
+    out = out[:, :sq].reshape(b, h, sq, d)
+    return jnp.transpose(out, (0, 2, 1, 3))

@@ -39,6 +39,7 @@ class TrainConfig:
     b1: float = 0.9
     b2: float = 0.999
     remat: bool = False              # per-block gradient checkpointing
+    use_flash: bool = False          # Pallas flash attention in training
 
 
 def _freeze_labels(params, stage: int):
@@ -91,7 +92,8 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
 
     def loss(params, batch):
         return llava.loss_fn(params, model_cfg, batch, precision,
-                             diffusion_apply, remat=train_cfg.remat)
+                             diffusion_apply, remat=train_cfg.remat,
+                             use_flash=train_cfg.use_flash)
 
     def step(state, batch):
         l, grads = jax.value_and_grad(loss)(state["params"], batch)

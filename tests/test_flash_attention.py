@@ -67,3 +67,77 @@ def test_decoder_prefill_flash_matches_xla():
     np.testing.assert_allclose(np.asarray(h_flash)[mask],
                                np.asarray(h_ref)[mask], atol=2e-4,
                                rtol=1e-3)
+
+
+def test_trainable_flash_grads_match_xla():
+    """Custom-VJP flash gradients == autodiff through the XLA mha."""
+    import jax
+    from law_of_vision_representation_in_mllms_tpu.ops.flash_attention import (
+        flash_mha_trainable)
+
+    b, s, h, d = 1, 100, 2, 16
+    q, k, v = (_rand((b, s, h, d), 40 + i) for i in range(3))
+    tgt = _rand((b, s, h, d), 50)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((mha(q, k, v, mask=causal_mask(s, s)[None, None])
+                        - tgt) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum((flash_mha_trainable(q, k, v, causal=True,
+                                            interpret=True) - tgt) ** 2)
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got_grads = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g_ref, g_got in zip(ref_grads, got_grads):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_trainable_flash_forward_matches():
+    from law_of_vision_representation_in_mllms_tpu.ops.flash_attention import (
+        flash_mha_trainable)
+    b, s, h, d = 2, 70, 2, 8
+    q, k, v = (_rand((b, s, h, d), 60 + i) for i in range(3))
+    ref = np.asarray(mha(q, k, v))
+    got = np.asarray(flash_mha_trainable(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_training_step_with_flash():
+    """Full LLaVA train step with flash attention (interpret on CPU):
+    loss/grads finite and close to the XLA-attention step."""
+    import jax
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IGNORE_INDEX, IMAGE_TOKEN_INDEX)
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        parse_tower_spec)
+
+    cfg = M.LlavaConfig(tower_spec=parse_tower_spec("debug/tiny-vit"),
+                        decoder=L.tiny(vocab_size=64, hidden_size=32,
+                                       num_layers=2, num_heads=4,
+                                       num_kv_heads=2,
+                                       intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 60, size=(2, 6)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    labels = ids.copy(); labels[:, :2] = IGNORE_INDEX
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+             "text_mask": jnp.ones((2, 6), bool),
+             "pixel_values": [jnp.asarray(
+                 rng.randn(2, 28, 28, 3).astype(np.float32))]}
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda p: M.loss_fn(p, cfg, batch, FP32_PRECISION))(params)
+    l_fl, g_fl = jax.value_and_grad(
+        lambda p: M.loss_fn(p, cfg, batch, FP32_PRECISION,
+                            use_flash=True))(params)
+    np.testing.assert_allclose(float(l_fl), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fl)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-3)
