@@ -41,7 +41,10 @@ class ACTable:
         (`policy/fit.py:33-45` normalizes before sub-setting)."""
         def mm(x):
             lo, hi = x.min(), x.max()
-            return (x - lo) / (hi - lo)
+            rng = hi - lo
+            if rng <= 0:                 # degenerate column: all equal
+                return np.zeros_like(x)
+            return (x - lo) / rng
         return (mm(self.a[benchmark]), mm(self.c), mm(self.perf[benchmark]))
 
     def rows(self, models: Sequence[str]) -> np.ndarray:
