@@ -170,7 +170,13 @@ METRICS = {
     "anls": anls,
 }
 
+def _pope_aggregate(records):
+    from .tasks.paper_tasks import pope_aggregate
+    return pope_aggregate(records)
+
+
 AGGREGATIONS = {
     "mean": aggregate_mean,
     "mme": mme_aggregate,
+    "pope_f1": _pope_aggregate,
 }

@@ -10,4 +10,4 @@ def task_yaml(name: str) -> str:
 
 
 PAPER_TASKS = ["mme", "mmbench_en", "mmmu_val", "ok_vqa", "textvqa_val",
-               "vizwiz_vqa_val", "scienceqa_img", "seed_image"]
+               "vizwiz_vqa_val", "scienceqa_img", "seed_image", "pope"]

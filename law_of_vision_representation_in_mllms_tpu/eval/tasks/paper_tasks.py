@@ -30,7 +30,7 @@ LETTERS = "ABCDEFGH"
 
 
 def _image_loader(doc: Dict, image_root: str) -> List:
-    if "image" not in doc:
+    if not doc.get("image"):
         return []
     from PIL import Image
     return [Image.open(os.path.join(image_root, doc["image"]))]
@@ -111,3 +111,34 @@ def vizwiz_doc_to_text(doc):
 def vqa_process_results(doc, prediction, task):
     answers = doc["answers"]
     return {"score": vqa_accuracy(prediction, answers)}
+
+
+# ---- POPE (object-hallucination probing; `llava/eval/model_pope_dist.py`,
+# `eval_pope.py` + lmms_eval/tasks/pope) ----------------------------------
+
+@register_function("pope.doc_to_text")
+def pope_doc_to_text(doc):
+    return f"{doc['question'].strip()}\n{WORD_SUFFIX}"
+
+
+@register_function("pope.process_results")
+def pope_process_results(doc, prediction, task):
+    pred = prediction.strip().lower().rstrip(".")
+    pred = "yes" if pred.startswith("yes") else (
+        "no" if pred.startswith("no") else pred)
+    ans = doc["answer"].strip().lower()
+    return {"score": float(pred == ans), "pred_yes": pred == "yes",
+            "gt_yes": ans == "yes"}
+
+
+@register_function("pope.aggregate")
+def pope_aggregate(records):
+    """accuracy/precision/recall/F1/yes-ratio (`eval_pope.py` semantics);
+    the scalar value reported is the F1 score."""
+    tp = sum(r["pred_yes"] and r["gt_yes"] for r in records)
+    fp = sum(r["pred_yes"] and not r["gt_yes"] for r in records)
+    fn = sum(not r["pred_yes"] and r["gt_yes"] for r in records)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    return f1

@@ -177,3 +177,16 @@ def test_multiple_choice_via_loglikelihood(tmp_path):
     res = simple_evaluate(LLModel(), [cfg], log_samples=True)
     assert res["mc_ll"]["value"] == 1.0
     assert res["mc_ll"]["samples"][0]["prediction"] == "B"
+
+
+def test_pope_task(tmp_path):
+    docs = [
+        {"question": "Is there a dog?", "answer": "yes"},
+        {"question": "Is there a cat?", "answer": "no"},
+        {"question": "Is there a car?", "answer": "yes"},
+    ]
+    cfg = _write_task(tmp_path, "pope", docs)
+    model = EchoLMM({0: "Yes", 1: "Yes", 2: "No"})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    # tp=1 fp=1 fn=1 -> precision 0.5 recall 0.5 f1 0.5
+    assert abs(res["pope"]["value"] - 0.5) < 1e-9
