@@ -92,3 +92,39 @@ def load_projector_from_torch(path: str) -> Dict:
     depth = len({k for k in sd if k.endswith(".weight")})
     return port_projector(sd, f"mlp{depth}x_gelu" if depth > 1 else "linear",
                           prefix=prefix)
+
+
+def load_pretrained(model_dir: str, base_params: Dict[str, Any], *,
+                    lora_cfg=None) -> Dict[str, Any]:
+    """Resolve a checkpoint directory the way `llava/model/builder.py
+    load_pretrained_model:27-161` does: full train state, LoRA adapters
+    (merged into the decoder), or a projector-only artifact — whichever is
+    present — applied over `base_params`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = base_params
+    latest = latest_checkpoint(model_dir)
+    if latest is not None:
+        state = restore_train_state(latest, {"params": base_params})
+        return state["params"]
+    lora_path = os.path.join(model_dir, "lora.npz")
+    if os.path.exists(lora_path):
+        from ..io.param_io import load_params
+        from ..models.lora import LoraConfig, merge_lora
+        lora = jax.tree.map(jnp.asarray, load_params(lora_path))
+        params = dict(params)
+        params["decoder"] = merge_lora(params["decoder"], lora,
+                                       lora_cfg or LoraConfig())
+    proj_path = os.path.join(model_dir, "mm_projector.npz")
+    if os.path.exists(proj_path):
+        params = dict(params)
+        params["projector"] = jax.tree.map(jnp.asarray,
+                                           load_projector(proj_path))
+    torch_proj = os.path.join(model_dir, "mm_projector.bin")
+    if os.path.exists(torch_proj):
+        params = dict(params)
+        params["projector"] = jax.tree.map(
+            jnp.asarray, load_projector_from_torch(torch_proj))
+    return params

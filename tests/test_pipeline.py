@@ -113,3 +113,42 @@ def test_checkpoint_roundtrip(tmp_path):
     got = restore_train_state(latest, jax.tree.map(np.zeros_like, state))
     np.testing.assert_allclose(np.asarray(got["params"]["w"]),
                                np.arange(4.0) * 2)
+
+
+def test_load_pretrained_resolution(tmp_path):
+    """load_pretrained resolves projector-only and LoRA artifacts."""
+    import jax
+    import jax.numpy as jnp
+    from law_of_vision_representation_in_mllms_tpu.io.checkpoint import (
+        load_pretrained)
+    from law_of_vision_representation_in_mllms_tpu.io.param_io import (
+        save_params)
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models.lora import (
+        LoraConfig, init_lora)
+
+    dec_cfg = L.tiny(vocab_size=32, hidden_size=16, num_layers=2,
+                     num_heads=2, num_kv_heads=2, intermediate_size=32)
+    base = {"decoder": L.init_params(jax.random.PRNGKey(0), dec_cfg),
+            "projector": init_projector(jax.random.PRNGKey(1),
+                                        "mlp2x_gelu", 8, 16),
+            "towers": []}
+
+    d = str(tmp_path / "ckpt")
+    # projector-only artifact
+    proj2 = init_projector(jax.random.PRNGKey(2), "mlp2x_gelu", 8, 16)
+    save_projector(d, proj2)
+    out = load_pretrained(d, base)
+    np.testing.assert_allclose(
+        np.asarray(out["projector"]["layers"][0]["kernel"]),
+        np.asarray(proj2["layers"][0]["kernel"]))
+
+    # LoRA artifact merges into the decoder
+    lcfg = LoraConfig(rank=2, alpha=4.0)
+    lora = init_lora(jax.random.PRNGKey(3), dec_cfg, lcfg)
+    lora = jax.tree.map(
+        lambda x: x + 0.1 if x.ndim == 3 else x, lora)  # nonzero B
+    save_params(os.path.join(d, "lora.npz"), lora)
+    out2 = load_pretrained(d, base, lora_cfg=lcfg)
+    assert np.abs(np.asarray(out2["decoder"]["layers"]["wq"])
+                  - np.asarray(base["decoder"]["layers"]["wq"])).max() > 0
