@@ -114,7 +114,11 @@ class UNetHarvest(nn.Module):
         t_emb = timestep_embedding(ts, cfg.block_out_channels[0])
         emb = TimestepEmbedMLP(cfg.time_embed_dim, prec,
                                name="time_embedding")(t_emb)
-        if cfg.addition_embed_type == "text_time":
+        if cfg.addition_embed_type == "text_time" and added_cond is not None:
+            # NOTE: the SDXL featurizer path passes added_cond=None — the
+            # reference's MyUNet2DConditionModel.forward never computes the
+            # addition embedding (`dift_sd.py:9-155` has no added-cond
+            # branch), so conditioning is the time embedding alone.
             time_ids = added_cond["time_ids"].astype(jnp.float32)
             tid_emb = timestep_embedding(time_ids.reshape(-1),
                                          cfg.addition_time_embed_dim)

@@ -269,3 +269,76 @@ def test_imsd_featurizer_conditioning_golden():
                              deterministic=True, precision=FP32_PRECISION,
                              image_embed_fn=embed_fn)
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=1e-2)
+
+
+def test_sdxl_featurizer_skips_addition_embedding():
+    """sdxl family: the reference quirk — text_time addition embedding is
+    never computed (MyUNet2DConditionModel has no added-cond branch), so the
+    featurizer conditions on the time embedding + prompt context only."""
+    from diffusers import UNet2DConditionModel
+    torch.manual_seed(9)
+    hf_unet = UNet2DConditionModel(
+        sample_size=8, in_channels=4, out_channels=4,
+        block_out_channels=(8, 16), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=(2, 4),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+        norm_num_groups=4, use_linear_projection=True,
+        transformer_layers_per_block=(1, 2),
+        addition_embed_type="text_time", addition_time_embed_dim=4,
+        projection_class_embeddings_input_dim=8 + 6 * 4).eval()
+    hf_vae = _tiny_vae()
+
+    cfg = F.FeaturizerConfig(
+        family="sdxl", t=261, up_ft_index=0, img_size=32,
+        unet=UN.UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                           cross_attention_dim=16, num_heads=(None, 4),
+                           transformer_depth=(0, 2), norm_groups=4,
+                           use_linear_projection=True,
+                           addition_embed_type="text_time",
+                           addition_time_embed_dim=4),
+        vae=VA.VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                         latent_channels=4, norm_groups=4,
+                         scaling_factor=hf_vae.config.scaling_factor))
+    rng = np.random.RandomState(9)
+    px = (rng.rand(2, 3, 32, 32).astype(np.float32) - 0.5) * 2
+    params = {
+        "vae": port_vae_encoder(hf_vae.state_dict(), cfg.vae),
+        "backbone": port_unet(hf_unet.state_dict(), cfg.unet, (0,)),
+        "prompt_embeds": jnp.asarray(rng.randn(1, 5, 16)
+                                     .astype(np.float32)),
+    }
+    got = F.extract_features(params, cfg, jnp.asarray(_nhwc(px)),
+                             deterministic=True, precision=FP32_PRECISION)
+
+    # torch oracle: UNet WITHOUT the addition embedding (reference quirk)
+    from diffusers import DDIMScheduler
+    sch = DDIMScheduler(beta_start=0.00085, beta_end=0.012,
+                        beta_schedule="scaled_linear",
+                        num_train_timesteps=1000)
+    with torch.no_grad():
+        post = hf_vae.encode(torch.from_numpy(px)).latent_dist
+        latents = post.mean * hf_vae.config.scaling_factor
+        noisy = sch.add_noise(latents, torch.zeros_like(latents),
+                              torch.tensor(261))
+        ts = torch.tensor([261] * 2)
+        temb = hf_unet.time_embedding(
+            hf_unet.time_proj(ts).to(noisy.dtype))   # NO add_embedding
+        x = hf_unet.conv_in(noisy)
+        res = (x,)
+        ctx = torch.from_numpy(np.asarray(params["prompt_embeds"])
+                               ).repeat(2, 1, 1)
+        for db in hf_unet.down_blocks:
+            if getattr(db, "has_cross_attention", False):
+                x, r = db(hidden_states=x, temb=temb,
+                          encoder_hidden_states=ctx)
+            else:
+                x, r = db(hidden_states=x, temb=temb)
+            res += r
+        x = hf_unet.mid_block(x, temb, encoder_hidden_states=ctx)
+        ub = hf_unet.up_blocks[0]
+        x = ub(hidden_states=x, temb=temb,
+               res_hidden_states_tuple=res[-len(ub.resnets):],
+               encoder_hidden_states=ctx)
+        ref = _nhwc(x.numpy()).reshape(2, -1, x.shape[1])
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-2)
