@@ -131,3 +131,41 @@ def test_two_feature_concat():
     assert cat.shape == (2, 10, 10)
     na = a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
     np.testing.assert_allclose(cat[..., :4], na, atol=1e-6)
+
+
+def test_flip_eval_primitives():
+    from law_of_vision_representation_in_mllms_tpu.metrics.flip_eval import (
+        permute_indices, flip_keypoints, mutual_nn_distance,
+        select_flip_predictions)
+
+    # docstring examples from the reference
+    assert permute_indices([1, 2, [0, 3]],
+                           [True, True, True, False]) == [0, 1, 2, 3]
+    assert permute_indices([1, 2, [0, 3]], None) == [3, 1, 2, 0]
+
+    kps = np.asarray([[10.0, 5.0, 1.0], [30.0, 7.0, 1.0]])
+    flipped = flip_keypoints(kps, 64, [1, 0])
+    np.testing.assert_allclose(flipped[0], [34.0, 7.0, 1.0])
+    np.testing.assert_allclose(flipped[1], [54.0, 5.0, 1.0])
+
+    rng = np.random.RandomState(0)
+    d = rng.randn(16, 8).astype(np.float32)
+    # identical sets: mutual-NN distance 0; vs noise: > 0
+    assert float(mutual_nn_distance(jnp.asarray(d), jnp.asarray(d))) < 1e-5
+    other = rng.randn(16, 8).astype(np.float32)
+    assert float(mutual_nn_distance(jnp.asarray(d),
+                                    jnp.asarray(other))) > 0.1
+
+    pred = np.zeros((2, 2))
+    pred_flip = np.ones((2, 2))
+    kps1 = np.asarray([[10.0, 5.0, 1.0], [30.0, 7.0, 1.0]])
+    kps2 = kps1.copy()
+    vis = np.asarray([True, True])
+    # mirror closer -> flipped predictions win for flip-visible kps
+    out = select_flip_predictions(pred, pred_flip, kps1, kps2, 0.1, 0.5,
+                                  vis, [[0, 1]], 64)
+    np.testing.assert_allclose(out, pred_flip)
+    # original closer -> unchanged
+    out2 = select_flip_predictions(pred, pred_flip, kps1, kps2, 0.5, 0.1,
+                                   vis, [[0, 1]], 64)
+    np.testing.assert_allclose(out2, pred)
