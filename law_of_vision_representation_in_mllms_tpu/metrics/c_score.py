@@ -190,3 +190,21 @@ def concat_two_features(desc_a, desc_b):
     normalization (`pck_train_two.py:24-34`)."""
     return jnp.concatenate([normalize_feats(desc_a), normalize_feats(desc_b)],
                            axis=-1)
+
+
+def resize_feature_grid(tokens, out_grid: int, *, method: str = "bilinear"):
+    """Resample token feature maps to a new square grid.
+
+    The reference's trained-eval pipeline pre-resizes SD feature maps to the
+    60x60 evaluation grid (`C_score/preprocess_map.py`, NUM_PATCHES=60 in
+    the trained configs) with bilinear interpolation. tokens: [..., P, C]
+    row-major square grids -> [..., out_grid**2, C].
+    """
+    import jax
+
+    *lead, p, c = tokens.shape
+    g = int(round(p ** 0.5))
+    grid = tokens.reshape(*lead, g, g, c)
+    out = jax.image.resize(grid, (*lead, out_grid, out_grid, c),
+                           method=method)
+    return out.reshape(*lead, out_grid * out_grid, c)

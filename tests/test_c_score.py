@@ -169,3 +169,14 @@ def test_flip_eval_primitives():
     out2 = select_flip_predictions(pred, pred_flip, kps1, kps2, 0.5, 0.1,
                                    vis, [[0, 1]], 64)
     np.testing.assert_allclose(out2, pred)
+
+
+def test_resize_feature_grid():
+    rng = np.random.RandomState(5)
+    tokens = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))  # 4x4
+    out = C.resize_feature_grid(tokens, 8)
+    assert out.shape == (2, 64, 3)
+    # constant maps stay constant under bilinear resampling
+    const = jnp.ones((1, 16, 3))
+    np.testing.assert_allclose(np.asarray(C.resize_feature_grid(const, 6)),
+                               1.0, atol=1e-6)

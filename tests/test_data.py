@@ -110,3 +110,21 @@ def test_supervised_and_feature_datasets(tmp_path):
                          TOK, feature_shape=(8, 16))
     assert fds[0]["pixel_values"][0].shape == (8, 16)
     assert (fds[1]["pixel_values"][0] == 0).all()  # text-only dummy
+
+
+def test_tower_spec_parsing_variants():
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        parse_tower_spec)
+    # dot-concat of ViT + diffusion tower (ids contain no ambiguous dots)
+    spec = parse_tower_spec(
+        "openai/clip-vit-large-patch14.facebook/dinov2-large")
+    assert spec.join == "concat" and len(spec.entries) == 2
+    assert spec.mm_hidden_size == 2048
+    # single diffusion tower name parses as single (despite the '-v1-5')
+    spec2 = parse_tower_spec("runwayml/stable-diffusion-v1-5")
+    assert spec2.join == "single" and spec2.entries[0].kind == "diffusion"
+    assert spec2.entries[0].num_patches == 576         # 24x24 @768 up_ft 0
+    # ViT + SD concat
+    spec3 = parse_tower_spec(
+        "openai/clip-vit-large-patch14.runwayml/stable-diffusion-v1-5")
+    assert [e.kind for e in spec3.entries] == ["vit", "diffusion"]
