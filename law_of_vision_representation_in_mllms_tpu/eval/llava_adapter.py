@@ -51,6 +51,12 @@ class LlavaLMM(LMM):
         self.diffusion_apply = diffusion_apply
         self.batch_size = batch_size
         self.pad_square = pad_square
+        for e in cfg.tower_spec.entries:
+            if e.kind == "feature":
+                raise ValueError(
+                    "precomputed-feature towers are train-only (the eval "
+                    "harness feeds images); evaluate with the real tower "
+                    f"instead of {e.name}")
         self.processors = [processor_for_tower(e.name, e.img_size)
                            for e in cfg.tower_spec.entries]
         self._gen_fns: Dict[Tuple[int, int], callable] = {}

@@ -59,6 +59,11 @@ def make_diffusion_apply(*, rng: Optional[jax.Array] = None,
     overrides = config_overrides or {}
 
     def apply(tower_params, entry: TowerEntry, pixels):
+        if not tower_params:
+            raise ValueError(
+                f"diffusion tower '{entry.name}' has no params — port a "
+                "checkpoint first (io.port_cli: unet_*/vae_*/dit/mmdit) "
+                "and place it under params['towers'][i]")
         cfg = resolve_featurizer_config(entry, overrides.get(entry.name))
         fn = image_embed_fn
         if cfg.family == "imsd" and fn is None:
