@@ -82,3 +82,25 @@ def test_lmm_registry():
         assert False
     except KeyError as e:
         assert "llava" in str(e)
+
+
+def test_clean_file_roundtrip(tmp_path):
+    import json
+    from law_of_vision_representation_in_mllms_tpu.data.clean import (
+        clean_file)
+    recs = [{"conversations": [{"from": "human", "value": "a"},
+                               {"from": "gpt", "value": "b"}]},
+            {"conversations": []}]
+    src = tmp_path / "in.json"
+    with open(src, "w") as f:
+        json.dump(recs, f)
+    report = clean_file(str(src), str(tmp_path / "out.json"))
+    assert report["kept"] == 1
+    with open(tmp_path / "out.json") as f:
+        assert len(json.load(f)) == 1
+
+
+def test_burner_runs_briefly():
+    from law_of_vision_representation_in_mllms_tpu.utils.burner import burn
+    n = burn(seconds=0.5, size=128, report_every=10.0)
+    assert n >= 1

@@ -123,3 +123,20 @@ def test_remat_matches_no_remat():
                                        rtol=1e-5)
         else:
             base_loss, base_gnorm = float(m["loss"]), float(m["grad_norm"])
+
+
+def test_sharded_generate_on_mesh(mesh8):
+    """Greedy decode with a TP(2)-sharded decoder on the virtual mesh."""
+    cfg, params = _tiny(5, heads=4, kv=2, hidden=32)
+    shardings = param_shardings(params, cfg, mesh8)
+    params = jax.device_put(params, shardings)
+    rng = np.random.RandomState(5)
+    ids = rng.randint(1, 60, size=(8, 6)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    px = jnp.asarray(rng.randn(8, 14, 14, 3).astype(np.float32))
+
+    toks = M.generate_greedy(params, cfg, jnp.asarray(ids),
+                             jnp.ones((8, 6), bool), [px],
+                             max_new_tokens=4, eos_id=0,
+                             precision=FP32_PRECISION, use_flash=False)
+    assert np.asarray(toks).shape == (8, 4)
