@@ -93,12 +93,20 @@ class SupervisedDataset:
 
 class FeatureDataset:
     """Feature-cached training: loads one .npy per sample instead of running
-    the (frozen, expensive) diffusion tower per step."""
+    the (frozen, expensive) diffusion tower per step.
+
+    When `packed_cache` points at a .lvrpack file (built by
+    `io.native_cache.pack` / `native/lvr_loader.cpp`), features come from
+    one mmapped file via native batched gathers instead of per-file reads —
+    the production IO path. `pack_index` maps image stems to pack rows
+    (defaults to record order)."""
 
     def __init__(self, data_path: str, feature_folder: str,
                  template: Conversation, tokenizer, *,
                  feature_shape=(576, 1280),
-                 max_length: Optional[int] = None):
+                 max_length: Optional[int] = None,
+                 packed_cache: Optional[str] = None,
+                 pack_index: Optional[Dict[str, int]] = None):
         with open(data_path) as f:
             self.records = json.load(f)
         self.feature_folder = feature_folder
@@ -106,6 +114,20 @@ class FeatureDataset:
         self.tokenizer = tokenizer
         self.feature_shape = tuple(feature_shape)
         self.max_length = max_length
+        self._pack = None
+        if packed_cache:
+            from ..io.native_cache import PackedCache
+            self._pack = PackedCache(packed_cache, self.feature_shape)
+            if pack_index is None:
+                pack_index = {}
+                i = 0
+                for r in self.records:
+                    if "image" in r:
+                        stem = os.path.splitext(r["image"])[0]
+                        if stem not in pack_index:
+                            pack_index[stem] = i
+                            i += 1
+            self._pack_index = pack_index
 
     def __len__(self):
         return len(self.records)
@@ -119,8 +141,12 @@ class FeatureDataset:
                                          max_length=self.max_length)
         if has_image:
             stem = os.path.splitext(rec["image"])[0]
-            feat = np.load(os.path.join(self.feature_folder,
-                                        stem + ".npy")).astype(np.float32)
+            if self._pack is not None:
+                feat = self._pack.gather(
+                    [self._pack_index[stem]])[0].astype(np.float32)
+            else:
+                feat = np.load(os.path.join(
+                    self.feature_folder, stem + ".npy")).astype(np.float32)
         else:
             # text-only: dummy zero feature (`train.py:830-831`)
             feat = np.zeros(self.feature_shape, np.float32)

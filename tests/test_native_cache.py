@@ -47,3 +47,31 @@ def test_batch_load_fallback(monkeypatch, npy_dir):
     monkeypatch.setattr(nc, "_load_lib", lambda build=True: None)
     got = nc.batch_load(paths[:3], (6, 16))
     np.testing.assert_array_equal(got, ref[:3])
+
+
+def test_feature_dataset_with_packed_cache(tmp_path):
+    import json
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        FeatureDataset, get_template, SimpleTokenizer)
+
+    rng = np.random.RandomState(1)
+    feats = [rng.randn(8, 16).astype(np.float32) for _ in range(2)]
+    paths = []
+    for i, f in enumerate(feats):
+        p = str(tmp_path / f"s{i}.npy")
+        np.save(p, f)
+        paths.append(p)
+    pack_path = str(tmp_path / "train.lvrpack")
+    nc.pack(paths, (8, 16), pack_path)
+
+    recs = [{"image": f"s{i}.jpg",
+             "conversations": [{"from": "human", "value": "<image>\nq"},
+                               {"from": "gpt", "value": "a"}]}
+            for i in range(2)]
+    with open(tmp_path / "d.json", "w") as f:
+        json.dump(recs, f)
+    ds = FeatureDataset(str(tmp_path / "d.json"), "", get_template("v1"),
+                        SimpleTokenizer(), feature_shape=(8, 16),
+                        packed_cache=pack_path)
+    for i in range(2):
+        np.testing.assert_array_equal(ds[i]["pixel_values"][0], feats[i])
