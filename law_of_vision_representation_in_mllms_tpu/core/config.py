@@ -64,6 +64,12 @@ class DataSection:
 class ParallelSection:
     n_data: Optional[int] = None
     n_model: int = 1
+    # ZeRO level (deepspeed `scripts/zero{2,3}.json` equivalents):
+    # 0 = TP-only/replicated, 2 = shard optimizer state on the data axis,
+    # 3 = shard params + optimizer state (FSDP).
+    zero: int = 0
+    # place AdamW moments in pinned_host memory (zero3_offload.json)
+    offload_opt_state: bool = False
 
 
 @dataclasses.dataclass

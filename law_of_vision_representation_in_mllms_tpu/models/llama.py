@@ -314,10 +314,14 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
 
 def causal_lm_loss(logits, labels, ignore_index: int = -100):
     """Next-token cross-entropy with IGNORE_INDEX masking
-    (`llava/constants.py:6`, HF shift convention)."""
+    (`llava/constants.py:6`, HF shift convention). Labels outside the vocab
+    are ignored too (defensive: an out-of-range take_along_axis index is
+    undefined behavior, and a tokenizer/decoder vocab mismatch would
+    otherwise silently poison the loss)."""
     shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]
-    valid = shift_labels != ignore_index
+    valid = ((shift_labels != ignore_index) & (shift_labels >= 0)
+             & (shift_labels < logits.shape[-1]))
     safe = jnp.where(valid, shift_labels, 0)
     logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]

@@ -25,7 +25,8 @@ from ..models import llama, llava
 from ..models.towers import parse_tower_spec
 from ..models.tower_runtime import make_diffusion_apply
 from ..parallel import make_mesh
-from ..train import TrainConfig, make_train_step, init_train_state
+from ..train import (TrainConfig, make_train_step, init_train_state,
+                     init_sharded_train_state)
 from ..train.train_step import param_shardings, shard_batch_specs
 from ..utils import MetricsLogger, rank0_print
 
@@ -34,7 +35,10 @@ def build_tokenizer(cfg: RunConfig):
     if cfg.model.tokenizer:
         from transformers import AutoTokenizer
         return AutoTokenizer.from_pretrained(cfg.model.tokenizer)
-    return SimpleTokenizer(vocab_size=32000)
+    # the hash-tokenizer fallback must emit ids inside the decoder's vocab
+    # (a tiny decoder has vocab 256; 32000-range labels would be ignored)
+    vocab = llama.tiny().vocab_size if cfg.model.decoder == "tiny" else 32000
+    return SimpleTokenizer(vocab_size=vocab)
 
 
 def build_model(cfg: RunConfig, rng=None):
@@ -89,22 +93,30 @@ def run_training(cfg: RunConfig) -> int:
     if cfg.train.batch_size % n_data:
         raise ValueError(f"batch_size {cfg.train.batch_size} must divide "
                          f"over the data axis ({n_data} ways)")
-    params = jax.device_put(params, param_shardings(params, model_cfg, mesh))
-
     steps_per_epoch = max(1, len(ds) // cfg.train.batch_size)
     total = steps_per_epoch * cfg.train.epochs
     tcfg = TrainConfig(stage=cfg.train.stage,
                        learning_rate=cfg.train.learning_rate,
                        weight_decay=cfg.train.weight_decay,
                        warmup_ratio=cfg.train.warmup_ratio,
-                       total_steps=total)
-    state, opt = init_train_state(params, tcfg)
+                       total_steps=total,
+                       remat=cfg.train.gradient_checkpointing)
+    if cfg.parallel.zero:
+        state, opt, opt_dev, opt_host = init_sharded_train_state(
+            params, tcfg, model_cfg, mesh, zero=cfg.parallel.zero,
+            offload_opt_state=cfg.parallel.offload_opt_state)
+    else:
+        params = jax.device_put(
+            params, param_shardings(params, model_cfg, mesh))
+        state, opt = init_train_state(params, tcfg)
+        opt_dev = opt_host = None
 
     diffusion_apply = None
     if any(e.kind == "diffusion" for e in model_cfg.tower_spec.entries):
         diffusion_apply = make_diffusion_apply(precision=precision)
     step_fn = jax.jit(make_train_step(model_cfg, tcfg, opt, precision,
-                                      diffusion_apply))
+                                      diffusion_apply, opt_to_device=opt_dev,
+                                      opt_to_host=opt_host))
 
     logger = MetricsLogger(cfg.train.output_dir, "train",
                            every=cfg.train.logging_steps)

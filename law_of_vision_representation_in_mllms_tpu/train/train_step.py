@@ -6,12 +6,15 @@ Reference training (`llava/train/train.py:899-1136` + deepspeed ZeRO-2/3):
 - stage 2 ("finetune"): projector + decoder train, towers stay frozen
   (lr 2e-5 — `scripts/v1_5/train/finetune.sh`).
 
-TPU-native: one jitted `train_step` over a (data, model) mesh. Parameter /
-optimizer-state sharding (the ZeRO equivalent) falls out of NamedSharding
-rules — decoder weights use Megatron-style TP specs on the "model" axis and
-are otherwise replicated; batches shard on "data"; XLA inserts the
-all-reduces. Freezing uses `optax.multi_transform` with `set_to_zero` for
-frozen subtrees, so frozen params carry no optimizer state at all.
+TPU-native: one jitted `train_step` over a (data, model) mesh. Decoder
+weights use Megatron-style TP specs on the "model" axis; the ZeRO levels
+(`parallel/fsdp.py`) additionally shard params and/or AdamW moments on the
+"data" axis — `zero=2` matches `scripts/zero2.json` (optimizer-state
+partitioning), `zero=3` matches `scripts/zero3.json` (parameter
+partitioning), and host offload of the moments matches
+`scripts/zero3_offload.json`. XLA inserts every collective. Freezing uses
+`optax.multi_transform` with `set_to_zero` for frozen subtrees, so frozen
+params carry no optimizer state at all.
 """
 
 from __future__ import annotations
@@ -68,15 +71,32 @@ def make_optimizer(params, cfg: TrainConfig):
         _freeze_labels(params, cfg.stage))
 
 
-def param_shardings(params, model_cfg: llava.LlavaConfig, mesh: Mesh):
-    """NamedSharding tree: decoder gets TP specs, everything else
-    replicated."""
+def param_partition_tree(params, model_cfg: llava.LlavaConfig, mesh: Mesh,
+                         *, zero: int = 0, min_size: int | None = None):
+    """PartitionSpec tree: decoder gets Megatron TP specs; `zero>=3`
+    additionally shards every large leaf (towers, projector, decoder) on the
+    data axis — the ZeRO-3 / FSDP placement (`scripts/zero3.json:16-28`)."""
+    from ..parallel import fsdp
+    if min_size is None:
+        min_size = fsdp.MIN_SIZE_TO_SHARD
     dec_specs = llama.param_partition_specs(model_cfg.decoder)
-    specs = jax.tree.map(lambda _: P(), params)
+    specs = jax.tree.map(lambda leaf: P(*([None] * jnp.ndim(leaf))), params)
     specs["decoder"] = jax.tree.map(
         lambda leaf, s: s, params["decoder"], dec_specs)
-    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                        is_leaf=lambda x: isinstance(x, P))
+    if zero >= 3:
+        specs = fsdp.fsdp_param_specs(params, specs, mesh,
+                                      min_size=min_size)
+    return specs
+
+
+def param_shardings(params, model_cfg: llava.LlavaConfig, mesh: Mesh,
+                    *, zero: int = 0, min_size: int | None = None):
+    """NamedSharding tree for the params (see `param_partition_tree`)."""
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        param_partition_tree(params, model_cfg, mesh, zero=zero,
+                             min_size=min_size),
+        is_leaf=lambda x: isinstance(x, P))
 
 
 def init_train_state(params, train_cfg: TrainConfig):
@@ -85,10 +105,57 @@ def init_train_state(params, train_cfg: TrainConfig):
             "step": jnp.zeros((), jnp.int32)}, opt
 
 
+def init_sharded_train_state(params, train_cfg: TrainConfig,
+                             model_cfg: llava.LlavaConfig, mesh: Mesh, *,
+                             zero: int = 2,
+                             offload_opt_state: bool = False,
+                             min_size: int | None = None):
+    """ZeRO init: the optimizer state is BORN sharded (jit with
+    out_shardings), never materialized replicated — at 7B the replicated
+    moments alone would be 54 GB/chip.
+
+    Returns (state, opt, opt_to_device, opt_to_host); the last two are
+    sharding trees for `make_train_step` when `offload_opt_state` places the
+    moments in pinned_host memory (`scripts/zero3_offload.json`
+    equivalent)."""
+    from ..parallel import fsdp
+    if min_size is None:
+        min_size = fsdp.MIN_SIZE_TO_SHARD
+    p_specs = param_partition_tree(params, model_cfg, mesh, zero=zero,
+                                   min_size=min_size)
+    p_shard = jax.tree.map(lambda s: NamedSharding(mesh, s), p_specs,
+                           is_leaf=lambda x: isinstance(x, P))
+    params = jax.device_put(params, p_shard)
+    opt = make_optimizer(params, train_cfg)
+    o_shapes = jax.eval_shape(opt.init, params)
+    o_specs = fsdp.derived_state_specs(o_shapes, p_specs, mesh,
+                                       shard_derived=zero >= 2,
+                                       min_size=min_size)
+    o_dev = fsdp.shardings(o_specs, mesh)
+    opt_state = jax.jit(opt.init, out_shardings=o_dev)(params)
+    if offload_opt_state:
+        # initial host placement happens OUTSIDE jit (out_shardings with
+        # memory kinds trips the SPMD partitioner on some backends); the
+        # train step keeps it host-resident via device_put inside jit.
+        o_host = fsdp.offload_shardings(o_shapes, o_specs, mesh)
+        opt_state = jax.device_put(opt_state, o_host)
+        state = {"params": params, "opt_state": opt_state,
+                 "step": jnp.zeros((), jnp.int32)}
+        return state, opt, o_dev, o_host
+    state = {"params": params, "opt_state": opt_state,
+             "step": jnp.zeros((), jnp.int32)}
+    return state, opt, None, None
+
+
 def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
                     opt, precision: Precision = DEFAULT_PRECISION,
-                    diffusion_apply=None):
-    """Returns step(state, batch) -> (state, metrics); jit/pjit-ready."""
+                    diffusion_apply=None, opt_to_device=None,
+                    opt_to_host=None):
+    """Returns step(state, batch) -> (state, metrics); jit/pjit-ready.
+
+    opt_to_device/opt_to_host: optional sharding trees for host-offloaded
+    optimizer state (ZeRO-offload): moments live in pinned_host between
+    steps and are device_put in only for the update."""
 
     def loss(params, batch):
         return llava.loss_fn(params, model_cfg, batch, precision,
@@ -103,8 +170,12 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
         finite = jnp.isfinite(l) & jnp.isfinite(gnorm)
         grads = jax.tree.map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, opt_state = opt.update(grads, state["opt_state"],
-                                        state["params"])
+        opt_in = state["opt_state"]
+        if opt_to_device is not None:
+            opt_in = jax.device_put(opt_in, opt_to_device)
+        updates, opt_state = opt.update(grads, opt_in, state["params"])
+        if opt_to_host is not None:
+            opt_state = jax.device_put(opt_state, opt_to_host)
         params = optax.apply_updates(state["params"], updates)
         params = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old), params,

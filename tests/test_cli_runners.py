@@ -87,10 +87,13 @@ def test_train_runner_stage1_feature_cached(tmp_path):
     # projector-only checkpoint written
     assert os.path.exists(tmp_path / "out" / "mm_projector.npz")
     assert os.path.exists(tmp_path / "out" / "config.json")
-    # metrics logged
+    # metrics logged — and the loss is actually FINITE (a tokenizer/decoder
+    # vocab mismatch once produced silent NaN here; the nonfinite-skip guard
+    # masked it)
     lines = open(tmp_path / "out" / "train.jsonl").read().strip().split("\n")
     assert len(lines) >= 2
-    assert "loss" in json.loads(lines[0])
+    losses = [json.loads(ln)["loss"] for ln in lines]
+    assert all(np.isfinite(l) for l in losses), losses
 
 
 def test_eval_runner_tiny(tmp_path):
