@@ -144,22 +144,47 @@ def apply_rope(x, cos, sin):
 
 
 def _attention(q, k, v, mask, accum_dtype=jnp.float32):
-    """q [B,S,H,Dh], k/v [B,T,H,Dh], mask [B,1,S,T] bool."""
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    """q [B,S,H,Dh], k/v [B,T,KV,Dh], mask [B,1,S,T] bool.
+
+    Grouped-query attention without materializing repeated KV heads: query
+    head h reads kv head h // (H/KV) (HF repeat_interleave semantics) via a
+    reshape, so the KV cache is only ever touched at its true size — on the
+    decode path this halves (or better) cache HBM traffic for GQA models."""
+    b, s, nh, dh = q.shape
+    nkv = k.shape[2]
+    scale = dh ** -0.5
+    if nkv == nh:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=accum_dtype) * scale
+        logits = jnp.where(mask, logits, jnp.asarray(-1e30, accum_dtype))
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                         preferred_element_type=accum_dtype)
+        return out.astype(q.dtype)
+    g = nh // nkv
+    qg = q.reshape(b, s, nkv, g, dh)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
                         preferred_element_type=accum_dtype) * scale
-    logits = jnp.where(mask, logits, jnp.asarray(-1e30, accum_dtype))
+    logits = jnp.where(mask[:, :, None], logits,
+                       jnp.asarray(-1e30, accum_dtype))
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(q.dtype), v,
                      preferred_element_type=accum_dtype)
-    return out.astype(q.dtype)
+    return out.reshape(b, s, nh, dh).astype(q.dtype)
 
 
-def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
+def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
            prec: Precision, use_flash: bool = False, lora=None,
            lora_scaling: float = 1.0):
-    """One decoder block. cache_kv: optional (k,v) [B,Tmax,KV,Dh] buffers;
-    lora: optional per-layer low-rank factor dict (models/lora.py)."""
+    """One decoder block.
+
+    cache: optional (ck_all, cv_all, layer_idx) where ck/cv are the FULL
+    stacked [L,B,Tmax,KV,Dh] buffers and layer_idx selects this block's
+    slice. The new k/v are written in place at (layer_idx, :, cache_index)
+    — a [B,S,KV,Dh]-sized write per layer per step, NOT a rewrite of the
+    whole buffer (the round-1 scan-over-cache design stacked a fresh cache
+    every decode step, doubling HBM traffic). lora: optional per-layer
+    low-rank factor dict (models/lora.py)."""
     from .lora import lora_matmul
     b, s, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -177,12 +202,17 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if cache_kv is not None:
-        ck, cv = cache_kv
-        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-        k_all, v_all = ck.astype(cd), cv.astype(cd)
-        new_cache = (ck, cv)
+    if cache is not None:
+        ck_all, cv_all, li = cache
+        ck_all = lax.dynamic_update_slice(
+            ck_all, k[None].astype(ck_all.dtype), (li, 0, cache_index, 0, 0))
+        cv_all = lax.dynamic_update_slice(
+            cv_all, v[None].astype(cv_all.dtype), (li, 0, cache_index, 0, 0))
+        # attention reads the cache at its stored dtype; the einsum promotes
+        # (bf16 cache x bf16/f32 q) without materializing a converted copy
+        k_all = lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
+        v_all = lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
+        new_cache = (ck_all, cv_all)
     else:
         k_all, v_all = k, v
         new_cache = None
@@ -198,18 +228,8 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache_kv, cache_index,
             kf = jnp.repeat(kf, rep, axis=2)
             vf = jnp.repeat(vf, rep, axis=2)
         attn = flash_mha_trainable(q, kf, vf, causal=True)
-        h = h + mm(attn.reshape(b, s, nh * hd), "wo")
-        x = rms_norm(h, lp["rms2"], cfg.rms_eps)
-        gated = jax.nn.silu(mm(x, "gate")) * mm(x, "up")
-        h = h + mm(gated, "down")
-        return h, new_cache
-
-    if nkv != nh:
-        rep = nh // nkv
-        k_all = jnp.repeat(k_all, rep, axis=2)
-        v_all = jnp.repeat(v_all, rep, axis=2)
-
-    attn = _attention(q, k_all, v_all, mask, prec.accum_dtype)
+    else:
+        attn = _attention(q, k_all, v_all, mask, prec.accum_dtype)
     h = h + mm(attn.reshape(b, s, nh * hd), "wo")
 
     x = rms_norm(h, lp["rms2"], cfg.rms_eps)
@@ -263,31 +283,38 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
                                         (isinstance(cache_index, int)
                                          and cache_index == 0))
 
-    def body(carry, xs):
-        h = carry
-        if cache is None:
+    lora_xs = lora if lora is not None else {}
+    if cache is None:
+        def body(carry, xs):
+            h = carry
             lp, ll = xs
             h, _ = _layer(cfg, h, lp, cos, sin, mask, None, None, precision,
                           use_flash=flash_ok, lora=ll,
                           lora_scaling=lora_scaling)
             return h, ()
-        lp, ll, ck, cv = xs
-        h, (nk, nv) = _layer(cfg, h, lp, cos, sin, mask, (ck, cv),
-                             cache_index, precision, use_flash=flash_ok,
-                             lora=ll, lora_scaling=lora_scaling)
-        return h, (nk, nv)
-
-    lora_xs = lora if lora is not None else {}
-    if remat:
-        # gradient checkpointing per block (reference:
-        # --gradient_checkpointing True, pretrain.sh:30)
-        body = jax.checkpoint(body)
-    if cache is None:
+        if remat:
+            # gradient checkpointing per block (reference:
+            # --gradient_checkpointing True, pretrain.sh:30)
+            body = jax.checkpoint(body)
         h, _ = lax.scan(body, h, (params["layers"], lora_xs))
         new_cache = None
     else:
-        h, (nk, nv) = lax.scan(body, h, (params["layers"], lora_xs,
-                                         cache["k"], cache["v"]))
+        # the cache rides the CARRY (in-place slot writes), not the scan
+        # ys — stacking ys would write the full [L,B,T,KV,Dh] buffer every
+        # decode step
+        def body(carry, xs):
+            h, ck, cv = carry
+            lp, ll, li = xs
+            h, (ck, cv) = _layer(cfg, h, lp, cos, sin, mask, (ck, cv, li),
+                                 cache_index, precision, use_flash=flash_ok,
+                                 lora=ll, lora_scaling=lora_scaling)
+            return (h, ck, cv), ()
+        if remat:
+            body = jax.checkpoint(body)
+        (h, nk, nv), _ = lax.scan(
+            body, (h, cache["k"], cache["v"]),
+            (params["layers"], lora_xs,
+             jnp.arange(cfg.num_layers, dtype=jnp.int32)))
         new_cache = {"k": nk, "v": nv}
 
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
