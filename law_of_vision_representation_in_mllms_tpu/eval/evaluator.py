@@ -44,7 +44,7 @@ def evaluate(model: LMM, tasks: Sequence[Task], *,
             for req, n in zip(requests, counts):
                 scores = [lls[k + i][0] for i in range(n)]
                 k += n
-                preds.append("ABCDEFGH"[int(np.argmax(scores))])
+                preds.append(chr(ord("A") + int(np.argmax(scores))))
         else:
             preds = [str(p) for p, _ in model.loglikelihood(requests)]
 

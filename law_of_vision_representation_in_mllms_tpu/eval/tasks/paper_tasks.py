@@ -26,7 +26,7 @@ from ..task import register_function
 MC_SUFFIX = ("Answer with the option's letter from the given choices "
              "directly.")
 WORD_SUFFIX = "Answer the question using a single word or phrase."
-LETTERS = "ABCDEFGH"
+LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
 def _image_loader(doc: Dict, image_root: str) -> List:
