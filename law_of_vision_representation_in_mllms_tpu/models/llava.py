@@ -48,6 +48,17 @@ class LlavaConfig:
 
     @property
     def num_patches(self) -> int:
+        """Image-token count seen by the splice — i.e. AFTER the projector.
+        A perceiver projector resamples any patch grid to its 64 learned
+        latents (`perceiver_helpers.py:76`); per-tower projectors under MoF
+        contribute 64 each."""
+        from .projector import parse_projector_type
+        kind, _ = parse_projector_type(self.projector_type)
+        if kind == "perceiver":
+            from .perceiver import NUM_LATENTS
+            if self.tower_spec.join == "mof":
+                return NUM_LATENTS * len(self.tower_spec.entries)
+            return NUM_LATENTS
         return self.tower_spec.num_patches
 
 

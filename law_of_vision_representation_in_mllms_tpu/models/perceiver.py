@@ -16,6 +16,11 @@ import jax.numpy as jnp
 
 from ..core.precision import Precision, DEFAULT_PRECISION
 
+# reference defaults (`perceiver_helpers.py:73-76`, used as-is by
+# `builder.py:54-57`): 64 learned latents, 8 heads x 64 dims
+NUM_LATENTS = 64
+DEFAULT_HEADS = 8
+
 
 def init_perceiver_projector(rng, depth: int, mm_hidden_size: int,
                              hidden_size: int, *, num_latents: int = 64,
@@ -51,7 +56,6 @@ def init_perceiver_projector(rng, depth: int, mm_hidden_size: int,
                        "bias": jnp.zeros((d,), dtype)},
         "proj": {"kernel": mat((d, hidden_size)),
                  "bias": jnp.zeros((hidden_size,), dtype)},
-        "meta": jnp.asarray([heads, head_dim], jnp.int32),
     }
 
 
@@ -64,12 +68,17 @@ def _ln(x, p):
 
 
 def apply_perceiver_projector(params, feats,
-                              precision: Precision = DEFAULT_PRECISION):
-    """feats [B, P, mm_hidden] -> [B, num_latents, hidden]."""
+                              precision: Precision = DEFAULT_PRECISION,
+                              heads: int = DEFAULT_HEADS):
+    """feats [B, P, mm_hidden] -> [B, num_latents, hidden].
+
+    `heads` is a STATIC argument (the param tree stays pure float arrays so
+    grad/jit work); the reference always uses the default 8
+    (`builder.py:54-57` passes only dim/depth)."""
     cd = precision.compute_dtype
     x = feats.astype(cd)
     b = x.shape[0]
-    heads, head_dim = (int(params["meta"][0]), int(params["meta"][1]))
+    head_dim = params["layers"][0]["to_q"].shape[-1] // heads
     lat = jnp.broadcast_to(params["latents"].astype(cd)[None],
                            (b, *params["latents"].shape))
     for lp in params["layers"]:

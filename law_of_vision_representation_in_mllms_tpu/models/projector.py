@@ -57,14 +57,22 @@ def init_projector(rng, proj_type: str, mm_hidden_size: int,
         layers += [dense(keys[i], hidden_size, hidden_size)
                    for i in range(1, depth)]
         return {"layers": layers}
-    raise NotImplementedError(
-        "perceiver projector: see models/perceiver.py")  # added separately
+    # perceiverNx: depth-N PerceiverResampler + Linear, reference defaults
+    # (`builder.py:54-57` passes only dim/depth)
+    from .perceiver import init_perceiver_projector
+    return init_perceiver_projector(rng, depth, mm_hidden_size, hidden_size,
+                                    dtype=dtype)
 
 
 def apply_projector(params, feats,
                     precision: Precision = DEFAULT_PRECISION):
-    """feats: [B, P, mm_hidden] -> [B, P, hidden]. GELU between layers
-    (none for the single-layer 'linear' case, no-op for 'identity')."""
+    """feats: [B, P, mm_hidden] -> [B, P, hidden] (mlp/linear/identity) or
+    [B, 64, hidden] (perceiver resampling). GELU between mlp layers (none
+    for the single-layer 'linear' case, no-op for 'identity')."""
+    if "latents" in params:
+        from .perceiver import apply_perceiver_projector, DEFAULT_HEADS
+        return apply_perceiver_projector(params, feats, precision,
+                                         heads=DEFAULT_HEADS)
     cd = precision.compute_dtype
     x = feats.astype(cd)
     for i, lp in enumerate(params["layers"]):
@@ -82,6 +90,8 @@ def port_projector(state_dict, proj_type: str, prefix: str = "") -> Dict:
     kind, depth = parse_projector_type(proj_type)
     if kind == "identity":
         return {"layers": []}
+    if kind == "perceiver":
+        return _port_perceiver(state_dict, depth, prefix)
     layers = []
     idxs = sorted({int(k[len(prefix):].split(".")[0])
                    for k in state_dict if k.startswith(prefix)
@@ -96,3 +106,37 @@ def port_projector(state_dict, proj_type: str, prefix: str = "") -> Dict:
                 state_dict[f"{prefix}{i}.bias"].detach().float().numpy()),
         })
     return {"layers": layers}
+
+
+def _port_perceiver(state_dict, depth: int, prefix: str = "") -> Dict:
+    """Port `nn.Sequential(PerceiverResampler, Linear)` torch weights
+    (`builder.py:54-57`): module 0 is the resampler (latents, layers.{i}.0
+    attention + layers.{i}.1 FeedForward=LN/Linear/GELU/Linear, final
+    norm), module 1 the output Linear."""
+    import numpy as np
+
+    def t(key):
+        return np.asarray(state_dict[prefix + key].detach().float().numpy())
+
+    def ln(key):
+        return {"scale": t(key + ".weight"), "bias": t(key + ".bias")}
+
+    layers = []
+    for i in range(depth):
+        p = f"0.layers.{i}."
+        layers.append({
+            "norm_media": ln(p + "0.norm_media"),
+            "norm_latents": ln(p + "0.norm_latents"),
+            "to_q": t(p + "0.to_q.weight").T,
+            "to_kv": t(p + "0.to_kv.weight").T,
+            "to_out": t(p + "0.to_out.weight").T,
+            "ff_norm": ln(p + "1.0"),
+            "ff_in": t(p + "1.1.weight").T,
+            "ff_out": t(p + "1.3.weight").T,
+        })
+    return {
+        "latents": t("0.latents"),
+        "layers": layers,
+        "final_norm": ln("0.norm"),
+        "proj": {"kernel": t("1.weight").T, "bias": t("1.bias")},
+    }
