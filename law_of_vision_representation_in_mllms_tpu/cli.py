@@ -83,6 +83,17 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--out-dir", default="c_train_out")
 
+    p = sub.add_parser("port-featurizer",
+                       help="diffusers snapshot dir -> featurizer bundle")
+    p.add_argument("kind",
+                   choices=["sd15", "sd21", "imsd", "sdxl", "dit", "sd3"])
+    p.add_argument("src_root", help="snapshot with unet/ vae/ text_encoder*/")
+    p.add_argument("out_path")
+    p.add_argument("--t", type=int, default=1)
+    p.add_argument("--up-ft-index", type=int)
+    p.add_argument("--ensemble-size", type=int, default=1)
+    p.add_argument("--img-size", type=int)
+
     p = sub.add_parser("policy")
     p.add_argument("action", choices=["fit", "predict", "validate"])
     p.add_argument("--csv", required=True)
@@ -198,8 +209,19 @@ def _cmd_c_train(args):
     return 0
 
 
+def _cmd_port_featurizer(args):
+    from .io.featurizer_bundle import port_featurizer_bundle
+    out = port_featurizer_bundle(
+        args.kind, args.src_root, args.out_path, t=args.t,
+        up_ft_index=args.up_ft_index, ensemble_size=args.ensemble_size,
+        img_size=args.img_size)
+    print(f"ported {args.kind} bundle -> {out}")
+    return 0
+
+
 DISPATCH = {
     "a-score": _cmd_a_score,
+    "port-featurizer": _cmd_port_featurizer,
     "c-score": _cmd_c_score,
     "policy": _cmd_policy,
     "train": _cmd_train,

@@ -30,6 +30,10 @@ class ModelSection:
     conv_template: str = "v1"
     checkpoint: Optional[str] = None       # orbax train-state dir
     tokenizer: Optional[str] = None        # HF tokenizer path (host-side)
+    # ported tower weights, one path per tower-spec entry ('' = skip).
+    # ViT entries take a plain io.param_io .npz; diffusion entries take an
+    # io.featurizer_bundle .npz (+ .json sidecar with the architecture).
+    tower_weights: Optional[List[str]] = None
 
 
 @dataclasses.dataclass

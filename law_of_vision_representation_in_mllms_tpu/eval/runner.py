@@ -38,7 +38,9 @@ def build_lmm(cfg: RunConfig) -> LlavaLMM:
     tokenizer = build_tokenizer(cfg)
     diffusion_apply = None
     if any(e.kind == "diffusion" for e in model_cfg.tower_spec.entries):
-        diffusion_apply = make_diffusion_apply(precision=precision)
+        diffusion_apply = make_diffusion_apply(
+            precision=precision,
+            config_overrides=model_cfg.featurizer_overrides)
     return LlavaLMM(params, model_cfg, tokenizer,
                     get_template(cfg.model.conv_template),
                     precision=precision, diffusion_apply=diffusion_apply,

@@ -82,6 +82,56 @@ FEATURIZER_PRESETS = {
 }
 
 
+def feature_grid(cfg: FeaturizerConfig) -> int:
+    """Spatial side of the harvested token grid, derived from the ACTUAL
+    architecture configs (towers.diffusion_grid hardcodes the production
+    block counts; ported tiny/test models need the real math)."""
+    vae_down = 2 ** (len(cfg.vae.block_out_channels) - 1)
+    latent = cfg.img_size // vae_down
+    if cfg.family == "dit":
+        return latent // cfg.dit.patch_size // 2      # patchify + 2x2 unfold
+    if cfg.family == "sd3":
+        return latent // cfg.mmdit.patch_size // 2
+    n_up = len(cfg.unet.block_out_channels)
+    uf = cfg.up_ft_index % n_up
+    mid = latent >> (n_up - 1)
+    return mid << min(uf + 1, n_up - 1)
+
+
+def feature_dim(cfg: FeaturizerConfig) -> int:
+    """Channel width of the harvested tokens (the per-tower
+    `feature_hid_size_mapping` of `diffusion_encoder.py:22-28`, computed
+    instead of hardcoded)."""
+    if cfg.family == "dit":
+        return 4 * cfg.dit.hidden_size                # 2x2 unfold
+    if cfg.family == "sd3":
+        return 4 * cfg.mmdit.hidden_size
+    n = len(cfg.unet.block_out_channels)
+    uf = cfg.up_ft_index % n
+    return cfg.unet.block_out_channels[n - 1 - uf]
+
+
+def config_to_dict(cfg: FeaturizerConfig) -> Dict:
+    """JSON-safe dict (bundle sidecar metadata)."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: Dict) -> FeaturizerConfig:
+    """Inverse of `config_to_dict` (JSON lists -> config tuples)."""
+    def detuple(cls, sub):
+        if sub is None:
+            return None
+        fixed = {k: tuple(v) if isinstance(v, list) else v
+                 for k, v in sub.items()}
+        return cls(**fixed)
+    d = dict(d)
+    d["unet"] = detuple(UN.UNetConfig, d.get("unet"))
+    d["vae"] = detuple(VA.VAEConfig, d.get("vae"))
+    d["dit"] = detuple(DT.DiTConfig, d.get("dit"))
+    d["mmdit"] = detuple(MM.MMDiTConfig, d.get("mmdit"))
+    return FeaturizerConfig(**d)
+
+
 def extract_features(params: Dict, cfg: FeaturizerConfig, pixel_values,
                      rng: Optional[jax.Array] = None, *,
                      deterministic: bool = False,

@@ -39,6 +39,9 @@ class LlavaConfig:
     projector_type: str = "mlp2x_gelu"
     select_layer: int = -2
     select_feature: str = "patch"
+    # per-tower-name FeaturizerConfig overrides (from loaded bundles);
+    # consumed by tower_runtime.make_diffusion_apply
+    featurizer_overrides: Optional[Dict[str, Any]] = None
 
     @classmethod
     def build(cls, tower: str, decoder: Optional[L.LlamaConfig] = None,

@@ -11,8 +11,6 @@ import jax
 from ..core.config import RunConfig
 from ..core.precision import DEFAULT_PRECISION, FP32_PRECISION
 from ..data.image_processing import processor_for_tower
-from ..models.towers import parse_tower_spec
-from ..models.vit import VIT_PRESETS
 from .features import extract_tower_features, make_vit_extractor
 
 
@@ -27,17 +25,28 @@ def run_feature_extraction(cfg: RunConfig, images: str, out_dir: str, *,
         with open(images) as f:
             paths = json.load(f)
 
-    spec = parse_tower_spec(cfg.model.vision_tower)
-    entry = spec.entries[0]
-    if entry.kind != "vit":
-        raise NotImplementedError(
-            "CLI feature extraction currently drives ViT towers; diffusion "
-            "towers go through pipeline.features with a featurizer apply_fn")
     from ..train.runner import build_model
     model_cfg, params = build_model(cfg)
-    fn = make_vit_extractor(entry.vit_config, params["towers"][0],
-                            select_layer=cfg.model.select_layer,
-                            precision=precision)
+    entry = model_cfg.tower_spec.entries[0]
+    if entry.kind == "vit":
+        fn = make_vit_extractor(entry.vit_config, params["towers"][0],
+                                select_layer=cfg.model.select_layer,
+                                precision=precision)
+    elif entry.kind == "diffusion":
+        # deterministic featurization (posterior mean, zero noise) — the
+        # A/C-score caches must be bit-stable across runs
+        # (`C_score/extract_feature.py:16-133` is the reference equivalent)
+        from ..models.tower_runtime import make_diffusion_apply
+        import jax as _jax
+        dapply = make_diffusion_apply(
+            deterministic=True, precision=precision,
+            config_overrides=model_cfg.featurizer_overrides)
+        tower_params = params["towers"][0]
+        fn = _jax.jit(lambda px: dapply(tower_params, entry, px))
+    else:
+        raise ValueError(
+            f"cannot extract features from a '{entry.kind}' tower "
+            f"({entry.name}) — precomputed-feature entries ARE the cache")
     proc = processor_for_tower(entry.name, entry.img_size)
     written = extract_tower_features(
         fn, paths, proc, out_dir, batch_size=batch_size, suffix=suffix,

@@ -42,10 +42,44 @@ def build_tokenizer(cfg: RunConfig):
 
 
 def build_model(cfg: RunConfig, rng=None):
+    import dataclasses
     spec = parse_tower_spec(cfg.model.vision_tower,
                             up_ft_index=cfg.model.up_ft_index,
                             t=cfg.model.t,
                             ensemble_size=cfg.model.ensemble_size)
+
+    # ported tower weights (model.tower_weights, one path per entry).
+    # Diffusion bundles carry their architecture in the .json sidecar; the
+    # entry's token grid / channel width are recomputed from it so tiny
+    # test models and non-default harvests get correct splice shapes.
+    tower_params = [None] * len(spec.entries)
+    overrides = {}
+    paths = cfg.model.tower_weights or []
+    if paths and len(paths) != len(spec.entries):
+        raise ValueError(
+            f"model.tower_weights has {len(paths)} paths for "
+            f"{len(spec.entries)} tower entries")
+    if paths:
+        from ..io.featurizer_bundle import load_featurizer_bundle
+        from ..models import featurizer as F
+        entries = list(spec.entries)
+        for i, p in enumerate(paths):
+            if not p:
+                continue
+            loaded, fcfg = load_featurizer_bundle(p)
+            tower_params[i] = jax.tree.map(jnp.asarray, loaded)
+            if fcfg is not None and entries[i].kind == "diffusion":
+                fcfg = dataclasses.replace(
+                    fcfg, t=entries[i].t,
+                    ensemble_size=entries[i].ensemble_size)
+                overrides[entries[i].name] = fcfg
+                grid = F.feature_grid(fcfg)
+                entries[i] = dataclasses.replace(
+                    entries[i], hidden_size=F.feature_dim(fcfg),
+                    num_patches=grid * grid, img_size=fcfg.img_size,
+                    up_ft_index=fcfg.up_ft_index)
+        spec = dataclasses.replace(spec, entries=entries)
+
     if cfg.model.decoder == "vicuna-7b":
         dec = llama.vicuna_7b()
     elif cfg.model.decoder == "tiny":
@@ -56,9 +90,13 @@ def build_model(cfg: RunConfig, rng=None):
         tower_spec=spec, decoder=dec,
         projector_type=cfg.model.projector_type,
         select_layer=cfg.model.select_layer,
-        select_feature=cfg.model.select_feature)
+        select_feature=cfg.model.select_feature,
+        featurizer_overrides=overrides or None)
     params = llava.init_params(rng or jax.random.PRNGKey(cfg.train.seed),
                                model_cfg)
+    for i, tp in enumerate(tower_params):
+        if tp is not None:
+            params["towers"][i] = tp
     if cfg.model.checkpoint:
         path = latest_checkpoint(cfg.model.checkpoint) or \
             cfg.model.checkpoint
@@ -113,7 +151,9 @@ def run_training(cfg: RunConfig) -> int:
 
     diffusion_apply = None
     if any(e.kind == "diffusion" for e in model_cfg.tower_spec.entries):
-        diffusion_apply = make_diffusion_apply(precision=precision)
+        diffusion_apply = make_diffusion_apply(
+            precision=precision,
+            config_overrides=model_cfg.featurizer_overrides)
     step_fn = jax.jit(make_train_step(model_cfg, tcfg, opt, precision,
                                       diffusion_apply, opt_to_device=opt_dev,
                                       opt_to_host=opt_host))
