@@ -84,6 +84,10 @@ class LlavaLMM(LMM):
             while len(arrs) < b:
                 arrs.append(np.zeros((proc.crop, proc.crop, 3), np.float32))
             pixels.append(jnp.asarray(np.stack(arrs)))
+        for r in requests:
+            release = getattr(r.visual, "release", None)
+            if release:
+                release()          # drop decoded PIL data (task.LazyVisual)
         return pixels
 
     def _encode_batch(self, requests: List[Instance]):

@@ -43,6 +43,39 @@ def _resolve(name_or_path: Optional[str]) -> Optional[Callable]:
     return getattr(importlib.import_module(mod), attr)
 
 
+class LazyVisual:
+    """List-like that defers (and caches) image decoding to first access.
+    `release()` drops the decoded images; the adapter calls it after
+    preprocessing so a long eval never holds more than one batch of
+    pixels."""
+
+    __slots__ = ("_fn", "_val")
+
+    def __init__(self, fn: Callable[[], List]):
+        self._fn = fn
+        self._val = None
+
+    def _load(self) -> List:
+        if self._val is None:
+            self._val = self._fn()
+        return self._val
+
+    def release(self) -> None:
+        self._val = None
+
+    def __bool__(self):
+        return bool(self._load())
+
+    def __len__(self):
+        return len(self._load())
+
+    def __getitem__(self, i):
+        return self._load()[i]
+
+    def __iter__(self):
+        return iter(self._load())
+
+
 @dataclasses.dataclass
 class TaskConfig:
     task: str
@@ -81,9 +114,21 @@ class Task:
             with open(cfg.dataset_path) as f:
                 docs = [json.loads(line) for line in f if line.strip()]
         elif cfg.dataset_backend == "hf":
+            # lmms-eval compatibility (`tasks/mme/mme.yaml:1` loads from the
+            # hub); also accepts save_to_disk dirs and local json files so
+            # pre-downloaded caches work offline
             import datasets
-            docs = list(datasets.load_dataset(cfg.dataset_path,
-                                              split=cfg.split))
+            if os.path.isdir(cfg.dataset_path):
+                ds = datasets.load_from_disk(cfg.dataset_path)
+                if isinstance(ds, datasets.DatasetDict):
+                    ds = ds[cfg.split]
+            elif cfg.dataset_path.endswith((".json", ".jsonl")):
+                ds = datasets.load_dataset(
+                    "json", data_files=cfg.dataset_path, split="train")
+            else:
+                ds = datasets.load_dataset(cfg.dataset_path,
+                                           split=cfg.split)
+            docs = list(ds)
         else:
             raise ValueError(cfg.dataset_backend)
         if cfg.limit:
@@ -100,11 +145,16 @@ class Task:
     def doc_to_visual(self, doc: Dict) -> List:
         if self._doc_to_visual:
             return self._doc_to_visual(doc, self.cfg.image_root)
-        if "image" in doc:
+        img = doc.get("image")
+        if img is None:
+            return []
+        if isinstance(img, str):
             from PIL import Image
-            return [Image.open(os.path.join(self.cfg.image_root,
-                                            doc["image"]))]
-        return []
+            # decode fully and release the file handle immediately (an
+            # open handle per doc exhausts the fd table at MME/SEED scale)
+            with Image.open(os.path.join(self.cfg.image_root, img)) as im:
+                return [im.convert("RGB")]
+        return [img.convert("RGB")]        # HF image-typed column
 
     def doc_to_target(self, doc: Dict) -> Any:
         if self._doc_to_target:
@@ -112,6 +162,10 @@ class Task:
         return doc["answer"]
 
     def build_requests(self, doc_ids: List[int]) -> List[Instance]:
+        """Requests carry LAZY visuals: images decode at model-consumption
+        time (per batch), not here — materializing tens of thousands of
+        PIL images up front is the OOM/fd hazard the reference avoids by
+        loading per batch (`lmms_eval/models/llava.py:314`)."""
         out = []
         for i in doc_ids:
             doc = self.docs[i]
@@ -119,7 +173,7 @@ class Task:
                 request_type=self.cfg.output_type, doc=doc, doc_id=i,
                 task_name=self.name,
                 args=(self.doc_to_text(doc), self.cfg.generation_kwargs),
-                visual=self.doc_to_visual(doc)))
+                visual=LazyVisual(lambda d=doc: self.doc_to_visual(d))))
         return out
 
     def process_results(self, doc: Dict, prediction: str) -> Dict:
