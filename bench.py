@@ -25,11 +25,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from law_of_vision_representation_in_mllms_tpu.core.precision import (
-        Precision)
+        BF16_TOWER_PRECISION)
     from law_of_vision_representation_in_mllms_tpu.models.vit import (
         VIT_PRESETS, ViTTower)
 
-    prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    # full-bf16 incl. attention softmax — the reference towers run fp16
+    prec = BF16_TOWER_PRECISION
     cfg = VIT_PRESETS["openai/clip-vit-large-patch14-336"]()
     tower = ViTTower(cfg, select_layer=-2, select_feature="patch",
                      precision=prec)

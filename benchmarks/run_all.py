@@ -38,11 +38,11 @@ def bench_towers(results, quick=False):
     import jax
     import jax.numpy as jnp
     from law_of_vision_representation_in_mllms_tpu.core.precision import (
-        Precision)
+        BF16_TOWER_PRECISION)
     from law_of_vision_representation_in_mllms_tpu.models.vit import (
         VIT_PRESETS, ViTTower)
 
-    prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    prec = BF16_TOWER_PRECISION
     names = ["openai/clip-vit-large-patch14-336",
              "openai/clip-vit-large-patch14",
              "google/siglip-base-patch16-224",

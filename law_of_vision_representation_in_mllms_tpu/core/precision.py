@@ -28,3 +28,13 @@ class Precision:
 
 DEFAULT_PRECISION = Precision()
 FP32_PRECISION = Precision(compute_dtype=jnp.float32)
+
+# Frozen-tower inference: EVERYTHING bf16, including attention logits and
+# softmax (accum_dtype flows into ops.attention.mha's softmax). Measured
+# +11% on CLIP-L-336 v5e throughput vs fp32 softmax — the [B,H,S,S] logits
+# are the tower's HBM bottleneck, and halving them is faithful to the
+# reference, whose towers run wholesale in fp16 (`clip_encoder.py:33`,
+# `siglip_encoder.py:62-64` hardcode .half()).
+BF16_TOWER_PRECISION = Precision(param_dtype=jnp.bfloat16,
+                                 compute_dtype=jnp.bfloat16,
+                                 accum_dtype=jnp.bfloat16)

@@ -161,13 +161,19 @@ class ViTBlock(nn.Module):
         v = dense("v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         impl = cfg.attn_impl
         if impl == "auto":
-            # measured on v5e: XLA's fused attention wins at ViT shapes
-            # (S<=729, head_dim 64); Pallas flash wins for long causal
-            # decoder sequences (see ops/flash_attention.py)
+            # measured on v5e (round 2): XLA attention with bf16 logits +
+            # softmax (accum_dtype=bf16, BF16_TOWER_PRECISION) is the
+            # fastest ViT config (276 img/s CLIP-336) — the Pallas
+            # encoder kernel (ops/encoder_attention.py) only ties XLA
+            # (Mosaic runs the D=64 batched dots at ~19 TFLOP/s), and
+            # flash loses outright at S<=729
             impl = "xla"
         if impl == "flash":
             from ..ops.flash_attention import flash_mha
             attn = flash_mha(q, k, v, causal=self.causal)
+        elif impl == "encoder" and not self.causal:
+            from ..ops.encoder_attention import encoder_mha
+            attn = encoder_mha(q, k, v)
         else:
             mask = None
             if self.causal:
