@@ -70,6 +70,76 @@ def bench_towers(results, quick=False):
                         "unit": "images/sec/chip"})
 
 
+def bench_diffusion(results, quick=False):
+    """Single-pass diffusion featurization throughput at REAL production
+    architectures (random weights — throughput is weight-value-independent).
+    This is the reference's heaviest per-step compute: a full VAE-encode +
+    backbone pass per training step (`llava_arch.py:260-286`,
+    `dift_sd.py:157-188`)."""
+    import jax
+    import jax.numpy as jnp
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        BF16_TOWER_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.models import (
+        featurizer as F)
+    from law_of_vision_representation_in_mllms_tpu.models import unet as UN
+    from law_of_vision_representation_in_mllms_tpu.models import vae as VA
+    from law_of_vision_representation_in_mllms_tpu.models import dit as DT
+    from law_of_vision_representation_in_mllms_tpu.models import mmdit as MM
+
+    prec = BF16_TOWER_PRECISION
+    fams = ["runwayml/stable-diffusion-v1-5",
+            "stabilityai/stable-diffusion-xl-base-1.0",
+            "facebook/DiT-XL-2-512",
+            "stabilityai/stable-diffusion-3-medium-diffusers"]
+    if quick:
+        fams = fams[:1]
+    pick = os.environ.get("LVR_BENCH_FAMILY")
+    if pick:
+        fams = [f for f in fams if pick in f]
+    batch = 8
+    iters = 2 if quick else 4
+    rng0 = jax.random.PRNGKey(0)
+    np_rng = np.random.RandomState(4)
+    for name in fams:
+        cfg = F.FEATURIZER_PRESETS[name]()
+        short = name.split("/")[-1]
+        px = jnp.asarray(np_rng.rand(batch, cfg.img_size, cfg.img_size, 3)
+                         .astype(np.float32) * 2 - 1)
+        lat_hw = cfg.img_size // (2 ** (len(cfg.vae.block_out_channels) - 1))
+        latents = jnp.zeros((1, lat_hw, lat_hw, cfg.vae.latent_channels),
+                            jnp.bfloat16)
+        params = {"vae": jax.jit(VA.VAEEncoder(cfg.vae, prec).init)(
+            rng0, px[:1])["params"]}
+        if cfg.family == "dit":
+            mod = DT.DiTHarvest(cfg.dit, (cfg.up_ft_index,), prec)
+            params["backbone"] = jax.jit(mod.init)(rng0, latents, 1)["params"]
+        elif cfg.family == "sd3":
+            mod = MM.MMDiTHarvest(cfg.mmdit, (cfg.up_ft_index,), prec)
+            ctx = jnp.zeros((1, 333, cfg.mmdit.context_dim), jnp.bfloat16)
+            pooled = jnp.zeros((1, cfg.mmdit.pooled_dim), jnp.bfloat16)
+            params["backbone"] = jax.jit(mod.init)(rng0, latents, 1, ctx, pooled)["params"]
+            params["prompt_embeds"] = ctx
+            params["pooled"] = pooled
+        else:
+            mod = UN.UNetHarvest(cfg.unet, (cfg.up_ft_index,), prec)
+            ctx = jnp.zeros((1, 77, cfg.unet.cross_attention_dim),
+                            jnp.bfloat16)
+            params["backbone"] = jax.jit(mod.init)(rng0, latents, 1, ctx)["params"]
+            params["prompt_embeds"] = ctx
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+        fn = jax.jit(lambda p, x: F.extract_features(
+            p, cfg, x, deterministic=True, precision=prec))
+        dt = _timed(lambda x: fn(params, x), (px,),
+                    [(px * (1.0 - 0.002 * i),) for i in range(iters)],
+                    lambda o: float(jnp.sum(o.astype(jnp.float32))))
+        results.append({"metric": f"diffusion_featurize/{short}",
+                        "value": round(batch / dt, 2),
+                        "unit": "images/sec/chip",
+                        "img_size": cfg.img_size})
+
+
 def bench_a_score(results, quick=False):
     import jax.numpy as jnp
     from law_of_vision_representation_in_mllms_tpu.metrics.a_score import (
@@ -155,11 +225,12 @@ def bench_decode(results, quick=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", choices=["towers", "a", "c", "decode"])
+    ap.add_argument("--only", choices=["towers", "diffusion", "a", "c",
+                                       "decode"])
     args = ap.parse_args()
     results = []
-    todo = {"towers": bench_towers, "a": bench_a_score, "c": bench_c_score,
-            "decode": bench_decode}
+    todo = {"towers": bench_towers, "diffusion": bench_diffusion,
+            "a": bench_a_score, "c": bench_c_score, "decode": bench_decode}
     if args.only:
         todo = {args.only: todo[args.only]}
     for name, fn in todo.items():

@@ -2,14 +2,19 @@
 
 Computes, per image n:  mean_t max_a  <t,a> / ((||t||+eps) (||a||+eps))
 for target [N, St, D] and anchor [N, Sa, D] — the hot op of
-`A_score/compute.py:51-72` — without ever materializing normalized copies or
-the [St, Sa] similarity matrix in HBM. The D dimension is tiled; partial dot
-products and squared norms accumulate in VMEM scratch; the final tile applies
-normalization, row-max and mean in-register.
+`A_score/compute.py:51-72` — without materializing normalized copies or the
+[St, Sa] similarity matrix in HBM. The D dimension is tiled; partial dot
+products and squared norms accumulate in VMEM scratch; the final tile
+applies normalization, row-max and mean in-register.
 
-Cost per image: 2*St*Sa*D flops on the MXU; HBM traffic is exactly one read
-of each input (the jnp path reads inputs, writes normalized copies, writes
-and re-reads the sim matrix).
+STATUS (measured v5e, round 1-2): at the protocol shape (100x576x4096 fp32)
+this kernel TIES the XLA path (~47 ms either way, benchmarks/results.json
+`a_score_100x576x4096/*`) — the protocol run is dominated by feeding ~940 MB
+of fp32 embeddings from host through the relay, not by the reduction, so
+the saved HBM round-trips don't show up end-to-end. The pipeline therefore
+uses the plain jnp path (`metrics/a_score.py`, simpler and identical in
+cost); this kernel remains available + parity-tested for callers that keep
+embeddings resident on-chip.
 """
 
 from __future__ import annotations
