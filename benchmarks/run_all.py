@@ -207,19 +207,33 @@ def bench_decode(results, quick=False):
     ids[:, 0] = IMAGE_TOKEN_INDEX
     px = jnp.asarray(rng.randn(b, 336, 336, 3).astype(np.float32))
 
-    @jax.jit
-    def gen(p, i, pxv):
-        return llava.generate_greedy(p, cfg, i, jnp.ones_like(i, bool),
-                                     [pxv], max_new_tokens=new, eos_id=2,
-                                     precision=prec)
+    def make_gen(n_new):
+        @jax.jit
+        def gen(p, i, pxv):
+            return llava.generate_greedy(p, cfg, i, jnp.ones_like(i, bool),
+                                         [pxv], max_new_tokens=n_new,
+                                         eos_id=2, precision=prec)
+        return gen
+    gen16 = make_gen(new)
     iters = 3 if quick else 6
-    dt = _timed(lambda pxv: gen(params, jnp.asarray(ids), pxv), (px,),
+    dt = _timed(lambda pxv: gen16(params, jnp.asarray(ids), pxv), (px,),
                 [(px * (1.0 + 0.01 * i),) for i in range(iters)],
                 lambda o: int(o[0, 0]))
     results.append({"metric": "llava_1p4b_generate_b8_new16",
                     "value": round(b / dt, 2), "unit": "samples/sec"})
+    # NOTE: this metric amortizes the ViT forward + 640-token prefill over
+    # only 16 generated tokens — it is a *short-answer eval-loop* metric,
+    # not a decode-speed metric (kept for round-over-round comparability)
     results.append({"metric": "llava_1p4b_decode_tok_s",
                     "value": round(b * new / dt, 1), "unit": "tokens/sec"})
+    # pure decode throughput: marginal cost of 48 extra tokens
+    gen64 = make_gen(64)
+    dt64 = _timed(lambda pxv: gen64(params, jnp.asarray(ids), pxv), (px,),
+                  [(px * (1.0 + 0.01 * i),) for i in range(iters)],
+                  lambda o: int(o[0, 0]))
+    per_step = (dt64 - dt) / 48
+    results.append({"metric": "llava_1p4b_pure_decode_tok_s",
+                    "value": round(b / per_step, 1), "unit": "tokens/sec"})
 
 
 def main():

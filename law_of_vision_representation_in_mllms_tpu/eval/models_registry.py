@@ -69,5 +69,25 @@ class HFVision2SeqLMM(LMM):
         return out
 
     def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
-        raise NotImplementedError(
-            "hf-vision2seq adapter supports generate_until only")
+        """Continuation logprob + greedy-match flag, lm-eval convention:
+        the continuation is the last k tokens of the (context +
+        continuation) encoding (`lmms_eval/models/llava.py:217-283`)."""
+        import torch
+        tok = getattr(self.processor, "tokenizer", self.processor)
+        out = []
+        for r in requests:
+            ctx, cont = r.args[0], r.args[1]
+            cont_ids = tok(cont, add_special_tokens=False)["input_ids"]
+            inputs = self.processor(
+                text=ctx + cont,
+                images=r.visual[0] if r.visual else None,
+                return_tensors="pt")
+            k = len(cont_ids)
+            with torch.no_grad():
+                logits = self.model(**inputs).logits
+            lp = torch.log_softmax(logits[0, -k - 1:-1].float(), dim=-1)
+            tgt = torch.tensor(cont_ids, dtype=torch.long)
+            token_lp = lp.gather(1, tgt[:, None])[:, 0]
+            greedy = bool((lp.argmax(-1) == tgt).all())
+            out.append((float(token_lp.sum()), greedy))
+        return out
