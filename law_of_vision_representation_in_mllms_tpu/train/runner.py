@@ -169,14 +169,21 @@ def run_training(cfg: RunConfig) -> int:
         else:
             order = np.random.default_rng(
                 cfg.train.seed + epoch).permutation(len(ds))
-        for s in range(0, len(order) - cfg.train.batch_size + 1,
-                       cfg.train.batch_size):
-            samples = [ds[int(i)] for i in
-                       order[s:s + cfg.train.batch_size]]
+
+        def make_batch(sl):
+            samples = [ds[int(i)] for i in sl]
             batch = collate_batch(samples, max_length=cfg.train.max_length)
             batch = {k: ([jnp.asarray(x) for x in v] if isinstance(v, list)
                          else jnp.asarray(v)) for k, v in batch.items()}
-            batch = jax.device_put(batch, shard_batch_specs(batch, mesh))
+            return jax.device_put(batch, shard_batch_specs(batch, mesh))
+
+        slices = [order[s:s + cfg.train.batch_size]
+                  for s in range(0, len(order) - cfg.train.batch_size + 1,
+                                 cfg.train.batch_size)]
+        # batch N+1 decodes/collates on a host thread while step N runs on
+        # device (the reference's DataLoader num_workers overlap)
+        from ..utils.prefetch import map_prefetch
+        for batch in map_prefetch(make_batch, slices, depth=2):
             state, metrics = step_fn(state, batch)
             step += 1
             logger.log(step, {"loss": metrics["loss"],

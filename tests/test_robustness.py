@@ -155,3 +155,19 @@ def test_hf_vision2seq_loglikelihood_math():
     assert abs(score - want) < 1e-5
     assert greedy == bool(
         (lp.argmax(-1) == torch.tensor(cont)).all())
+
+
+def test_prefetch_iter():
+    from law_of_vision_representation_in_mllms_tpu.utils.prefetch import (
+        prefetch_iter, map_prefetch)
+    assert list(prefetch_iter(range(10), depth=3)) == list(range(10))
+    assert list(map_prefetch(lambda x: x * 2, range(5))) == [0, 2, 4, 6, 8]
+    # producer exceptions surface at the consumer
+    def boom():
+        yield 1
+        raise ValueError("io failed")
+    it = prefetch_iter(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="io failed"):
+        list(it)
