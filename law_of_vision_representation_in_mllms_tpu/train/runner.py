@@ -133,12 +133,15 @@ def run_training(cfg: RunConfig) -> int:
                          f"over the data axis ({n_data} ways)")
     steps_per_epoch = max(1, len(ds) // cfg.train.batch_size)
     total = steps_per_epoch * cfg.train.epochs
+    if cfg.train.batch_size % max(1, cfg.train.grad_accum):
+        raise ValueError("batch_size must divide by grad_accum")
     tcfg = TrainConfig(stage=cfg.train.stage,
                        learning_rate=cfg.train.learning_rate,
                        weight_decay=cfg.train.weight_decay,
                        warmup_ratio=cfg.train.warmup_ratio,
                        total_steps=total,
-                       remat=cfg.train.gradient_checkpointing)
+                       remat=cfg.train.gradient_checkpointing,
+                       grad_accum=cfg.train.grad_accum)
     if cfg.parallel.zero:
         state, opt, opt_dev, opt_host = init_sharded_train_state(
             params, tcfg, model_cfg, mesh, zero=cfg.parallel.zero,

@@ -43,6 +43,10 @@ class TrainConfig:
     b2: float = 0.999
     remat: bool = False              # per-block gradient checkpointing
     use_flash: bool = False          # Pallas flash attention in training
+    # microbatch gradient accumulation: the global batch splits into
+    # `grad_accum` sequential microbatches inside one jitted step
+    # (HF TrainingArguments gradient_accumulation_steps equivalent)
+    grad_accum: int = 1
 
 
 def _freeze_labels(params, stage: int):
@@ -162,8 +166,28 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
                              diffusion_apply, remat=train_cfg.remat,
                              use_flash=train_cfg.use_flash)
 
+    def grad_fn(params, batch):
+        a = train_cfg.grad_accum
+        if a <= 1:
+            return jax.value_and_grad(loss)(params, batch)
+        # microbatch the global batch: lax.scan keeps compile size flat in
+        # `a` and the accumulator buffers live in-place
+        micro = jax.tree.map(
+            lambda x: x.reshape(a, x.shape[0] // a, *x.shape[1:]), batch)
+
+        def body(carry, mb):
+            l_acc, g_acc = carry
+            l, g = jax.value_and_grad(loss)(params, mb)
+            return (l_acc + l, jax.tree.map(jnp.add, g_acc, g)), ()
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (l_sum, g_sum), _ = jax.lax.scan(body, (jnp.zeros(()), zeros),
+                                         micro)
+        inv = 1.0 / a
+        return l_sum * inv, jax.tree.map(lambda g: g * inv, g_sum)
+
     def step(state, batch):
-        l, grads = jax.value_and_grad(loss)(state["params"], batch)
+        l, grads = grad_fn(state["params"], batch)
         gnorm = optax.global_norm(grads)
         # production guard (absent in the reference): skip the update when
         # the loss/grads go non-finite instead of poisoning the params

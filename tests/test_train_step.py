@@ -140,3 +140,60 @@ def test_sharded_generate_on_mesh(mesh8):
                              max_new_tokens=4, eos_id=0,
                              precision=FP32_PRECISION, use_flash=False)
     assert np.asarray(toks).shape == (8, 4)
+
+
+def test_grad_accum_parity(mesh8):
+    """grad_accum=2 over a duplicated batch must match grad_accum=1 over
+    the single batch exactly (mean-of-means grads)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.models import llama, llava
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IGNORE_INDEX, IMAGE_TOKEN_INDEX)
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        ViTConfig)
+    from law_of_vision_representation_in_mllms_tpu.train.train_step import (
+        TrainConfig, init_train_state, make_train_step)
+
+    vit_cfg = ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                        num_layers=2, num_heads=4, intermediate_size=64)
+    entry = TowerEntry(name="t", kind="vit", vit_config=vit_cfg,
+                       vit_family="clip", hidden_size=32,
+                       num_patches=vit_cfg.num_patches)
+    cfg = llava.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=llama.tiny(vocab_size=128, hidden_size=32, num_layers=2,
+                           num_heads=4, num_kv_heads=2,
+                           intermediate_size=64))
+    params = llava.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+
+    rng = np.random.RandomState(0)
+    b, l = 4, 10
+    ids = rng.randint(1, 120, size=(b, l)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    labels = ids.copy()
+    labels[:, :2] = IGNORE_INDEX
+    px = rng.randn(b, 28, 28, 3).astype(np.float32)
+    one = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+           "text_mask": jnp.ones((b, l), bool),
+           "pixel_values": [jnp.asarray(px)]}
+    two = jax.tree.map(lambda x: jnp.concatenate([x, x]), one)
+
+    results = []
+    for accum, batch in ((1, one), (2, two)):
+        tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=10,
+                           grad_accum=accum)
+        state, opt = init_train_state(params, tcfg)
+        step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+        state, m = step(state, batch)
+        results.append((float(m["loss"]),
+                        np.asarray(state["params"]["projector"]["layers"]
+                                   [0]["kernel"])))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-5,
+                               atol=1e-7)
