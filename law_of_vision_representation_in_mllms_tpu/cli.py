@@ -83,6 +83,20 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--out-dir", default="c_train_out")
 
+    p = sub.add_parser("make-config",
+                       help="emit a RunConfig YAML for one of the paper's "
+                            "13 representations")
+    p.add_argument("rep", help="e.g. CLIP336, SD1.5, CLIP336+DINOv2; "
+                               "'list' prints all")
+    p.add_argument("--stage", type=int, default=1, choices=[1, 2])
+    p.add_argument("--tokenizer", default="/ckpts/vicuna-7b-v1.5")
+    p.add_argument("--output-dir")
+    p.add_argument("--data-path", default="")
+    p.add_argument("--image-folder", default="")
+    p.add_argument("--n-data", type=int, default=8)
+    p.add_argument("--n-model", type=int, default=1)
+    p.add_argument("--zero", type=int, default=2)
+
     p = sub.add_parser("port-featurizer",
                        help="diffusers snapshot dir -> featurizer bundle")
     p.add_argument("kind",
@@ -209,6 +223,21 @@ def _cmd_c_train(args):
     return 0
 
 
+def _cmd_make_config(args):
+    from .core.representations import REPRESENTATIONS, render_config
+    if args.rep == "list":
+        for name, rep in REPRESENTATIONS.items():
+            print(f"{name}\t{rep.tower}")
+        return 0
+    print(render_config(args.rep, args.stage, tokenizer=args.tokenizer,
+                        output_dir=args.output_dir,
+                        data_path=args.data_path,
+                        image_folder=args.image_folder,
+                        n_data=args.n_data, n_model=args.n_model,
+                        zero=args.zero))
+    return 0
+
+
 def _cmd_port_featurizer(args):
     from .io.featurizer_bundle import port_featurizer_bundle
     out = port_featurizer_bundle(
@@ -222,6 +251,7 @@ def _cmd_port_featurizer(args):
 DISPATCH = {
     "a-score": _cmd_a_score,
     "port-featurizer": _cmd_port_featurizer,
+    "make-config": _cmd_make_config,
     "c-score": _cmd_c_score,
     "policy": _cmd_policy,
     "train": _cmd_train,

@@ -26,7 +26,9 @@ class ModelSection:
     t: int = 1
     prompt: str = ""
     ensemble_size: int = 1
-    img_size: int = 768
+    # None = per-tower default (768 for SD UNets, 512 for XL/DiT/SD3 —
+    # `towers.DIFFUSION_IMG_SIZES`)
+    img_size: Optional[int] = None
     conv_template: str = "v1"
     checkpoint: Optional[str] = None       # orbax train-state dir
     tokenizer: Optional[str] = None        # HF tokenizer path (host-side)
@@ -118,4 +120,12 @@ def _coerce(val: str, like: Any):
         return int(val)
     if isinstance(like, float):
         return float(val)
+    if like is None:
+        # Optional fields: parse numbers, pass strings, allow clearing
+        if val.lower() in ("none", "null", ""):
+            return None
+        try:
+            return int(val)
+        except ValueError:
+            return val
     return val

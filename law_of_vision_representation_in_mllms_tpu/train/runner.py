@@ -43,10 +43,11 @@ def build_tokenizer(cfg: RunConfig):
 
 def build_model(cfg: RunConfig, rng=None):
     import dataclasses
-    spec = parse_tower_spec(cfg.model.vision_tower,
-                            up_ft_index=cfg.model.up_ft_index,
-                            t=cfg.model.t,
-                            ensemble_size=cfg.model.ensemble_size)
+    tower_kw = dict(up_ft_index=cfg.model.up_ft_index, t=cfg.model.t,
+                    ensemble_size=cfg.model.ensemble_size)
+    if cfg.model.img_size:
+        tower_kw["img_size"] = cfg.model.img_size
+    spec = parse_tower_spec(cfg.model.vision_tower, **tower_kw)
 
     # ported tower weights (model.tower_weights, one path per entry).
     # Diffusion bundles carry their architecture in the .json sidecar; the

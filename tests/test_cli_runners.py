@@ -124,3 +124,29 @@ def test_eval_runner_tiny(tmp_path):
     res = run_evaluation(cfg, [str(tpath)])
     assert "mmbench_en" in res
     assert 0.0 <= res["mmbench_en"]["value"] <= 1.0
+
+
+def test_make_config_all_13_reps(capsys):
+    """Every paper representation renders a VALID RunConfig that parses and
+    builds a tower spec (SURVEY §6.1 row coverage)."""
+    from law_of_vision_representation_in_mllms_tpu.core.representations import (
+        REPRESENTATIONS)
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        parse_tower_spec)
+    assert len(REPRESENTATIONS) == 13
+    for name in REPRESENTATIONS:
+        for stage in (1, 2):
+            rc = cli_main(["make-config", name, "--stage", str(stage)])
+            assert rc == 0
+            out = capsys.readouterr().out
+            raw = yaml.safe_load(out)
+            cfg = RunConfig.from_dict(raw)
+            spec = parse_tower_spec(cfg.model.vision_tower)
+            assert spec.entries
+            if "+" in name:
+                assert spec.join == "concat" and len(spec.entries) == 2
+            assert cfg.train.stage == stage
+            assert cfg.parallel.zero == 2
+    rc = cli_main(["make-config", "list"])
+    assert rc == 0
+    assert "SD3" in capsys.readouterr().out
