@@ -51,6 +51,10 @@ class TrainSection:
     bf16: bool = True
     gradient_checkpointing: bool = False
     group_by_modality_length: bool = False
+    # LoRA finetune (`finetune_lora.sh`: lora_r 128, lora_alpha 256)
+    lora_enable: bool = False
+    lora_r: int = 128
+    lora_alpha: float = 256.0
     pretrain_mm_mlp_adapter: Optional[str] = None
     output_dir: str = "checkpoints/run"
     save_steps: int = 500

@@ -154,11 +154,14 @@ def dump_image_embeds(params, cfg: LlavaConfig, pixel_values,
 def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
             precision: Precision = DEFAULT_PRECISION,
             diffusion_apply=None, remat: bool = False,
-            use_flash: bool = False):
+            use_flash: bool = False, lora_scaling: float = 1.0):
     """Training loss.
 
     batch: input_ids [B,L] (with -200 image slots), labels [B,L],
     text_mask [B,L] bool, pixel_values: list of NHWC arrays per tower.
+    If params contain a "lora" subtree (models/lora.py), the decoder runs
+    with the rank-r adapters applied (the reference's peft-LoRA finetune,
+    `train.py:945-985`).
     """
     plan = splice_plan(batch["input_ids"], batch["labels"],
                        batch["text_mask"], cfg.num_patches)
@@ -168,7 +171,8 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
     embeds = splice_embeds(plan, txt, img)
     h, _ = L.forward(params["decoder"], cfg.decoder, embeds, plan.positions,
                      attn_mask=plan.attn_mask, precision=precision,
-                     remat=remat, use_flash=use_flash)
+                     remat=remat, use_flash=use_flash,
+                     lora=params.get("lora"), lora_scaling=lora_scaling)
     logits = L.logits_fn(params["decoder"], h, precision)
     return L.causal_lm_loss(logits, plan.labels)
 

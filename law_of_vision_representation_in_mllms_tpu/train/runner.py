@@ -136,13 +136,21 @@ def run_training(cfg: RunConfig) -> int:
     total = steps_per_epoch * cfg.train.epochs
     if cfg.train.batch_size % max(1, cfg.train.grad_accum):
         raise ValueError("batch_size must divide by grad_accum")
+    if cfg.train.lora_enable:
+        from ..models.lora import LoraConfig, init_lora
+        params["lora"] = init_lora(
+            jax.random.PRNGKey(cfg.train.seed + 1), model_cfg.decoder,
+            LoraConfig(rank=cfg.train.lora_r, alpha=cfg.train.lora_alpha))
     tcfg = TrainConfig(stage=cfg.train.stage,
                        learning_rate=cfg.train.learning_rate,
                        weight_decay=cfg.train.weight_decay,
                        warmup_ratio=cfg.train.warmup_ratio,
                        total_steps=total,
                        remat=cfg.train.gradient_checkpointing,
-                       grad_accum=cfg.train.grad_accum)
+                       grad_accum=cfg.train.grad_accum,
+                       lora_rank=cfg.train.lora_r if cfg.train.lora_enable
+                       else 0,
+                       lora_alpha=cfg.train.lora_alpha)
     if cfg.parallel.zero:
         state, opt, opt_dev, opt_host = init_sharded_train_state(
             params, tcfg, model_cfg, mesh, zero=cfg.parallel.zero,
@@ -203,6 +211,17 @@ def run_training(cfg: RunConfig) -> int:
                                "mm_hidden_size":
                                model_cfg.tower_spec.mm_hidden_size})
         rank0_print(f"stage-1 projector saved to {cfg.train.output_dir}")
+    elif cfg.train.lora_enable:
+        # LoRA-split save (`train.py:1122-1132`): adapters + the non-LoRA
+        # trainables (projector), NOT the frozen base
+        import os as _os
+        from ..io.param_io import save_params as _save
+        _save(_os.path.join(cfg.train.output_dir, "lora_adapters.npz"),
+              jax.tree.map(np.asarray, state["params"]["lora"]))
+        save_projector(cfg.train.output_dir, state["params"]["projector"],
+                       config={"lora_r": cfg.train.lora_r,
+                               "lora_alpha": cfg.train.lora_alpha})
+        rank0_print(f"LoRA adapters saved to {cfg.train.output_dir}")
     else:
         save_train_state(cfg.train.output_dir, state, step)
     logger.close()

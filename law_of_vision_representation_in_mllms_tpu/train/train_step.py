@@ -47,14 +47,25 @@ class TrainConfig:
     # `grad_accum` sequential microbatches inside one jitted step
     # (HF TrainingArguments gradient_accumulation_steps equivalent)
     grad_accum: int = 1
+    # LoRA finetune (reference `finetune_lora.sh`: --lora_enable --lora_r
+    # 128 --lora_alpha 256): rank>0 expects params["lora"] adapters; the
+    # decoder base freezes, adapters + projector train
+    lora_rank: int = 0
+    lora_alpha: float = 256.0
+
+    @property
+    def lora_scaling(self) -> float:
+        return self.lora_alpha / self.lora_rank if self.lora_rank else 1.0
 
 
 def _freeze_labels(params, stage: int):
     """'train' / 'freeze' label tree. Towers never train (reference freezes
-    them in both stages, `train.py:1024-1031`)."""
+    them in both stages, `train.py:1024-1031`). With LoRA adapters present,
+    the decoder base freezes and the adapters train (peft semantics; the
+    projector keeps training via --mm_projector_lr, `train.py:969-985`)."""
     labels = jax.tree.map(lambda _: "train", params)
     labels["towers"] = jax.tree.map(lambda _: "freeze", params["towers"])
-    if stage == 1:
+    if stage == 1 or "lora" in params:
         labels["decoder"] = jax.tree.map(lambda _: "freeze",
                                          params["decoder"])
     return labels
@@ -164,7 +175,8 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
     def loss(params, batch):
         return llava.loss_fn(params, model_cfg, batch, precision,
                              diffusion_apply, remat=train_cfg.remat,
-                             use_flash=train_cfg.use_flash)
+                             use_flash=train_cfg.use_flash,
+                             lora_scaling=train_cfg.lora_scaling)
 
     def grad_fn(params, batch):
         a = train_cfg.grad_accum
