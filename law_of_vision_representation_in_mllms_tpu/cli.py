@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--tasks", nargs="+", required=True)
     p.add_argument("--limit", type=int)
     p.add_argument("--output", default="eval_results.json")
+    p.add_argument("--model", default="llava",
+                   help="adapter name (llava | hf-vision2seq | registered)")
+    p.add_argument("--model-args", default="",
+                   help="k=v,k=v kwargs for non-llava adapters")
 
     p = sub.add_parser("extract-embeds", help="A-score embedding dump")
     _add_common(p)
@@ -180,7 +184,10 @@ def _cmd_eval(args):
     from .eval.runner import run_evaluation
     cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
         else RunConfig.from_dict({})
-    res = run_evaluation(cfg, args.tasks, limit=args.limit)
+    margs = dict(kv.split("=", 1) for kv in args.model_args.split(",")
+                 if "=" in kv)
+    res = run_evaluation(cfg, args.tasks, limit=args.limit,
+                         model=args.model, model_args=margs or None)
     with open(args.output, "w") as f:
         json.dump({k: {kk: vv for kk, vv in v.items() if kk != "samples"}
                    for k, v in res.items()}, f, indent=1)

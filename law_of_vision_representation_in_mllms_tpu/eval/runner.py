@@ -48,8 +48,17 @@ def build_lmm(cfg: RunConfig) -> LlavaLMM:
 
 
 def run_evaluation(cfg: RunConfig, tasks: List[str], *,
-                   limit: Optional[int] = None, log_samples: bool = False):
-    lmm = build_lmm(cfg)
+                   limit: Optional[int] = None, log_samples: bool = False,
+                   model: str = "llava", model_args: Optional[dict] = None):
+    """`--model llava` evaluates this framework's model built from the
+    RunConfig; any other name resolves through the adapter registry with
+    `model_args` kwargs (the reference's `--model X --model_args k=v`,
+    `lmms_eval/__main__.py:43`)."""
+    if model == "llava":
+        lmm = build_lmm(cfg)
+    else:
+        from .models_registry import build_lmm_by_name
+        lmm = build_lmm_by_name(model, **(model_args or {}))
     paths = [_resolve_task(t) for t in tasks]
     return simple_evaluate(lmm, paths, limit=limit, log_samples=log_samples,
                            process_index=jax.process_index(),

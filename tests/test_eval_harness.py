@@ -385,3 +385,39 @@ def test_lazy_visuals(tmp_path):
         assert calls["n"] == 2
     finally:
         Image.open = real_open
+
+
+def test_eval_cli_model_registry(tmp_path, capsys):
+    """`lvr eval --model <name>` resolves adapters through the registry
+    (the reference's `--model X --model_args k=v`)."""
+    from law_of_vision_representation_in_mllms_tpu.cli import main as cli
+    from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
+        register_lmm)
+
+    docs = [{"question": "yes or no?", "answer": "yes"}] * 3
+    with open(tmp_path / "d.json", "w") as f:
+        json.dump(docs, f)
+    import yaml as pyyaml
+    tcfg = {"task": "echo_task", "dataset_path": str(tmp_path / "d.json"),
+            "dataset_backend": "json", "aggregation": "mean"}
+    tpath = str(tmp_path / "task.yaml")
+    with open(tpath, "w") as f:
+        pyyaml.safe_dump(tcfg, f)
+
+    @register_lmm("always-yes")
+    class AlwaysYes(LMM):
+        def __init__(self, suffix=""):
+            self.suffix = suffix
+
+        def generate_until(self, requests):
+            return ["yes" + self.suffix for _ in requests]
+
+        def loglikelihood(self, requests):
+            raise NotImplementedError
+
+    out_json = str(tmp_path / "r.json")
+    rc = cli(["eval", "--tasks", tpath, "--model", "always-yes",
+              "--output", out_json])
+    assert rc == 0
+    res = json.load(open(out_json))
+    assert res["echo_task"]["value"] == 1.0
