@@ -55,6 +55,9 @@ class TrainSection:
     lora_enable: bool = False
     lora_r: int = 128
     lora_alpha: float = 256.0
+    # "Switch" steering ablation (train_switch.py): only W trains
+    switch_enable: bool = False
+    switch_sigma: float = 1.0
     pretrain_mm_mlp_adapter: Optional[str] = None
     output_dir: str = "checkpoints/run"
     save_steps: int = 500

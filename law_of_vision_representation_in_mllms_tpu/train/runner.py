@@ -141,6 +141,11 @@ def run_training(cfg: RunConfig) -> int:
         params["lora"] = init_lora(
             jax.random.PRNGKey(cfg.train.seed + 1), model_cfg.decoder,
             LoraConfig(rank=cfg.train.lora_r, alpha=cfg.train.lora_alpha))
+    if cfg.train.switch_enable:
+        from ..models.switch import init_switch
+        params["switch"] = init_switch(
+            jax.random.PRNGKey(cfg.train.seed + 2),
+            model_cfg.decoder.hidden_size)
     tcfg = TrainConfig(stage=cfg.train.stage,
                        learning_rate=cfg.train.learning_rate,
                        weight_decay=cfg.train.weight_decay,
@@ -150,7 +155,9 @@ def run_training(cfg: RunConfig) -> int:
                        grad_accum=cfg.train.grad_accum,
                        lora_rank=cfg.train.lora_r if cfg.train.lora_enable
                        else 0,
-                       lora_alpha=cfg.train.lora_alpha)
+                       lora_alpha=cfg.train.lora_alpha,
+                       switch_sigma=cfg.train.switch_sigma
+                       if cfg.train.switch_enable else 0.0)
     if cfg.parallel.zero:
         state, opt, opt_dev, opt_host = init_sharded_train_state(
             params, tcfg, model_cfg, mesh, zero=cfg.parallel.zero,
@@ -211,6 +218,12 @@ def run_training(cfg: RunConfig) -> int:
                                "mm_hidden_size":
                                model_cfg.tower_spec.mm_hidden_size})
         rank0_print(f"stage-1 projector saved to {cfg.train.output_dir}")
+    elif cfg.train.switch_enable:
+        import os as _os
+        from ..io.param_io import save_params as _save
+        _save(_os.path.join(cfg.train.output_dir, "switch.npz"),
+              jax.tree.map(np.asarray, state["params"]["switch"]))
+        rank0_print(f"switch W saved to {cfg.train.output_dir}")
     elif cfg.train.lora_enable:
         # LoRA-split save (`train.py:1122-1132`): adapters + the non-LoRA
         # trainables (projector), NOT the frozen base

@@ -52,6 +52,9 @@ class TrainConfig:
     # decoder base freezes, adapters + projector train
     lora_rank: int = 0
     lora_alpha: float = 256.0
+    # "Switch" representation-steering ablation (train_switch.py:895-898):
+    # nonzero sigma expects params["switch"]; ONLY W trains
+    switch_sigma: float = 0.0
 
     @property
     def lora_scaling(self) -> float:
@@ -63,6 +66,12 @@ def _freeze_labels(params, stage: int):
     them in both stages, `train.py:1024-1031`). With LoRA adapters present,
     the decoder base freezes and the adapters train (peft semantics; the
     projector keeps training via --mm_projector_lr, `train.py:969-985`)."""
+    if "switch" in params:
+        # only W trains (`train_switch.py:895-898`)
+        labels = jax.tree.map(lambda _: "freeze", params)
+        labels["switch"] = jax.tree.map(lambda _: "train",
+                                        params["switch"])
+        return labels
     labels = jax.tree.map(lambda _: "train", params)
     labels["towers"] = jax.tree.map(lambda _: "freeze", params["towers"])
     if stage == 1 or "lora" in params:
@@ -173,6 +182,11 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
     steps and are device_put in only for the update."""
 
     def loss(params, batch):
+        if train_cfg.switch_sigma:
+            from ..models.switch import switch_loss_fn
+            return switch_loss_fn(params, model_cfg, batch,
+                                  train_cfg.switch_sigma, precision,
+                                  diffusion_apply)
         return llava.loss_fn(params, model_cfg, batch, precision,
                              diffusion_apply, remat=train_cfg.remat,
                              use_flash=train_cfg.use_flash,
