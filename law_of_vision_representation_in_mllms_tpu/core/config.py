@@ -24,6 +24,10 @@ class ModelSection:
     # diffusion tower knobs (`train.py:83-88`)
     up_ft_index: int = 0
     t: int = 1
+    # NOTE: the conditioning prompt ('' throughout the reference pipeline)
+    # is baked into featurizer bundles at PORT time (io/featurizer_bundle
+    # precomputes the text embedding); this field is informational — change
+    # the prompt by re-porting with different prompt_ids
     prompt: str = ""
     ensemble_size: int = 1
     # None = per-tower default (768 for SD UNets, 512 for XL/DiT/SD3 —
@@ -61,6 +65,8 @@ class TrainSection:
     pretrain_mm_mlp_adapter: Optional[str] = None
     output_dir: str = "checkpoints/run"
     save_steps: int = 500
+    # prune to the newest N step checkpoints (HF save_total_limit); 0 = all
+    save_total_limit: int = 0
     logging_steps: int = 1
     seed: int = 42
 

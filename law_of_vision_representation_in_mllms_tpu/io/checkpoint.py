@@ -23,12 +23,23 @@ def _ocp():
     return ocp
 
 
-def save_train_state(ckpt_dir: str, state: Dict[str, Any], step: int
-                     ) -> str:
+def save_train_state(ckpt_dir: str, state: Dict[str, Any], step: int,
+                     keep: Optional[int] = None) -> str:
+    """Save `checkpoint-{step}`; with `keep`, prune the oldest checkpoints
+    beyond the newest `keep` (HF Trainer save_total_limit semantics)."""
     ocp = _ocp()
     path = os.path.join(os.path.abspath(ckpt_dir), f"checkpoint-{step}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state)
+    if keep:
+        import shutil
+        steps = sorted(
+            int(d.split("-")[-1]) for d in os.listdir(ckpt_dir)
+            if d.startswith("checkpoint-") and d.split("-")[-1].isdigit())
+        for s in steps[:-keep]:
+            shutil.rmtree(os.path.join(os.path.abspath(ckpt_dir),
+                                       f"checkpoint-{s}"),
+                          ignore_errors=True)
     return path
 
 

@@ -209,7 +209,8 @@ def run_training(cfg: RunConfig) -> int:
                               "grad_norm": metrics["grad_norm"],
                               "epoch": epoch})
             if step % cfg.train.save_steps == 0:
-                save_train_state(cfg.train.output_dir, state, step)
+                save_train_state(cfg.train.output_dir, state, step,
+                                 keep=cfg.train.save_total_limit or None)
 
     if cfg.train.stage == 1:
         save_projector(cfg.train.output_dir, state["params"]["projector"],

@@ -152,3 +152,17 @@ def test_load_pretrained_resolution(tmp_path):
     out2 = load_pretrained(d, base, lora_cfg=lcfg)
     assert np.abs(np.asarray(out2["decoder"]["layers"]["wq"])
                   - np.asarray(base["decoder"]["layers"]["wq"])).max() > 0
+
+
+def test_checkpoint_retention(tmp_path):
+    """save_total_limit prunes old step checkpoints (HF Trainer parity)."""
+    from law_of_vision_representation_in_mllms_tpu.io.checkpoint import (
+        save_train_state, latest_checkpoint)
+    state = {"params": {"w": jnp.ones((4,))},
+             "step": jnp.zeros((), jnp.int32)}
+    for s in (10, 20, 30, 40):
+        save_train_state(str(tmp_path), state, s, keep=2)
+    kept = sorted(d for d in os.listdir(tmp_path)
+                  if d.startswith("checkpoint-"))
+    assert kept == ["checkpoint-30", "checkpoint-40"]
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-40")
