@@ -66,7 +66,8 @@ def main(argv=None):
     p.add_argument("--n-images", type=int, default=100)
 
     p = sub.add_parser("c-score")
-    p.add_argument("--spair-dir", required=True)
+    p.add_argument("--spair-dir", required=True,
+                   help="dataset root (SPair-71k / AP-10k / PF-Pascal)")
     p.add_argument("--feature-dir", required=True)
     p.add_argument("--num-patches", type=int, required=True)
     p.add_argument("--suffix", default="")
@@ -75,6 +76,8 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=5)
     p.add_argument("--categories", nargs="*")
     p.add_argument("--subsample", type=int)
+    p.add_argument("--dataset", default="spair",
+                   choices=["spair", "ap10k", "pascal"])
 
     p = sub.add_parser("c-train", help="supervised correspondence training")
     p.add_argument("--spair-dir", required=True)
@@ -143,7 +146,7 @@ def _cmd_c_score(args):
                       suffix2=args.suffix2, num_patches=args.num_patches,
                       anno_size=args.anno_size, window=args.window,
                       categories=args.categories or None,
-                      subsample=args.subsample)
+                      subsample=args.subsample, dataset=args.dataset)
     out = {"per_img_pck": res["per_img"], "per_kpt_pck": res["per_kpt"]}
     if "geo" in res:
         out["geo_pck"] = res["geo"]

@@ -33,16 +33,34 @@ def run_c_score(spair_dir: str, feature_dir: str, *, suffix: str = "",
                 anno_size: int = 840, window: int = 5,
                 categories: Optional[Sequence[str]] = None,
                 subsample: Optional[int] = None,
+                dataset: str = "spair",
                 compute_geo: bool = True) -> Dict:
     """Returns {'per_kpt': [PCK@.1,.05,.01], 'per_img': ..., 'geo': ...,
     'categories': {...}} — `per_img` PCK@0.10 is the paper's C score
-    ('corres' column); `geo` is 'geo_corres'."""
-    categories = list(categories or S.SPAIR_CATEGORIES)
+    ('corres' column); `geo` is 'geo_corres'.
+
+    dataset: "spair" (default; paper C score) | "ap10k" | "pascal"
+    (`utils_dataset.py:115-150` eval dispatch). Non-SPair datasets need
+    explicit `categories` and skip the SPair geo-aware masks."""
+    categories = list(categories or
+                      (S.SPAIR_CATEGORIES if dataset == "spair" else ()))
+    if not categories:
+        raise ValueError(f"dataset '{dataset}' needs explicit categories")
+    if dataset != "spair":
+        compute_geo = False
     per_cat, geo_per_cat = [], []
     details = {}
     for cat in categories:
-        pairs = S.load_spair_data(spair_dir, cat, size=anno_size,
-                                  subsample=subsample)
+        if dataset == "spair":
+            pairs = S.load_spair_data(spair_dir, cat, size=anno_size,
+                                      subsample=subsample)
+        elif dataset == "ap10k":
+            pairs = S.load_ap10k_data(spair_dir, cat, size=anno_size,
+                                      subsample=subsample)
+        elif dataset == "pascal":
+            pairs = S.load_pascal_data(spair_dir, cat, size=anno_size)
+        else:
+            raise ValueError(dataset)
         feats = _load_features(pairs.files, feature_dir, suffix)
         if suffix2:
             feats2 = _load_features(pairs.files, feature_dir, suffix2)

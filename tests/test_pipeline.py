@@ -166,3 +166,46 @@ def test_checkpoint_retention(tmp_path):
                   if d.startswith("checkpoint-"))
     assert kept == ["checkpoint-30", "checkpoint-40"]
     assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-40")
+
+
+def test_c_score_ap10k_dataset(tmp_path):
+    """AP-10k reaches the C-score CLI path (`utils_dataset.py:151-207`
+    dispatch) — synthetic fixture, per-img PCK in range."""
+    import json
+    from law_of_vision_representation_in_mllms_tpu.pipeline import (
+        run_c_score)
+
+    root = str(tmp_path / "ap10k")
+    os.makedirs(f"{root}/PairAnnotation/test", exist_ok=True)
+    os.makedirs(f"{root}/ImageAnnotation/dog", exist_ok=True)
+    rng = np.random.RandomState(0)
+    n_kp = 5
+    for p in range(3):
+        sides = {}
+        for side, idx in (("src", 2 * p), ("trg", 2 * p + 1)):
+            w, h = int(rng.randint(60, 100)), int(rng.randint(60, 100))
+            kp = []
+            for _ in range(n_kp):
+                kp += [float(rng.randint(0, w)), float(rng.randint(0, h)),
+                       2.0]
+            anno = {"keypoints": kp, "width": w, "height": h,
+                    "bbox": [2, 2, w - 4, h - 4]}
+            apath = f"{root}/ImageAnnotation/dog/img{idx}.json"
+            with open(apath, "w") as f:
+                json.dump(anno, f)
+            sides[side] = apath
+        with open(f"{root}/PairAnnotation/test/{p:06d}:dog.json",
+                  "w") as f:
+            json.dump({"src_json_path": sides["src"],
+                       "trg_json_path": sides["trg"]}, f)
+
+    feat_dir = str(tmp_path / "feats")
+    os.makedirs(feat_dir)
+    for idx in range(6):
+        np.save(f"{feat_dir}/img{idx}.npy",
+                rng.randn(16, 8).astype(np.float32))
+
+    res = run_c_score(root, feat_dir, num_patches=4, anno_size=64,
+                      categories=["dog"], dataset="ap10k", subsample=None)
+    assert 0.0 <= res["per_img"][0] <= 1.0
+    assert "geo" not in res          # geo masks are SPair-only
