@@ -127,6 +127,18 @@ def main(argv=None):
     p.add_argument("--top", type=int, default=1)
 
     args = parser.parse_args(argv)
+    # multi-host launch (TPU pod / multi-process): LVR_DISTRIBUTED=1
+    # initializes the jax runtime before any backend use — the
+    # deepspeed-launcher / init_process_group step of the reference
+    import os as _os
+    if _os.environ.get("LVR_DISTRIBUTED"):
+        from .parallel.mesh import init_distributed
+        init_distributed(
+            coordinator_address=_os.environ.get("LVR_COORDINATOR"),
+            num_processes=int(_os.environ["LVR_NUM_PROCESSES"])
+            if _os.environ.get("LVR_NUM_PROCESSES") else None,
+            process_id=int(_os.environ["LVR_PROCESS_ID"])
+            if _os.environ.get("LVR_PROCESS_ID") else None)
     return DISPATCH[args.cmd](args)
 
 

@@ -50,6 +50,29 @@ def with_sharding(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host runtime init — the reference's
+    `dist.init_process_group("nccl")` (`extract.py:254`) / deepspeed
+    launcher equivalent. On TPU pods `jax.distributed.initialize()`
+    auto-discovers the topology; explicit args serve CPU/GPU clusters.
+    Idempotent: returns False when already initialized (or single-host
+    with no coordinator configured)."""
+    import jax
+
+    try:
+        kwargs = {}
+        if coordinator_address:
+            kwargs = {"coordinator_address": coordinator_address,
+                      "num_processes": num_processes,
+                      "process_id": process_id}
+        jax.distributed.initialize(**kwargs)
+        return True
+    except (RuntimeError, ValueError):
+        return False
+
+
 def process_shard(items, process_index: int | None = None,
                   process_count: int | None = None):
     """Rank-slice a document list (the eval harness's data parallelism).
