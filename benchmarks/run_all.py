@@ -236,17 +236,71 @@ def bench_decode(results, quick=False):
                     "value": round(b / per_step, 1), "unit": "tokens/sec"})
 
 
+def bench_decode_7b(results, quick=False):
+    """Flagship-scale decode: the vicuna-7b architecture (random weights) +
+    CLIP-336 tower on ONE v5e chip — 13.4 GB bf16 params. Run explicitly
+    (`--only decode7b`); excluded from the default sweep for time."""
+    import jax
+    import jax.numpy as jnp
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        Precision)
+    from law_of_vision_representation_in_mllms_tpu.models import llama, llava
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IMAGE_TOKEN_INDEX)
+
+    prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
+                                  decoder=llama.vicuna_7b())
+
+    @jax.jit
+    def init(k):
+        p = llava.init_params(k, cfg, prec)
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+    params = init(jax.random.PRNGKey(0))
+    b, l = 4, 64
+    rng = np.random.RandomState(3)
+    ids = rng.randint(1, 32000, size=(b, l)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    px = jnp.asarray(rng.randn(b, 336, 336, 3).astype(np.float32))
+
+    def make_gen(n_new):
+        @jax.jit
+        def gen(p, i, pxv):
+            return llava.generate_greedy(p, cfg, i, jnp.ones_like(i, bool),
+                                         [pxv], max_new_tokens=n_new,
+                                         eos_id=2, precision=prec)
+        return gen
+    iters = 2 if quick else 4
+    g16, g48 = make_gen(16), make_gen(48)
+    dt16 = _timed(lambda pxv: g16(params, jnp.asarray(ids), pxv), (px,),
+                  [(px * (1.0 + 0.01 * i),) for i in range(iters)],
+                  lambda o: int(o[0, 0]))
+    dt48 = _timed(lambda pxv: g48(params, jnp.asarray(ids), pxv), (px,),
+                  [(px * (1.0 + 0.01 * i),) for i in range(iters)],
+                  lambda o: int(o[0, 0]))
+    per_step = (dt48 - dt16) / 32
+    results.append({"metric": "llava_7b_generate_b4_new16",
+                    "value": round(b / dt16, 2), "unit": "samples/sec"})
+    results.append({"metric": "llava_7b_pure_decode_tok_s",
+                    "value": round(b / per_step, 1), "unit": "tokens/sec",
+                    "note": "13.4GB bf16 params; param-read HBM roofline "
+                            "= 61 steps/s at 819GB/s"})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", choices=["towers", "diffusion", "a", "c",
-                                       "decode"])
+                                       "decode", "decode7b"])
     args = ap.parse_args()
     results = []
     todo = {"towers": bench_towers, "diffusion": bench_diffusion,
-            "a": bench_a_score, "c": bench_c_score, "decode": bench_decode}
+            "a": bench_a_score, "c": bench_c_score, "decode": bench_decode,
+            "decode7b": bench_decode_7b}
     if args.only:
         todo = {args.only: todo[args.only]}
+    elif "decode7b" in todo:
+        del todo["decode7b"]          # explicit-only (slow at 13.4 GB)
     for name, fn in todo.items():
         try:
             fn(results, quick=args.quick)

@@ -83,17 +83,20 @@ def init_params(rng, cfg: LlavaConfig,
                                        px)["params"])
             else:
                 towers.append({})  # diffusion/feature towers ported later
+    pdtype = precision.param_dtype
     if cfg.tower_spec.join == "mof":
         # per-tower projectors (`llava_arch.py:169-181`)
         proj = [init_projector(jax.random.fold_in(k_proj, i),
                                cfg.projector_type, e.hidden_size,
-                               cfg.decoder.hidden_size)
+                               cfg.decoder.hidden_size, dtype=pdtype)
                 for i, e in enumerate(cfg.tower_spec.entries)]
     else:
         proj = init_projector(k_proj, cfg.projector_type,
                               cfg.tower_spec.mm_hidden_size,
-                              cfg.decoder.hidden_size)
-    dec = L.init_params(k_dec, cfg.decoder)
+                              cfg.decoder.hidden_size, dtype=pdtype)
+    # the decoder inits directly in the param dtype — at 7B, a transient
+    # fp32 copy would double peak memory (27 GB) on a 16 GB chip
+    dec = L.init_params(k_dec, cfg.decoder, dtype=pdtype)
     return {"towers": towers, "projector": proj, "decoder": dec}
 
 
