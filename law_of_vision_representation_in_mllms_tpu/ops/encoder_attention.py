@@ -33,9 +33,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
-
-
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 

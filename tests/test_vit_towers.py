@@ -170,3 +170,32 @@ def test_tower_select_layer_and_patch_drop():
                       output_hidden_states=True)
     np.testing.assert_allclose(np.asarray(feats),
                                np.asarray(hs[-1][:, 1:]), atol=1e-6)
+
+
+def test_bf16_tower_precision_quality():
+    """BF16_TOWER_PRECISION (bf16 attention logits + softmax — the round-2
+    throughput default) must stay feature-faithful to the fp32 path:
+    per-token cosine > 0.99 on a small ViT. Guards against precision
+    regressions in the fast path (the reference runs towers in fp16)."""
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        BF16_TOWER_PRECISION, FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        ViTConfig, ViTTower)
+
+    cfg = ViTConfig(image_size=56, patch_size=14, hidden_size=64,
+                    num_layers=4, num_heads=4, intermediate_size=128)
+    rng = np.random.RandomState(0)
+    px = jnp.asarray(rng.randn(2, 56, 56, 3).astype(np.float32))
+    t32 = ViTTower(cfg, -2, "patch", FP32_PRECISION)
+    params = t32.init(jax.random.PRNGKey(0), px)["params"]
+    f32 = np.asarray(t32.apply({"params": params}, px), np.float32)
+
+    t16 = ViTTower(cfg, -2, "patch", BF16_TOWER_PRECISION)
+    p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    f16 = np.asarray(t16.apply({"params": p16}, px), np.float32)
+
+    num = (f32 * f16).sum(-1)
+    den = (np.linalg.norm(f32, axis=-1) * np.linalg.norm(f16, axis=-1)
+           + 1e-8)
+    cos = num / den
+    assert cos.min() > 0.99, float(cos.min())
