@@ -34,11 +34,18 @@ class MetricsLogger:
             path = os.path.join(log_dir, f"{run_name}.jsonl")
             self._fh = open(path, "a")
         self._t0 = time.time()
+        self._last_step = 0
+        self._last_t = self._t0
 
     def log(self, step: int, metrics: Dict[str, Any]):
         if step % self.every:
             return
-        rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
+        now = time.time()
+        rec = {"step": int(step), "time": round(now - self._t0, 3)}
+        if step > self._last_step and now > self._last_t:
+            rec["steps_per_sec"] = round(
+                (step - self._last_step) / (now - self._last_t), 4)
+        self._last_step, self._last_t = step, now
         for k, v in metrics.items():
             try:
                 rec[k] = float(v)
