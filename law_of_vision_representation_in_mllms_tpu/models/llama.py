@@ -73,7 +73,9 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.float32) -> Dict[str, Any]:
     nh, nkv, L = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
 
     def norm_init(k, *shape):
-        return (jax.random.normal(k, shape) * 0.02).astype(dtype)
+        # sample directly in the target dtype: at 7B the fp32 temporaries
+        # of a cast-after-sample would double peak init memory
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(0.02, dtype)
 
     return {
         "embed": norm_init(keys[0], cfg.vocab_size, d),
