@@ -252,11 +252,17 @@ def bench_decode_7b(results, quick=False):
     cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
                                   decoder=llama.vicuna_7b())
 
+    # two init programs: the 13.4 GB decoder sampling compiles separately
+    # from the Flax tower init (one mixed program breaks the remote
+    # compile helper in this environment)
     @jax.jit
-    def init(k):
-        p = llava.init_params(k, cfg, prec)
+    def init_rest(k):
+        p = llava.init_params(k, cfg, prec, init_decoder=False)
         return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
-    params = init(jax.random.PRNGKey(0))
+    params = init_rest(jax.random.PRNGKey(0))
+    params["decoder"] = jax.jit(
+        lambda k: llama.init_params(k, cfg.decoder, jnp.bfloat16))(
+            jax.random.PRNGKey(1))
     b, l = 4, 64
     rng = np.random.RandomState(3)
     ids = rng.randint(1, 32000, size=(b, l)).astype(np.int32)

@@ -67,9 +67,13 @@ class LlavaConfig:
 
 def init_params(rng, cfg: LlavaConfig,
                 precision: Precision = DEFAULT_PRECISION,
-                init_towers: bool = True) -> Dict[str, Any]:
+                init_towers: bool = True,
+                init_decoder: bool = True) -> Dict[str, Any]:
     """Random-init params (tests / tiny models). Real checkpoints come from
-    io.hf_port + io.checkpoint."""
+    io.hf_port + io.checkpoint. `init_decoder=False` leaves the decoder
+    subtree empty — at 7B the decoder is initialized in its own jit program
+    (one giant program mixing Flax tower init with 13 GB of decoder
+    sampling overloads the compile pipeline)."""
     k_tow, k_proj, k_dec = jax.random.split(rng, 3)
     towers = []
     if init_towers:
@@ -96,7 +100,8 @@ def init_params(rng, cfg: LlavaConfig,
                               cfg.decoder.hidden_size, dtype=pdtype)
     # the decoder inits directly in the param dtype — at 7B, a transient
     # fp32 copy would double peak memory (27 GB) on a 16 GB chip
-    dec = L.init_params(k_dec, cfg.decoder, dtype=pdtype)
+    dec = (L.init_params(k_dec, cfg.decoder, dtype=pdtype)
+           if init_decoder else {})
     return {"towers": towers, "projector": proj, "decoder": dec}
 
 
