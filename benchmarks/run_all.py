@@ -263,7 +263,8 @@ def bench_decode_7b(results, quick=False):
     params["decoder"] = jax.jit(
         lambda k: llama.init_params(k, cfg.decoder, jnp.bfloat16))(
             jax.random.PRNGKey(1))
-    b, l = 4, 64
+    # b=2: 13.4 GB params + KV cache + activations must fit 16 GB HBM
+    b, l = 2, 32
     rng = np.random.RandomState(3)
     ids = rng.randint(1, 32000, size=(b, l)).astype(np.int32)
     ids[:, 0] = IMAGE_TOKEN_INDEX
@@ -285,7 +286,7 @@ def bench_decode_7b(results, quick=False):
                   [(px * (1.0 + 0.01 * i),) for i in range(iters)],
                   lambda o: int(o[0, 0]))
     per_step = (dt48 - dt16) / 32
-    results.append({"metric": "llava_7b_generate_b4_new16",
+    results.append({"metric": "llava_7b_generate_b2_new16",
                     "value": round(b / dt16, 2), "unit": "samples/sec"})
     results.append({"metric": "llava_7b_pure_decode_tok_s",
                     "value": round(b / per_step, 1), "unit": "tokens/sec",

@@ -10,4 +10,5 @@ def task_yaml(name: str) -> str:
 
 
 PAPER_TASKS = ["mme", "mmbench_en", "mmmu_val", "ok_vqa", "textvqa_val",
-               "vizwiz_vqa_val", "scienceqa_img", "seed_image", "pope"]
+               "vizwiz_vqa_val", "scienceqa_img", "seed_image", "pope",
+               "vqav2_val", "gqa"]

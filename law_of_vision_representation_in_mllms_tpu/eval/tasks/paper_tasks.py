@@ -113,6 +113,16 @@ def vqa_process_results(doc, prediction, task):
     return {"score": vqa_accuracy(prediction, answers)}
 
 
+@register_function("gqa.process_results")
+def gqa_process_results(doc, prediction, task):
+    # GQA: single ground-truth answer, exact match after the m4c
+    # normalization (`lmms_eval/tasks/gqa/utils.py`)
+    from ..metrics import vqa_normalize
+    pred = vqa_normalize(prediction)
+    ans = vqa_normalize(str(doc["answer"]))
+    return {"score": float(pred == ans)}
+
+
 # ---- POPE (object-hallucination probing; `llava/eval/model_pope_dist.py`,
 # `eval_pope.py` + lmms_eval/tasks/pope) ----------------------------------
 
