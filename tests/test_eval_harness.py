@@ -421,3 +421,18 @@ def test_eval_cli_model_registry(tmp_path, capsys):
     assert rc == 0
     res = json.load(open(out_json))
     assert res["echo_task"]["value"] == 1.0
+
+
+def test_gqa_and_vqav2_tasks(tmp_path):
+    docs_gqa = [{"question": "What color is the sky?", "answer": "blue"},
+                {"question": "How many?", "answer": "2"}]
+    cfg = _write_task(tmp_path, "gqa", docs_gqa)
+    res = simple_evaluate(EchoLMM({0: "Blue.", 1: "three"}), [cfg],
+                          log_samples=True)
+    assert abs(res["gqa"]["value"] - 0.5) < 1e-9
+
+    docs_v2 = [{"question": "What animal?",
+                "answers": ["dog"] * 7 + ["puppy"] * 3}]
+    cfg = _write_task(tmp_path, "vqav2_val", docs_v2)
+    res = simple_evaluate(EchoLMM({0: "a dog"}), [cfg], log_samples=True)
+    assert res["vqav2_val"]["value"] == 1.0
