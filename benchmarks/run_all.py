@@ -237,14 +237,18 @@ def bench_decode(results, quick=False):
 
 
 def bench_decode_7b(results, quick=False):
-    """Flagship-scale decode: the vicuna-7b DECODER (random weights, 13.4 GB
-    bf16) on ONE v5e chip — prefill 512 tokens, then measure the marginal
-    per-token decode cost. Decoder-only: adding the in-program ViT tower
-    pushes HBM past 16 GB at this scale (the tower is benched separately).
-    Run explicitly (`--only decode7b`)."""
+    """Flagship-scale (vicuna-7b) decoder on ONE v5e chip: 13.4 GB bf16
+    params. Measures the 512-token flash prefill in-program, plus per-step
+    decode via a host-driven loop with a donated KV cache.
+
+    ENVIRONMENT CAVEAT (recorded in the metric note): compiling a
+    scan-over-tokens decode at 7B exceeds this environment's remote
+    compile helper (the identical 1.4B program compiles; prefill and
+    single-step programs compile at 7B) — so the per-step number includes
+    the axon relay's per-dispatch latency and is a LOWER bound on decode
+    throughput. Run explicitly (`--only decode7b`)."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
     from law_of_vision_representation_in_mllms_tpu.core.precision import (
         Precision)
     from law_of_vision_representation_in_mllms_tpu.models import llama
@@ -254,58 +258,66 @@ def bench_decode_7b(results, quick=False):
     params = jax.jit(
         lambda k: llama.init_params(k, cfg, jnp.bfloat16))(
             jax.random.PRNGKey(0))
-    b, l = 2, 512
+    b, l, n_new = 2, 512, 16
+    t_max = l + n_new
     rng = np.random.RandomState(3)
     ids = jnp.asarray(rng.randint(1, 32000, size=(b, l)).astype(np.int32))
 
-    def make_gen(n_new):
-        @jax.jit
-        def gen(p, i):
-            t_max = l + n_new
-            cache = llama.init_cache(cfg, b, t_max, jnp.bfloat16)
-            pos = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
-            valid = jnp.concatenate(
-                [jnp.ones((b, l), bool), jnp.zeros((b, n_new), bool)], 1)
-            emb = llama.embed_tokens(p, i, prec)
-            h, cache = llama.forward(p, cfg, emb, pos, attn_mask=valid,
-                                     cache=cache, cache_index=0,
-                                     precision=prec, use_flash=True)
-            logits = llama.logits_fn(p, h[:, -1:], prec)
-            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    @jax.jit
+    def prefill(p, i):
+        cache = llama.init_cache(cfg, b, t_max, jnp.bfloat16)
+        pos = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
+        valid = jnp.concatenate(
+            [jnp.ones((b, l), bool), jnp.zeros((b, n_new), bool)], 1)
+        emb = llama.embed_tokens(p, i, prec)
+        h, cache = llama.forward(p, cfg, emb, pos, attn_mask=valid,
+                                 cache=cache, cache_index=0,
+                                 precision=prec, use_flash=True)
+        tok = jnp.argmax(llama.logits_fn(p, h[:, -1:], prec)[:, -1],
+                         -1).astype(jnp.int32)
+        return cache, tok
 
-            def step(carry, t):
-                cache, tok = carry
-                e = llama.embed_tokens(p, tok[:, None], prec)
-                sv = jnp.concatenate(
-                    [jnp.ones((b, l), bool),
-                     jnp.broadcast_to(jnp.arange(n_new) <= t,
-                                      (b, n_new))], 1)
-                h, cache = llama.forward(
-                    p, cfg, e, jnp.full((b, 1), l + t, jnp.int32),
-                    attn_mask=sv, cache=cache, cache_index=l + t,
-                    precision=prec)
-                nxt = jnp.argmax(
-                    llama.logits_fn(p, h, prec)[:, -1], -1).astype(jnp.int32)
-                return (cache, nxt), tok
-            (_, _), toks = lax.scan(step, (cache, tok),
-                                    jnp.arange(n_new))
-            return toks[-1]
-        return gen
     iters = 2 if quick else 4
-    g16, g48 = make_gen(16), make_gen(48)
-    dt16 = _timed(lambda i: g16(params, i), (ids,),
-                  [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
-                  lambda o: int(o[0]))
-    dt48 = _timed(lambda i: g48(params, i), (ids,),
-                  [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
-                  lambda o: int(o[0]))
-    per_step = (dt48 - dt16) / 32
-    results.append({"metric": "vicuna7b_prefill512_plus16_s",
-                    "value": round(dt16 * 1000, 1), "unit": "ms"})
-    results.append({"metric": "vicuna7b_pure_decode_tok_s",
-                    "value": round(b / per_step, 1), "unit": "tokens/sec",
-                    "note": "13.4GB bf16 params; param-read HBM roofline "
-                            "= 61 steps/s at 819GB/s"})
+    dt = _timed(lambda i: prefill(params, i), (ids,),
+                [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
+                lambda o: int(o[1][0]))
+    tflops = 2 * 6.74e9 * b * l / dt / 1e12
+    results.append({"metric": "vicuna7b_prefill512_b2_ms",
+                    "value": round(dt * 1000, 1), "unit": "ms",
+                    "tflops_s": round(tflops, 1)})
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def one_step(p, cache, tok, t):
+        e = llama.embed_tokens(p, tok[:, None], prec)
+        sv = jnp.concatenate(
+            [jnp.ones((b, l), bool),
+             jnp.broadcast_to(jnp.arange(n_new)[None] <= t[:, None] - l,
+                              (b, n_new))], 1)
+        h, cache = llama.forward(p, cfg, e, t[:, None], attn_mask=sv,
+                                 cache=cache, cache_index=l,
+                                 precision=prec)
+        nxt = jnp.argmax(llama.logits_fn(p, h, prec)[:, -1],
+                         -1).astype(jnp.int32)
+        return cache, nxt
+
+    cache, tok = prefill(params, ids)
+    t_arr = jnp.full((b,), l, jnp.int32)
+    cache, tok = one_step(params, cache, tok, t_arr)    # compile + warm
+    int(tok[0])
+    steps = 8 if quick else 24
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        cache, tok = one_step(params, cache, tok, t_arr)
+    _ = int(tok[0])
+    per_step = (time.perf_counter() - t0) / steps
+    results.append({
+        "metric": "vicuna7b_decode_step_hostloop_tok_s",
+        "value": round(b / per_step, 1), "unit": "tokens/sec",
+        "note": "LOWER bound: includes axon relay per-dispatch latency "
+                "(the in-program decode scan exceeds this env's compile "
+                "helper at 7B; param-read HBM roofline = 61 steps/s)"})
 
 
 def main():
