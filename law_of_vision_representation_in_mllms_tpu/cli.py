@@ -45,6 +45,9 @@ def main(argv=None):
                    help="adapter name (llava | hf-vision2seq | registered)")
     p.add_argument("--model-args", default="",
                    help="k=v,k=v kwargs for non-llava adapters")
+    p.add_argument("--log-samples", action="store_true",
+                   help="write per-doc records next to --output "
+                        "(lmms-eval --log_samples)")
 
     p = sub.add_parser("extract-embeds", help="A-score embedding dump")
     _add_common(p)
@@ -202,10 +205,18 @@ def _cmd_eval(args):
     margs = dict(kv.split("=", 1) for kv in args.model_args.split(",")
                  if "=" in kv)
     res = run_evaluation(cfg, args.tasks, limit=args.limit,
-                         model=args.model, model_args=margs or None)
+                         model=args.model, model_args=margs or None,
+                         log_samples=args.log_samples)
     with open(args.output, "w") as f:
         json.dump({k: {kk: vv for kk, vv in v.items() if kk != "samples"}
                    for k, v in res.items()}, f, indent=1)
+    if args.log_samples:
+        import os as _os
+        base, _ = _os.path.splitext(args.output)
+        for task, v in res.items():
+            with open(f"{base}_{task}_samples.jsonl", "w") as f:
+                for rec in v.get("samples") or []:
+                    f.write(json.dumps(rec) + "\n")
     print(json.dumps({k: v["value"] for k, v in res.items()}, indent=1))
     return 0
 

@@ -436,3 +436,37 @@ def test_gqa_and_vqav2_tasks(tmp_path):
     cfg = _write_task(tmp_path, "vqav2_val", docs_v2)
     res = simple_evaluate(EchoLMM({0: "a dog"}), [cfg], log_samples=True)
     assert res["vqav2_val"]["value"] == 1.0
+
+
+def test_eval_cli_log_samples(tmp_path, capsys):
+    from law_of_vision_representation_in_mllms_tpu.cli import main as cli
+    from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
+        register_lmm)
+
+    docs = [{"question": "q?", "answer": "yes"}] * 2
+    with open(tmp_path / "d.json", "w") as f:
+        json.dump(docs, f)
+    import yaml as pyyaml
+    tpath = str(tmp_path / "task.yaml")
+    with open(tpath, "w") as f:
+        pyyaml.safe_dump({"task": "st", "dataset_path": str(tmp_path /
+                          "d.json"), "aggregation": "mean"}, f)
+
+    @register_lmm("echo-yes")
+    class E(LMM):
+        def __init__(self):
+            pass
+
+        def generate_until(self, requests):
+            return ["yes"] * len(requests)
+
+        def loglikelihood(self, requests):
+            raise NotImplementedError
+
+    out_json = str(tmp_path / "r.json")
+    rc = cli(["eval", "--tasks", tpath, "--model", "echo-yes",
+              "--output", out_json, "--log-samples"])
+    assert rc == 0
+    lines = open(str(tmp_path / "r_st_samples.jsonl")).read().strip()
+    recs = [json.loads(l) for l in lines.split("\n")]
+    assert len(recs) == 2 and recs[0]["prediction"] == "yes"
