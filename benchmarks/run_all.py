@@ -290,13 +290,16 @@ def bench_decode_7b(results, quick=False):
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def one_step(p, cache, tok, t):
+        # t is TRACED: the write index advances every call, so successive
+        # dispatches are never byte-identical (the axon relay caches
+        # identical dispatches — CLAUDE.md bench rule)
         e = llama.embed_tokens(p, tok[:, None], prec)
         sv = jnp.concatenate(
             [jnp.ones((b, l), bool),
              jnp.broadcast_to(jnp.arange(n_new)[None] <= t[:, None] - l,
                               (b, n_new))], 1)
         h, cache = llama.forward(p, cfg, e, t[:, None], attn_mask=sv,
-                                 cache=cache, cache_index=l,
+                                 cache=cache, cache_index=t[0],
                                  precision=prec)
         nxt = jnp.argmax(llama.logits_fn(p, h, prec)[:, -1],
                          -1).astype(jnp.int32)
@@ -306,10 +309,12 @@ def bench_decode_7b(results, quick=False):
     t_arr = jnp.full((b,), l, jnp.int32)
     cache, tok = one_step(params, cache, tok, t_arr)    # compile + warm
     int(tok[0])
-    steps = 8 if quick else 24
+    cache, tok = prefill(params, ids)
+    steps = 8 if quick else min(24, n_new - 1)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        cache, tok = one_step(params, cache, tok, t_arr)
+    for i in range(steps):
+        cache, tok = one_step(params, cache, tok,
+                              t_arr + jnp.int32(i))
     _ = int(tok[0])
     per_step = (time.perf_counter() - t0) / steps
     results.append({

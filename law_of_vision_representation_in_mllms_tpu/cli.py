@@ -202,8 +202,22 @@ def _cmd_eval(args):
     from .eval.runner import run_evaluation
     cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
         else RunConfig.from_dict({})
-    margs = dict(kv.split("=", 1) for kv in args.model_args.split(",")
-                 if "=" in kv)
+    margs = {}
+    for kv in filter(None, args.model_args.split(",")):
+        if "=" not in kv:
+            raise SystemExit(f"--model-args entry '{kv}' is not k=v")
+        k, v = kv.split("=", 1)
+        # coerce like lmms-eval's simple_parse_args_string
+        if v.lower() in ("true", "false"):
+            v = v.lower() == "true"
+        else:
+            for cast in (int, float):
+                try:
+                    v = cast(v)
+                    break
+                except ValueError:
+                    pass
+        margs[k] = v
     res = run_evaluation(cfg, args.tasks, limit=args.limit,
                          model=args.model, model_args=margs or None,
                          log_samples=args.log_samples)

@@ -122,11 +122,13 @@ class RunConfig:
             section_name, _, field = key.partition(".")
             section = getattr(cfg, section_name)
             cur = getattr(section, field)  # raises on unknown keys
-            setattr(section, field, _coerce(val, cur))
+            setattr(section, field,
+                    _coerce(val, cur, type(section).__annotations__
+                            .get(field)))
         return cfg
 
 
-def _coerce(val: str, like: Any):
+def _coerce(val: str, like: Any, annotation: Any = None):
     if isinstance(like, bool):
         return val.lower() in ("1", "true", "yes")
     if isinstance(like, int):
@@ -134,11 +136,20 @@ def _coerce(val: str, like: Any):
     if isinstance(like, float):
         return float(val)
     if like is None:
-        # Optional fields: parse numbers, pass strings, allow clearing
+        # Optional fields: coerce by the DECLARED type, not by whether the
+        # value happens to look numeric (a checkpoint dir named "123" must
+        # stay a string; tower_weights must become a list)
         if val.lower() in ("none", "null", ""):
             return None
-        try:
+        ann = str(annotation or "")
+        if "List" in ann or "list" in ann:
+            import json as _json
+            if val.startswith("["):
+                return _json.loads(val)
+            return val.split(":")       # path-list shorthand a.npz:b.npz
+        if "int" in ann:
             return int(val)
-        except ValueError:
-            return val
+        if "float" in ann:
+            return float(val)
+        return val
     return val

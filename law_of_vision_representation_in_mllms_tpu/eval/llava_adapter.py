@@ -165,16 +165,20 @@ class LlavaLMM(LMM):
                                  embeds, plan.positions,
                                  attn_mask=plan.attn_mask,
                                  precision=self.precision)
-                logits = L.logits_fn(params["decoder"], h, self.precision)
-                lp = jax.nn.log_softmax(logits, axis=-1)
                 # continuation tokens are the LAST klen valid positions of
                 # each (right-padded) row; their logits sit one position
-                # earlier (next-token convention)
+                # earlier (next-token convention). Gather hidden states
+                # BEFORE the lm_head: full-sequence fp32 logits would be
+                # [B, L_out, 32000] (~400 MB at 7B eval shapes) for k_max
+                # useful rows
                 n_valid = jnp.sum(plan.attn_mask, axis=1)
                 base = n_valid - klen - 1
                 idx = jnp.clip(base[:, None] + jnp.arange(k_max)[None],
-                               0, lp.shape[1] - 1)
-                rows = jnp.take_along_axis(lp, idx[..., None], axis=1)
+                               0, h.shape[1] - 1)
+                h_sel = jnp.take_along_axis(h, idx[..., None], axis=1)
+                logits = L.logits_fn(params["decoder"], h_sel,
+                                     self.precision)
+                rows = jax.nn.log_softmax(logits, axis=-1)   # [B,k_max,V]
                 tok_lp = jnp.take_along_axis(rows, tgt[..., None],
                                              axis=-1)[..., 0]
                 jmask = jnp.arange(k_max)[None] < klen[:, None]

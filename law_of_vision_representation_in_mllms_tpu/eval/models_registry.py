@@ -70,14 +70,18 @@ class HFVision2SeqLMM(LMM):
 
     def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
         """Continuation logprob + greedy-match flag, lm-eval convention:
-        the continuation is the last k tokens of the (context +
-        continuation) encoding (`lmms_eval/models/llava.py:217-283`)."""
+        the continuation tokens are `enc(ctx+cont)[len(enc(ctx)):]` — the
+        SUFFIX of the joint encoding, not an independent `enc(cont)`
+        (BPE can merge across the boundary; the reference slices the same
+        way, `lmms_eval/models/llava.py:217-283`)."""
         import torch
         tok = getattr(self.processor, "tokenizer", self.processor)
         out = []
         for r in requests:
             ctx, cont = r.args[0], r.args[1]
-            cont_ids = tok(cont, add_special_tokens=False)["input_ids"]
+            ctx_ids = tok(ctx)["input_ids"]
+            full_ids = tok(ctx + cont)["input_ids"]
+            cont_ids = full_ids[len(ctx_ids):]
             inputs = self.processor(
                 text=ctx + cont,
                 images=r.visual[0] if r.visual else None,

@@ -70,6 +70,10 @@ def apply_projector(params, feats,
     [B, 64, hidden] (perceiver resampling). GELU between mlp layers (none
     for the single-layer 'linear' case, no-op for 'identity')."""
     if "latents" in params:
+        # NOTE: the model path assumes the reference builder's defaults
+        # (heads=8, 64 latents — `builder.py:54-57` passes only dim/depth).
+        # Perceivers with custom heads/latents must call
+        # apply_perceiver_projector directly with explicit heads.
         from .perceiver import apply_perceiver_projector, DEFAULT_HEADS
         return apply_perceiver_projector(params, feats, precision,
                                          heads=DEFAULT_HEADS)

@@ -54,10 +54,13 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, kv_len: int,
         preferred_element_type=jnp.float32)        # [HB, BQ, Sk]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp((s - m).astype(softmax_dtype))
-    l = jnp.sum(p, axis=-1, keepdims=True).astype(jnp.float32)
+    # the denominator accumulates in fp32 regardless of softmax dtype: the
+    # pad-mass subtraction below cancels against l, and a bf16 sum's ulp
+    # (~0.25 at 63) would swamp rows whose true mass is small
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     n_pad = s.shape[-1] - kv_len
     if n_pad:
-        l = l - n_pad * jnp.exp(-m)
+        l = jnp.maximum(l - n_pad * jnp.exp(-m), 1e-20)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)        # [HB, BQ, D]
@@ -109,9 +112,10 @@ def encoder_mha(q, k, v, *, scale: float | None = None,
 
     q, k, v: [B, S, H, D] (any S <= ~1024; padded to 128 internally).
     Returns [B, S, H, D] in q.dtype. Blocks: `head_block` heads x
-    `block_q` query rows per program (Mosaic requires the head block to be
-    a multiple of 8 or all of H; defaults keep the fp32 logits block
-    around 2-4 MB of VMEM). softmax_dtype defaults to the INPUT dtype:
+    `block_q` query rows per program (heads ride the leading block dim in
+    the head-major layout, so any divisor of H is legal; defaults keep the
+    fp32 logits block around 2-4 MB of VMEM). softmax_dtype defaults to
+    the INPUT dtype:
     bf16 towers get bf16 softmax (the reference runs these frozen encoders
     in fp16, `siglip_encoder.py:62-64`); fp32 inputs keep exact fp32.
     """
@@ -124,7 +128,7 @@ def encoder_mha(q, k, v, *, scale: float | None = None,
         softmax_dtype = q.dtype
     s_p = _round_up(s, 128)
     if head_block is None:
-        head_block = 8 if h % 8 == 0 else (4 if h % 4 == 0 else 1)
+        head_block = next(c for c in (8, 6, 4, 3, 2, 1) if h % c == 0)
     if block_q is None:
         budget = 4 * 1024 * 1024
         block_q = s_p

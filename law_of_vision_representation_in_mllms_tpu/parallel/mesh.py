@@ -57,20 +57,24 @@ def init_distributed(coordinator_address: str | None = None,
     `dist.init_process_group("nccl")` (`extract.py:254`) / deepspeed
     launcher equivalent. On TPU pods `jax.distributed.initialize()`
     auto-discovers the topology; explicit args serve CPU/GPU clusters.
-    Idempotent: returns False when already initialized (or single-host
-    with no coordinator configured)."""
+    Idempotent: returns False ONLY when already initialized — any real
+    init failure (bad coordinator, timeout) raises, because silently
+    falling back to single-host would make every host run the full job
+    independently (clobbering shared output dirs)."""
     import jax
 
+    kwargs = {}
+    if coordinator_address:
+        kwargs = {"coordinator_address": coordinator_address,
+                  "num_processes": num_processes,
+                  "process_id": process_id}
     try:
-        kwargs = {}
-        if coordinator_address:
-            kwargs = {"coordinator_address": coordinator_address,
-                      "num_processes": num_processes,
-                      "process_id": process_id}
         jax.distributed.initialize(**kwargs)
         return True
-    except (RuntimeError, ValueError):
-        return False
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return False
+        raise
 
 
 def process_shard(items, process_index: int | None = None,

@@ -136,6 +136,11 @@ def run_training(cfg: RunConfig) -> int:
     total = steps_per_epoch * cfg.train.epochs
     if cfg.train.batch_size % max(1, cfg.train.grad_accum):
         raise ValueError("batch_size must divide by grad_accum")
+    if cfg.train.grad_accum > 1 and \
+            (cfg.train.batch_size // cfg.train.grad_accum) % n_data:
+        raise ValueError(
+            f"microbatch {cfg.train.batch_size // cfg.train.grad_accum} "
+            f"must divide over the data axis ({n_data} ways)")
     if cfg.train.lora_enable:
         from ..models.lora import LoraConfig, init_lora
         params["lora"] = init_lora(
@@ -175,7 +180,7 @@ def run_training(cfg: RunConfig) -> int:
             config_overrides=model_cfg.featurizer_overrides)
     step_fn = jax.jit(make_train_step(model_cfg, tcfg, opt, precision,
                                       diffusion_apply, opt_to_device=opt_dev,
-                                      opt_to_host=opt_host))
+                                      opt_to_host=opt_host, mesh=mesh))
 
     logger = MetricsLogger(cfg.train.output_dir, "train",
                            every=cfg.train.logging_steps)

@@ -174,12 +174,17 @@ def init_sharded_train_state(params, train_cfg: TrainConfig,
 def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
                     opt, precision: Precision = DEFAULT_PRECISION,
                     diffusion_apply=None, opt_to_device=None,
-                    opt_to_host=None):
+                    opt_to_host=None, mesh: Mesh | None = None):
     """Returns step(state, batch) -> (state, metrics); jit/pjit-ready.
 
     opt_to_device/opt_to_host: optional sharding trees for host-offloaded
     optimizer state (ZeRO-offload): moments live in pinned_host between
-    steps and are device_put in only for the update."""
+    steps and are device_put in only for the update.
+
+    mesh: pass when grad_accum > 1 on a multi-device mesh — the microbatch
+    reshape [B,...] -> [a, B/a, ...] needs an explicit sharding constraint
+    (P(None, 'data')) or GSPMD may replicate the whole batch when the data
+    axis does not divide the accumulation factor."""
 
     def loss(params, batch):
         if train_cfg.switch_sigma:
@@ -198,8 +203,15 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
             return jax.value_and_grad(loss)(params, batch)
         # microbatch the global batch: lax.scan keeps compile size flat in
         # `a` and the accumulator buffers live in-place
-        micro = jax.tree.map(
-            lambda x: x.reshape(a, x.shape[0] // a, *x.shape[1:]), batch)
+
+        def split(x):
+            y = x.reshape(a, x.shape[0] // a, *x.shape[1:])
+            if mesh is not None and "data" in mesh.shape:
+                spec = P(None, "data", *([None] * (y.ndim - 2)))
+                y = jax.lax.with_sharding_constraint(
+                    y, NamedSharding(mesh, spec))
+            return y
+        micro = jax.tree.map(split, batch)
 
         def body(carry, mb):
             l_acc, g_acc = carry

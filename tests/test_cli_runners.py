@@ -150,3 +150,19 @@ def test_make_config_all_13_reps(capsys):
     rc = cli_main(["make-config", "list"])
     assert rc == 0
     assert "SD3" in capsys.readouterr().out
+
+
+def test_optional_override_coercion():
+    """--set coercion on Optional fields follows the DECLARED type (a
+    checkpoint dir named '123' stays a string; tower_weights becomes a
+    list; img_size becomes int)."""
+    cfg = RunConfig.from_dict({}, [
+        "model.checkpoint=123",
+        "model.tower_weights=a.npz:b.npz",
+        "model.img_size=512",
+        "model.tokenizer=none",
+    ])
+    assert cfg.model.checkpoint == "123"
+    assert cfg.model.tower_weights == ["a.npz", "b.npz"]
+    assert cfg.model.img_size == 512
+    assert cfg.model.tokenizer is None
