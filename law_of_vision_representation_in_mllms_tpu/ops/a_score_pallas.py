@@ -7,14 +7,13 @@ for target [N, St, D] and anchor [N, Sa, D] — the hot op of
 products and squared norms accumulate in VMEM scratch; the final tile
 applies normalization, row-max and mean in-register.
 
-STATUS (measured v5e, round 1-2): at the protocol shape (100x576x4096 fp32)
-this kernel TIES the XLA path (~47 ms either way, benchmarks/results.json
-`a_score_100x576x4096/*`) — the protocol run is dominated by feeding ~940 MB
-of fp32 embeddings from host through the relay, not by the reduction, so
-the saved HBM round-trips don't show up end-to-end. The pipeline therefore
-uses the plain jnp path (`metrics/a_score.py`, simpler and identical in
-cost); this kernel remains available + parity-tested for callers that keep
-embeddings resident on-chip.
+STATUS (measured v5e, round 2): at the protocol shape (100x576x4096 fp32)
+with device-resident inputs this kernel is **2.1x faster than the XLA
+path** (8.7 vs 18.7 ms, benchmarks/results.json `a_score_100x576x4096/*` —
+round 1 measured a 47 ms "tie" for both because that run was dominated by
+host->device transfer of the 940 MB inputs). `metrics.a_score.
+a_score_pairwise` dispatches here on TPU and to the jnp path elsewhere;
+CPU tests assert parity between the two.
 """
 
 from __future__ import annotations
