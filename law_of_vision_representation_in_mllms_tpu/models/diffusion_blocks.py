@@ -38,17 +38,22 @@ def timestep_embedding(timesteps, dim: int, *, flip_sin_to_cos: bool = True,
 
 
 class GroupNorm(nn.Module):
-    """fp32-statistics GroupNorm, output in compute dtype."""
+    """GroupNorm with statistics in the precision policy's accum dtype
+    (fp32 by default; bf16 under BF16_TOWER_PRECISION — forcing fp32 here
+    materializes an fp32 copy of every activation around each norm, which
+    at VAE-encoder resolutions is gigabytes of extra HBM traffic per pass;
+    the reference runs these nets wholesale in fp16, `dift_sd.py:226`)."""
     num_groups: int
     eps: float
     precision: Precision
 
     @nn.compact
     def __call__(self, x):
+        sd = self.precision.accum_dtype
         y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
-                         dtype=jnp.float32,
+                         dtype=sd,
                          param_dtype=self.precision.param_dtype,
-                         name="gn")(x.astype(jnp.float32))
+                         name="gn")(x.astype(sd))
         return y.astype(self.precision.compute_dtype)
 
 
