@@ -118,6 +118,38 @@ def main(argv=None):
     p.add_argument("--ensemble-size", type=int, default=1)
     p.add_argument("--img-size", type=int)
 
+    p = sub.add_parser("preprocess-map",
+                       help="GeoAware-SC SD+DINO feature pre-extraction "
+                            "(C_score/preprocess_map.py)")
+    p.add_argument("images", help="image dir or JSON list of paths")
+    p.add_argument("out_dir")
+    p.add_argument("--sd-bundle", required=True,
+                   help="ported SD featurizer bundle (lvr port-featurizer)")
+    p.add_argument("--dino-bundle", required=True,
+                   help="ported DINOv2 params npz")
+    p.add_argument("--dino-tower", default="facebook/dinov2-base-840")
+    p.add_argument("--real-size", type=int, default=960)
+    p.add_argument("--dino-size", type=int, default=840)
+    p.add_argument("--layer", type=int, default=11)
+    p.add_argument("--facet", default="token",
+                   choices=["token", "key", "query", "value"])
+    p.add_argument("--ensemble", type=int, default=1)
+    p.add_argument("--stochastic", action="store_true",
+                   help="sample VAE posterior + noise (reference behaviour);"
+                        " default is the deterministic cache-stable path")
+    p.add_argument("--no-flips", action="store_true")
+
+    p = sub.add_parser("pose-awareness",
+                       help="GeoAware-SC pose-awareness test "
+                            "(C_score/pose_awareness_test.py)")
+    p.add_argument("template_dir", help="12 sorted pose-template images")
+    p.add_argument("target_dir")
+    p.add_argument("labels", help="JSON {filename: b|f|l|r}")
+    p.add_argument("feat_dir", help="preprocess-map output dir")
+    p.add_argument("--mask-dir", help="per-image <stem>_mask.npy|png")
+    p.add_argument("--res", type=int, default=128)
+    p.add_argument("--output")
+
     p = sub.add_parser("policy")
     p.add_argument("action", choices=["fit", "predict", "validate"])
     p.add_argument("--csv", required=True)
@@ -285,6 +317,47 @@ def _cmd_make_config(args):
     return 0
 
 
+def _cmd_preprocess_map(args):
+    import glob as _glob
+    import os as _os
+    import jax
+    from .io.featurizer_bundle import load_featurizer_bundle
+    from .pipeline.geoware import make_geoware_extractors, preprocess_maps
+    sd_params, sd_cfg = load_featurizer_bundle(args.sd_bundle)
+    if sd_cfg is None:
+        raise SystemExit("--sd-bundle has no featurizer config sidecar")
+    import dataclasses
+    sd_cfg = dataclasses.replace(sd_cfg, img_size=args.real_size)
+    dino_params, _ = load_featurizer_bundle(args.dino_bundle)
+    sd_fn, dino_fn = make_geoware_extractors(
+        sd_params, sd_cfg, dino_params, args.dino_tower,
+        layer=args.layer, facet=args.facet,
+        deterministic=not args.stochastic, ensemble=args.ensemble)
+    if _os.path.isdir(args.images):
+        paths = sorted(p for ext in ("jpg", "jpeg", "png") for p in
+                       _glob.glob(f"{args.images}/**/*.{ext}",
+                                  recursive=True))
+    else:
+        with open(args.images) as f:
+            paths = json.load(f)
+    written = preprocess_maps(
+        paths, args.out_dir, sd_fn, dino_fn, real_size=args.real_size,
+        dino_size=args.dino_size, flips=not args.no_flips,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
+    print(f"wrote {len(written)} feature files -> {args.out_dir}")
+    return 0
+
+
+def _cmd_pose_awareness(args):
+    from .pipeline.geoware import run_pose_awareness
+    results = run_pose_awareness(
+        args.template_dir, args.target_dir, args.labels, args.feat_dir,
+        mask_dir=args.mask_dir, res=args.res, out_path=args.output)
+    print(json.dumps(results, indent=1))
+    return 0
+
+
 def _cmd_port_featurizer(args):
     from .io.featurizer_bundle import port_featurizer_bundle
     out = port_featurizer_bundle(
@@ -306,6 +379,8 @@ DISPATCH = {
     "extract-embeds": _cmd_extract_embeds,
     "extract-features": _cmd_extract_features,
     "c-train": _cmd_c_train,
+    "preprocess-map": _cmd_preprocess_map,
+    "pose-awareness": _cmd_pose_awareness,
 }
 
 

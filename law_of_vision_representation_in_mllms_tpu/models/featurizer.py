@@ -211,3 +211,54 @@ def extract_features(params: Dict, cfg: FeaturizerConfig, pixel_values,
         p, c = tokens.shape[1], tokens.shape[2]
         tokens = tokens.reshape(b, e, p, c).mean(axis=1)
     return tokens
+
+
+def extract_multiscale_features(params: Dict, cfg: FeaturizerConfig,
+                                pixel_values,
+                                rng: Optional[jax.Array] = None, *,
+                                deterministic: bool = False,
+                                precision: Precision = DEFAULT_PRECISION,
+                                pre_up_indices: Tuple[int, int, int] =
+                                (0, 1, 2)) -> Dict[str, jax.Array]:
+    """GeoAware-SC multi-scale SD harvest: {"s3", "s4", "s5"} NHWC maps.
+
+    The reference taps ODISE's FeatureExtractorBackbone at UNet decoder
+    blocks [2,5,8,11] (`C_score/model_utils/extractor_sd.py`), i.e. the last
+    res/attn output at each decoder resolution BEFORE its upsampler; s2
+    (stride 8) is discarded by the consumers (`preprocess_map.py:32`).
+    Here: pre-upsample harvest indices 0/1/2 = s5/s4/s3 (strides 64/32/16;
+    1280/1280/640 channels for SD1.5 — the AggregationNetwork's
+    feature_dims). UNet-family featurizers only; the ported bundle must
+    include up blocks through max(pre_up_indices) (port with
+    up_ft_index >= 2).
+    """
+    if cfg.family not in ("sd", "sdxl"):
+        raise ValueError("multi-scale harvest is a UNet-family feature "
+                         f"(got family={cfg.family!r})")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    r_post, r_noise = jax.random.split(rng)
+    moments = VA.VAEEncoder(cfg.vae, precision).apply(
+        {"params": params["vae"]}, pixel_values)
+    if deterministic:
+        mean, _ = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
+        if cfg.vae.shift_factor:
+            mean = mean - cfg.vae.shift_factor
+        latents = mean * cfg.vae.scaling_factor
+        noise = jnp.zeros_like(latents)
+    else:
+        latents = VA.sample_latents(moments, r_post, cfg.vae)
+        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+    acp = ddim_alphas_cumprod(beta_start=cfg.beta_start, beta_end=cfg.beta_end,
+                              schedule=cfg.beta_schedule)
+    noisy = add_noise(latents, noise, cfg.t, acp)
+    noisy = noisy.astype(precision.compute_dtype)
+    ctx = jnp.broadcast_to(
+        params["prompt_embeds"],
+        (noisy.shape[0], *params["prompt_embeds"].shape[1:]))
+    i5, i4, i3 = pre_up_indices
+    model = UN.UNetHarvest(cfg.unet, up_ft_indices=(), precision=precision,
+                           pre_up_indices=tuple(pre_up_indices))
+    got = model.apply({"params": params["backbone"]}, noisy, cfg.t, ctx)
+    return {"s5": got[f"pre{i5}"], "s4": got[f"pre{i4}"],
+            "s3": got[f"pre{i3}"]}

@@ -92,10 +92,19 @@ TINY_TEST_CONFIG = UNetConfig(
 
 
 class UNetHarvest(nn.Module):
-    """One-step UNet forward returning {i: feature NHWC} for up_ft_indices."""
+    """One-step UNet forward returning {i: feature NHWC} for up_ft_indices.
+
+    `pre_up_indices` additionally harvests up-block outputs BEFORE their
+    upsampler (keys "pre0", "pre1", ...). These are the ODISE
+    FeatureExtractorBackbone taps the GeoAware-SC SD extractor reads
+    (`C_score/model_utils/extractor_sd.py` block_indices [2,5,8,11] — the
+    last res/attn output at each decoder resolution): for SD1.5 at 960px,
+    pre0/pre1/pre2 = 1280ch@15, 1280ch@30, 640ch@60 = s5/s4/s3.
+    """
     cfg: UNetConfig
     up_ft_indices: Tuple[int, ...] = (0,)
     precision: Precision = DEFAULT_PRECISION
+    pre_up_indices: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states,
@@ -107,7 +116,7 @@ class UNetHarvest(nn.Module):
         cd = prec.compute_dtype
         b = sample.shape[0]
         n_blocks = len(cfg.block_out_channels)
-        max_up = max(self.up_ft_indices)
+        max_up = max(self.up_ft_indices + self.pre_up_indices)
 
         # 1. time (+XL additional) embedding
         ts = jnp.broadcast_to(jnp.asarray(timestep, jnp.float32), (b,))
@@ -188,6 +197,8 @@ class UNetHarvest(nn.Module):
                         cfg.cross_attention_dim, cfg.use_linear_projection,
                         cfg.upcast_attention, cfg.norm_groups, prec,
                         name=f"up_{i}_attn_{j}")(x, ctx)
+            if i in self.pre_up_indices:
+                harvested[f"pre{i}"] = x
             if i < n_blocks - 1:
                 x = Upsample(out_ch, precision=prec,
                              name=f"up_{i}_upsample")(x)

@@ -54,10 +54,21 @@ class ViTConfig:
     num_channels: int = 3
     # "auto": Pallas flash attention on TPU, XLA attention elsewhere
     attn_impl: str = "auto"
+    # Patch-embedding stride. None -> patch_size (standard non-overlapping
+    # tiling). A smaller stride extracts overlapping patches for a denser
+    # descriptor grid — the GeoAware-SC ViTExtractor's
+    # `patch_vit_resolution` trick (`C_score/model_utils/extractor_dino.py`
+    # :101-137), expressed as a static config instead of monkey-patching.
+    stride: int | None = None
+
+    @property
+    def stride_(self) -> int:
+        return self.patch_size if self.stride is None else self.stride
 
     @property
     def grid(self) -> int:
-        return self.image_size // self.patch_size
+        # 1 + (S - p) // stride == S // p for the standard stride == p case.
+        return 1 + (self.image_size - self.patch_size) // self.stride_
 
     @property
     def num_patches(self) -> int:
@@ -109,6 +120,16 @@ def dinov2_large(image_size: int = 224) -> ViTConfig:
                      patch_bias=True, use_layerscale=True)
 
 
+def dinov2_base(image_size: int = 224, stride: int | None = None) -> ViTConfig:
+    """facebook/dinov2-base — the GeoAware-SC descriptor backbone
+    (`C_score/pose_awareness_test.py:56-60` model_dict['base'])."""
+    return ViTConfig(image_size=image_size, patch_size=14, hidden_size=768,
+                     num_layers=12, num_heads=12, intermediate_size=3072,
+                     hidden_act="gelu", layer_norm_eps=1e-6,
+                     use_class_token=True, use_pre_layernorm=False,
+                     patch_bias=True, use_layerscale=True, stride=stride)
+
+
 def tiny_vit(image_size: int = 28) -> ViTConfig:
     """Debug/smoke-run tower (also used by CLI tests)."""
     return ViTConfig(image_size=image_size, patch_size=7, hidden_size=32,
@@ -117,12 +138,17 @@ def tiny_vit(image_size: int = 28) -> ViTConfig:
 
 VIT_PRESETS = {
     "debug/tiny-vit": lambda: tiny_vit(),
+    "debug/tiny-vit-112": lambda: tiny_vit(112),   # grid 16 (geoware tests)
     "openai/clip-vit-large-patch14": lambda: clip_l14(224),
     "openai/clip-vit-large-patch14-336": lambda: clip_l14(336),
     "laion/CLIP-ViT-L-14-laion2B-s32B-b82K": lambda: clip_l14(224, act="gelu"),
     "google/siglip-base-patch16-224": lambda: siglip_b16(224),
     "facebook/dinov2-large": lambda: dinov2_large(224),
     "facebook/dinov2-large-336": lambda: dinov2_large(336),
+    "facebook/dinov2-base": lambda: dinov2_base(224),
+    # GeoAware-SC descriptor resolution: 840px / patch 14 -> 60x60 grid
+    # (`C_score/pose_awareness_test.py:66-68` img_size = 840 if DINOV2).
+    "facebook/dinov2-base-840": lambda: dinov2_base(840),
 }
 
 
@@ -145,7 +171,7 @@ class ViTBlock(nn.Module):
     causal: bool = False   # reused by the CLIP *text* encoders
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sow_facets: bool = False):
         cfg, prec = self.cfg, self.precision
         dense = lambda name: nn.Dense(  # noqa: E731
             cfg.hidden_size, dtype=prec.compute_dtype,
@@ -159,6 +185,14 @@ class ViTBlock(nn.Module):
         q = dense("q")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = dense("k")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         v = dense("v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        if sow_facets:
+            # The GeoAware-SC ViTExtractor's q/k/v facet hooks
+            # (`extractor_dino.py:198-236`), expressed functionally via
+            # Flax's collection mechanism instead of torch forward hooks.
+            # Shapes [B, S, H, Dh]; cls handling is the reader's job.
+            self.sow("intermediates", "facet_q", q)
+            self.sow("intermediates", "facet_k", k)
+            self.sow("intermediates", "facet_v", v)
         impl = cfg.attn_impl
         if impl == "auto":
             # measured on v5e (round 2): XLA attention with bf16 logits +
@@ -210,15 +244,27 @@ class ViTEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values, *, num_blocks: int | None = None,
-                 output_hidden_states: bool = False) -> Any:
+                 output_hidden_states: bool = False,
+                 sow_facets_layer: int | None = None) -> Any:
         cfg, prec = self.cfg, self.precision
         b, h, w, c = pixel_values.shape
-        p = cfg.patch_size
-        gh, gw = h // p, w // p
+        p, st = cfg.patch_size, cfg.stride_
+        gh = 1 + (h - p) // st
+        gw = 1 + (w - p) // st
 
         # Patch embedding as unfold + matmul (MXU-friendly).
         x = pixel_values.astype(prec.compute_dtype)
-        x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        if st == p:
+            x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        else:
+            # Overlapping patches (stride < patch): strided gathers along H
+            # then W. One-time, bandwidth-bound; the matmul below still
+            # dominates. Same (gh, gw, p, p, c) layout as the fast path.
+            idx_h = jnp.arange(gh)[:, None] * st + jnp.arange(p)[None, :]
+            idx_w = jnp.arange(gw)[:, None] * st + jnp.arange(p)[None, :]
+            x = x[:, idx_h]                      # [b, gh, p, w, c]
+            x = x[:, :, :, idx_w]                # [b, gh, p, gw, p, c]
+            x = x.transpose(0, 1, 3, 2, 4, 5)    # [b, gh, gw, p, p, c]
         x = x.reshape(b, gh * gw, p * p * c)
         kernel = self.param("patch_kernel", nn.initializers.lecun_normal(),
                             (p, p, c, cfg.hidden_size), prec.param_dtype)
@@ -245,7 +291,8 @@ class ViTEncoder(nn.Module):
         n = cfg.num_layers if num_blocks is None else num_blocks
         hidden_states = [x]
         for i in range(n):
-            x = ViTBlock(cfg, prec, name=f"block_{i}")(x)
+            x = ViTBlock(cfg, prec, name=f"block_{i}")(
+                x, sow_facets=(i == sow_facets_layer))
             if output_hidden_states:
                 hidden_states.append(x)
 
