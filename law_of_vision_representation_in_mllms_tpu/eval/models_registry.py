@@ -95,3 +95,101 @@ class HFVision2SeqLMM(LMM):
             greedy = bool((lp.argmax(-1) == tgt).all())
             out.append((float(token_lp.sum()), greedy))
         return out
+
+
+@register_lmm("openai-api")
+class OpenAIAPILMM(LMM):
+    """OpenAI-compatible chat-completions adapter — the reference's API
+    model zoo (`lmms_eval/models/gpt4v.py`, `qwen_vl_api.py`,
+    `batch_gpt4.py`): text is split on the '<image>' token, images ride as
+    base64 PNG data URLs, failures retry with a sleep and fall back to ''.
+
+    Network-free stdlib client (urllib): point `api_url` at any
+    OpenAI-style endpoint (tests use a local stub server).
+    """
+
+    IMAGE_TOKEN = "<image>"
+
+    def __init__(self, model_version: str = "gpt-4-vision-preview",
+                 api_url: str | None = None, api_key: str | None = None,
+                 max_new_tokens: int = 1024, retries: int = 5,
+                 retry_sleep: float = 5.0, timeout: float = 120.0, **_):
+        import os
+        self.model_version = model_version
+        self.api_url = api_url or os.getenv(
+            "OPENAI_API_URL", "https://api.openai.com/v1/chat/completions")
+        self.api_key = api_key or os.getenv("OPENAI_API_KEY", "YOUR_API_KEY")
+        self.max_new_tokens = max_new_tokens
+        self.retries = retries
+        self.retry_sleep = retry_sleep
+        self.timeout = timeout
+
+    @staticmethod
+    def encode_image(image) -> str:
+        import base64
+        from io import BytesIO
+        buf = BytesIO()
+        image.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+    def _payload(self, context: str, visuals, gen_kwargs) -> dict:
+        # gpt4v.py:80-110: interleave text segments with the images
+        imgs = [self.encode_image(v) for v in (visuals or [])]
+        content = []
+        segments = (context.split(self.IMAGE_TOKEN)
+                    if self.IMAGE_TOKEN in context else [context])
+        for i, seg in enumerate(segments):
+            if seg:
+                content.append({"type": "text", "text": seg})
+            if i < len(imgs):
+                content.append({"type": "image_url", "image_url": {
+                    "url": f"data:image/png;base64,{imgs[i]}"}})
+        content += [{"type": "image_url", "image_url": {
+            "url": f"data:image/png;base64,{b}"}}
+            for b in imgs[len(segments):]]
+        return {"model": self.model_version,
+                "messages": [{"role": "user", "content": content}],
+                "max_tokens": gen_kwargs.get("max_new_tokens",
+                                             self.max_new_tokens),
+                "temperature": gen_kwargs.get("temperature", 0)}
+
+    def _post(self, payload: dict) -> str:
+        import json as _json
+        import urllib.request
+        req = urllib.request.Request(
+            self.api_url, data=_json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {self.api_key}"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            body = _json.loads(resp.read().decode("utf-8"))
+        return body["choices"][0]["message"]["content"]
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        import time
+        out = []
+        for r in requests:
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            text = ""
+            for attempt in range(self.retries):
+                try:
+                    text = self._post(self._payload(r.args[0], r.visual,
+                                                    gen_kwargs))
+                    break
+                except Exception:  # noqa: BLE001 — gpt4v.py retries all
+                    if attempt + 1 < self.retries:
+                        time.sleep(self.retry_sleep)
+            out.append(text.strip())
+        return out
+
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        raise NotImplementedError(
+            "chat-completions APIs expose no vision loglikelihoods "
+            "(the reference's gpt4v adapter has the same limitation)")
+
+
+# reference adapter names that resolve to the API client with their model
+for _name, _version in (("gpt4v", "gpt-4-vision-preview"),
+                        ("qwen-vl-api", "qwen-vl-plus")):
+    LMM_REGISTRY[_name] = (
+        lambda _v=_version, **kw: OpenAIAPILMM(
+            **{"model_version": _v, **kw}))

@@ -470,3 +470,62 @@ def test_eval_cli_log_samples(tmp_path, capsys):
     lines = open(str(tmp_path / "r_st_samples.jsonl")).read().strip()
     recs = [json.loads(l) for l in lines.split("\n")]
     assert len(recs) == 2 and recs[0]["prediction"] == "yes"
+
+
+def test_openai_api_adapter_stub_server():
+    """`openai-api` LMM (gpt4v.py equivalent) against a local
+    OpenAI-compatible stub: payload structure (interleaved text + base64
+    image parts) and response parsing, no network."""
+    import base64
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from PIL import Image
+    from law_of_vision_representation_in_mllms_tpu.eval.models_registry \
+        import build_lmm_by_name
+
+    seen = {}
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            seen.update(body)
+            resp = json.dumps({"choices": [{"message": {
+                "content": f"reply-to:{body['model']}"}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Stub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/v1/chat/completions"
+        lmm = build_lmm_by_name("openai-api", model_version="test-model",
+                                api_url=url, api_key="k", retries=1)
+        img = Image.new("RGB", (4, 4), (255, 0, 0))
+        reqs = [Instance("generate_until", {}, 0, "t",
+                         ("What?<image>Answer.", {"max_new_tokens": 7}),
+                         visual=[img])]
+        out = lmm.generate_until(reqs)
+        assert out == ["reply-to:test-model"]
+        content = seen["messages"][0]["content"]
+        kinds = [c["type"] for c in content]
+        assert kinds == ["text", "image_url", "text"]
+        assert seen["max_tokens"] == 7
+        b64 = content[1]["image_url"]["url"].split(",", 1)[1]
+        assert base64.b64decode(b64)[:4] == b"\x89PNG"
+
+        # the reference adapter names resolve to the API client
+        gpt4v = build_lmm_by_name("gpt4v", api_url=url, api_key="k",
+                                  retries=1)
+        assert gpt4v.model_version == "gpt-4-vision-preview"
+        with pytest.raises(NotImplementedError):
+            gpt4v.loglikelihood([])
+    finally:
+        srv.shutdown()
