@@ -89,6 +89,9 @@ class ParallelSection:
     zero: int = 0
     # place AdamW moments in pinned_host memory (zero3_offload.json)
     offload_opt_state: bool = False
+    # additionally keep the params in pinned_host between steps (deepspeed
+    # offload_param; they are streamed to HBM for each forward)
+    offload_params: bool = False
 
 
 @dataclasses.dataclass

@@ -164,14 +164,16 @@ def run_training(cfg: RunConfig) -> int:
                        switch_sigma=cfg.train.switch_sigma
                        if cfg.train.switch_enable else 0.0)
     if cfg.parallel.zero:
-        state, opt, opt_dev, opt_host = init_sharded_train_state(
-            params, tcfg, model_cfg, mesh, zero=cfg.parallel.zero,
-            offload_opt_state=cfg.parallel.offload_opt_state)
+        state, opt, opt_dev, opt_host, p_dev, p_host = \
+            init_sharded_train_state(
+                params, tcfg, model_cfg, mesh, zero=cfg.parallel.zero,
+                offload_opt_state=cfg.parallel.offload_opt_state,
+                offload_params=cfg.parallel.offload_params)
     else:
         params = jax.device_put(
             params, param_shardings(params, model_cfg, mesh))
         state, opt = init_train_state(params, tcfg)
-        opt_dev = opt_host = None
+        opt_dev = opt_host = p_dev = p_host = None
 
     diffusion_apply = None
     if any(e.kind == "diffusion" for e in model_cfg.tower_spec.entries):
@@ -180,7 +182,9 @@ def run_training(cfg: RunConfig) -> int:
             config_overrides=model_cfg.featurizer_overrides)
     step_fn = jax.jit(make_train_step(model_cfg, tcfg, opt, precision,
                                       diffusion_apply, opt_to_device=opt_dev,
-                                      opt_to_host=opt_host, mesh=mesh))
+                                      opt_to_host=opt_host,
+                                      params_to_device=p_dev,
+                                      params_to_host=p_host, mesh=mesh))
 
     logger = MetricsLogger(cfg.train.output_dir, "train",
                            every=cfg.train.logging_steps)

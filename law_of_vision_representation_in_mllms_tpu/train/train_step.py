@@ -133,15 +133,17 @@ def init_sharded_train_state(params, train_cfg: TrainConfig,
                              model_cfg: llava.LlavaConfig, mesh: Mesh, *,
                              zero: int = 2,
                              offload_opt_state: bool = False,
+                             offload_params: bool = False,
                              min_size: int | None = None):
     """ZeRO init: the optimizer state is BORN sharded (jit with
     out_shardings), never materialized replicated — at 7B the replicated
     moments alone would be 54 GB/chip.
 
-    Returns (state, opt, opt_to_device, opt_to_host); the last two are
-    sharding trees for `make_train_step` when `offload_opt_state` places the
-    moments in pinned_host memory (`scripts/zero3_offload.json`
-    equivalent)."""
+    Returns (state, opt, opt_to_device, opt_to_host, params_to_device,
+    params_to_host); the sharding-tree pairs are for `make_train_step` when
+    `offload_opt_state` places the moments — and `offload_params` the
+    parameters (deepspeed offload_param) — in pinned_host memory
+    (`scripts/zero3_offload.json` equivalent)."""
     from ..parallel import fsdp
     if min_size is None:
         min_size = fsdp.MIN_SIZE_TO_SHARD
@@ -157,29 +159,36 @@ def init_sharded_train_state(params, train_cfg: TrainConfig,
                                        min_size=min_size)
     o_dev = fsdp.shardings(o_specs, mesh)
     opt_state = jax.jit(opt.init, out_shardings=o_dev)(params)
+    o_host = p_host = p_dev = None
     if offload_opt_state:
         # initial host placement happens OUTSIDE jit (out_shardings with
         # memory kinds trips the SPMD partitioner on some backends); the
         # train step keeps it host-resident via device_put inside jit.
         o_host = fsdp.offload_shardings(o_shapes, o_specs, mesh)
         opt_state = jax.device_put(opt_state, o_host)
-        state = {"params": params, "opt_state": opt_state,
-                 "step": jnp.zeros((), jnp.int32)}
-        return state, opt, o_dev, o_host
+    if offload_params:
+        p_dev = fsdp.shardings(p_specs, mesh)
+        p_host = fsdp.offload_shardings(params, p_specs, mesh)
+        params = jax.device_put(params, p_host)
     state = {"params": params, "opt_state": opt_state,
              "step": jnp.zeros((), jnp.int32)}
-    return state, opt, None, None
+    return (state, opt, o_dev if offload_opt_state else None, o_host,
+            p_dev, p_host)
 
 
 def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
                     opt, precision: Precision = DEFAULT_PRECISION,
                     diffusion_apply=None, opt_to_device=None,
-                    opt_to_host=None, mesh: Mesh | None = None):
+                    opt_to_host=None, params_to_device=None,
+                    params_to_host=None, mesh: Mesh | None = None):
     """Returns step(state, batch) -> (state, metrics); jit/pjit-ready.
 
     opt_to_device/opt_to_host: optional sharding trees for host-offloaded
     optimizer state (ZeRO-offload): moments live in pinned_host between
     steps and are device_put in only for the update.
+    params_to_device/params_to_host: the same for the parameters (deepspeed
+    zero3_offload's offload_param): params live in pinned_host between steps
+    and stream to HBM for the forward/backward/update.
 
     mesh: pass when grad_accum > 1 on a multi-device mesh — the microbatch
     reshape [B,...] -> [a, B/a, ...] needs an explicit sharding constraint
@@ -225,7 +234,10 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
         return l_sum * inv, jax.tree.map(lambda g: g * inv, g_sum)
 
     def step(state, batch):
-        l, grads = grad_fn(state["params"], batch)
+        params_in = state["params"]
+        if params_to_device is not None:
+            params_in = jax.device_put(params_in, params_to_device)
+        l, grads = grad_fn(params_in, batch)
         gnorm = optax.global_norm(grads)
         # production guard (absent in the reference): skip the update when
         # the loss/grads go non-finite instead of poisoning the params
@@ -235,13 +247,15 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
         opt_in = state["opt_state"]
         if opt_to_device is not None:
             opt_in = jax.device_put(opt_in, opt_to_device)
-        updates, opt_state = opt.update(grads, opt_in, state["params"])
+        updates, opt_state = opt.update(grads, opt_in, params_in)
         if opt_to_host is not None:
             opt_state = jax.device_put(opt_state, opt_to_host)
-        params = optax.apply_updates(state["params"], updates)
+        params = optax.apply_updates(params_in, updates)
         params = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old), params,
-            state["params"])
+            params_in)
+        if params_to_host is not None:
+            params = jax.device_put(params, params_to_host)
         new_state = {"params": params, "opt_state": opt_state,
                      "step": state["step"] + 1}
         return new_state, {"loss": l, "grad_norm": gnorm,

@@ -111,7 +111,7 @@ def test_zero3_step_parity_with_replicated(mesh8):
 
     # ZeRO-3 (min_size=0: tiny-model leaves are below the production
     # shard threshold)
-    state3, opt3, _, _ = init_sharded_train_state(params, tcfg, cfg, mesh8,
+    state3, opt3, *_ = init_sharded_train_state(params, tcfg, cfg, mesh8,
                                                   zero=3, min_size=0)
     step3 = jax.jit(make_train_step(cfg, tcfg, opt3, FP32_PRECISION))
 
@@ -139,7 +139,7 @@ def test_zero2_params_replicated_moments_sharded(mesh8):
     cfg = _tiny_cfg()
     tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=10)
     params = llava.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
-    state, opt, _, _ = init_sharded_train_state(params, tcfg, cfg, mesh8,
+    state, opt, *_ = init_sharded_train_state(params, tcfg, cfg, mesh8,
                                                 zero=2, min_size=0)
     # params: no data axis anywhere (only decoder TP)
     def check_p(leaf):
@@ -200,9 +200,9 @@ def test_offload_opt_state_parity(mesh8):
     tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=10)
     params = llava.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
 
-    s_dev, opt_d, _, _ = init_sharded_train_state(params, tcfg, cfg, mesh8,
+    s_dev, opt_d, *_ = init_sharded_train_state(params, tcfg, cfg, mesh8,
                                                   zero=3, min_size=0)
-    s_off, opt_o, to_dev, to_host = init_sharded_train_state(
+    s_off, opt_o, to_dev, to_host, _, _ = init_sharded_train_state(
         params, tcfg, cfg, mesh8, zero=3, offload_opt_state=True,
         min_size=0)
     step_d = jax.jit(make_train_step(cfg, tcfg, opt_d, FP32_PRECISION))
@@ -216,6 +216,41 @@ def test_offload_opt_state_parity(mesh8):
            jax.tree_util.tree_flatten_with_path(s_off["opt_state"])[0]
            if ".mu" in jax.tree_util.keystr(path) and leaf.size >= 1 << 12]
     assert mus and all(m.sharding.memory_kind == "pinned_host" for m in mus)
+    batch = _tiny_batch()
+    b = jax.device_put(batch, shard_batch_specs(batch, mesh8))
+    for _ in range(2):
+        s_dev, m_d = step_d(s_dev, b)
+        s_off, m_o = step_o(s_off, b)
+        np.testing.assert_allclose(float(m_d["loss"]), float(m_o["loss"]),
+                                   rtol=1e-6)
+
+
+def test_offload_params_parity(mesh8):
+    """deepspeed offload_param equivalent: params live in pinned_host
+    between steps, stream to device inside the step, land back on host —
+    and the losses match the device-resident run exactly."""
+    dev = jax.devices()[0]
+    kinds = {m.kind for m in dev.addressable_memories()}
+    if "pinned_host" not in kinds:
+        pytest.skip(f"no pinned_host memory on {dev.platform}: {kinds}")
+    cfg = _tiny_cfg()
+    tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=10)
+    params = llava.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+
+    s_dev, opt_d, *_ = init_sharded_train_state(params, tcfg, cfg, mesh8,
+                                                zero=3, min_size=0)
+    s_off, opt_o, _, _, p_dev, p_host = init_sharded_train_state(
+        params, tcfg, cfg, mesh8, zero=3, offload_params=True, min_size=0)
+    assert p_dev is not None and p_host is not None
+    # large params start host-resident
+    big = [leaf for leaf in jax.tree.leaves(s_off["params"])
+           if leaf.size >= 1 << 12]
+    assert big and all(p.sharding.memory_kind == "pinned_host" for p in big)
+
+    step_d = jax.jit(make_train_step(cfg, tcfg, opt_d, FP32_PRECISION))
+    step_o = jax.jit(make_train_step(cfg, tcfg, opt_o, FP32_PRECISION,
+                                     params_to_device=p_dev,
+                                     params_to_host=p_host))
     batch = _tiny_batch()
     b = jax.device_put(batch, shard_batch_specs(batch, mesh8))
     for _ in range(2):
