@@ -29,6 +29,34 @@ from .vit import ViTConfig, ViTEncoder
 FACETS = ("query", "key", "value", "token")
 
 
+def attention_maps(encoder: ViTEncoder, variables: Dict, pixel_values,
+                   *, layer: int) -> jnp.ndarray:
+    """The 'attn' facet: softmax attention probs [B, h, t, t] of one block
+    (`extractor_dino.py:233-234` attn_drop hook)."""
+    _, inter = encoder.apply(variables, pixel_values, num_blocks=layer + 1,
+                             sow_facets_layer=layer,
+                             mutable=["intermediates"])
+    return inter["intermediates"][f"block_{layer}"]["facet_attn"][0]
+
+
+def extract_saliency_maps(encoder: ViTEncoder, variables: Dict, pixel_values,
+                          *, layer: int | None = None,
+                          head_idxs=(0, 2, 4, 5)) -> jnp.ndarray:
+    """CLS->patch attention saliency, min-max normalized to [0, 1] per
+    image: [B, t-1] (`extractor_dino.py:342-356`; the reference hardcodes
+    dino_vits8's last layer + heads [0,2,4,5] — both are knobs here)."""
+    cfg = encoder.cfg
+    if not cfg.use_class_token:
+        raise ValueError("saliency maps need a CLS token")
+    if layer is None:
+        layer = cfg.num_layers - 1
+    probs = attention_maps(encoder, variables, pixel_values, layer=layer)
+    sal = probs[:, jnp.asarray(head_idxs), 0, 1:].mean(axis=1)   # [B, t-1]
+    lo = sal.min(axis=1, keepdims=True)
+    hi = sal.max(axis=1, keepdims=True)
+    return (sal - lo) / (hi - lo)
+
+
 def facet_descriptors(encoder: ViTEncoder, variables: Dict, pixel_values,
                       *, layer: int, facet: str = "token",
                       log_bin: bool = False,

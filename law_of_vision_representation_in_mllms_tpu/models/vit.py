@@ -186,13 +186,20 @@ class ViTBlock(nn.Module):
         k = dense("k")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         v = dense("v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         if sow_facets:
-            # The GeoAware-SC ViTExtractor's q/k/v facet hooks
+            # The GeoAware-SC ViTExtractor's q/k/v/attn facet hooks
             # (`extractor_dino.py:198-236`), expressed functionally via
             # Flax's collection mechanism instead of torch forward hooks.
-            # Shapes [B, S, H, Dh]; cls handling is the reader's job.
+            # q/k/v: [B, S, H, Dh]; attn: softmax probs [B, H, S, S]
+            # (the attn_drop hook output). cls handling is the reader's job.
             self.sow("intermediates", "facet_q", q)
             self.sow("intermediates", "facet_k", k)
             self.sow("intermediates", "facet_v", v)
+            logits = jnp.einsum("bqhd,bkhd->bhqk",
+                                q.astype(jnp.float32),
+                                k.astype(jnp.float32))
+            logits = logits / jnp.sqrt(jnp.float32(cfg.head_dim))
+            self.sow("intermediates", "facet_attn",
+                     jax.nn.softmax(logits, axis=-1))
         impl = cfg.attn_impl
         if impl == "auto":
             # measured on v5e (round 2): XLA attention with bf16 logits +

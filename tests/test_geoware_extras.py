@@ -368,3 +368,39 @@ def test_geoware_pipeline_e2e(tmp_path):
     assert set(got["results"]) >= {"correct_2", "correct_4", "n"}
     assert got["results"]["n"] == 2
     assert len(got["rows"][0]) == 12
+
+
+def test_attn_facet_and_saliency_golden():
+    """'attn' facet == HF Dinov2 attention probs; saliency = normalized
+    CLS->patch attention of selected heads (`extractor_dino.py:342-356`)."""
+    from law_of_vision_representation_in_mllms_tpu.models.facet import (
+        attention_maps, extract_saliency_maps)
+    hf, cfg, params = _tiny_dinov2()
+    # sdpa attention returns attentions=None; rebuild eager on same weights
+    from transformers import Dinov2Model
+    eager_cfg = hf.config
+    eager_cfg._attn_implementation = "eager"
+    hf_eager = Dinov2Model(eager_cfg).eval()
+    hf_eager.load_state_dict(hf.state_dict())
+    hf = hf_eager
+    pixels = np.random.RandomState(12).randn(
+        2, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+    enc = ViTEncoder(cfg, FP32_PRECISION)
+    layer = 2
+    probs = np.asarray(attention_maps(enc, {"params": params},
+                                      jnp.asarray(pixels), layer=layer))
+    with torch.no_grad():
+        out = hf(torch.from_numpy(pixels).permute(0, 3, 1, 2),
+                 output_attentions=True)
+    ref = out.attentions[layer].numpy()
+    np.testing.assert_allclose(probs, ref, atol=2e-5, rtol=1e-4)
+
+    sal = np.asarray(extract_saliency_maps(
+        enc, {"params": params}, jnp.asarray(pixels), layer=layer,
+        head_idxs=(0, 2)))
+    cls_attn = ref[:, [0, 2], 0, 1:].mean(axis=1)
+    lo = cls_attn.min(axis=1, keepdims=True)
+    hi = cls_attn.max(axis=1, keepdims=True)
+    np.testing.assert_allclose(sal, (cls_attn - lo) / (hi - lo),
+                               atol=1e-5, rtol=1e-4)
+    assert sal.shape == (2, cfg.num_patches)
