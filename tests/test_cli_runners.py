@@ -166,3 +166,25 @@ def test_optional_override_coercion():
     assert cfg.model.tower_weights == ["a.npz", "b.npz"]
     assert cfg.model.img_size == 512
     assert cfg.model.tokenizer is None
+
+
+def test_train_runner_zero3_full_offload(tmp_path):
+    """run_training with zero=3 + both host-offload knobs: the RunConfig ->
+    runner -> init_sharded_train_state -> make_train_step plumbing for the
+    zero3_offload.json equivalent (params AND moments in pinned_host)."""
+    import jax
+    dev = jax.devices()[0]
+    kinds = {m.kind for m in dev.addressable_memories()}
+    if "pinned_host" not in kinds:
+        import pytest as _pytest
+        _pytest.skip(f"no pinned_host memory on {dev.platform}")
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        run_training)
+    d = _tiny_train_config(tmp_path)
+    d["parallel"].update({"zero": 3, "offload_opt_state": True,
+                          "offload_params": True})
+    rc = run_training(RunConfig.from_dict(d))
+    assert rc == 0
+    lines = open(tmp_path / "out" / "train.jsonl").read().strip().split("\n")
+    losses = [json.loads(ln)["loss"] for ln in lines]
+    assert losses and all(np.isfinite(l) for l in losses), losses
