@@ -34,6 +34,11 @@ class ModelSection:
     # `towers.DIFFUSION_IMG_SIZES`)
     img_size: Optional[int] = None
     conv_template: str = "v1"
+    # opt-in visual-token pruning (inference accelerator, beyond reference):
+    # keep only the top-K image tokens by `prune_score` (auto|saliency|norm).
+    # None (default) = exact reference parity.
+    visual_keep: Optional[int] = None
+    prune_score: str = "auto"
     checkpoint: Optional[str] = None       # orbax train-state dir
     tokenizer: Optional[str] = None        # HF tokenizer path (host-side)
     # ported tower weights, one path per tower-spec entry ('' = skip).

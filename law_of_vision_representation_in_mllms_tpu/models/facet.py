@@ -34,9 +34,30 @@ def attention_maps(encoder: ViTEncoder, variables: Dict, pixel_values,
     """The 'attn' facet: softmax attention probs [B, h, t, t] of one block
     (`extractor_dino.py:233-234` attn_drop hook)."""
     _, inter = encoder.apply(variables, pixel_values, num_blocks=layer + 1,
-                             sow_facets_layer=layer,
+                             sow_facets_layer=layer, sow_facets_mode="attn",
                              mutable=["intermediates"])
     return inter["intermediates"][f"block_{layer}"]["facet_attn"][0]
+
+
+def cls_attention_scores(encoder: ViTEncoder, variables: Dict, pixel_values,
+                         *, layer: int) -> jnp.ndarray:
+    """CLS->patch attention [B, t-1] of one block, mean over all heads —
+    computed from the sown q/k projections with a single CLS-row softmax
+    (O(S) memory, not the O(S^2) full attn facet). The visual-token
+    pruning score (`llava.encode_images` prune_score='saliency')."""
+    cfg = encoder.cfg
+    if not cfg.use_class_token:
+        raise ValueError("cls attention scores need a CLS token")
+    _, inter = encoder.apply(variables, pixel_values, num_blocks=layer + 1,
+                             sow_facets_layer=layer,
+                             mutable=["intermediates"])
+    blk = inter["intermediates"][f"block_{layer}"]
+    q = blk["facet_q"][0].astype(jnp.float32)        # [B, S, H, Dh]
+    k = blk["facet_k"][0].astype(jnp.float32)
+    logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k)
+    logits = logits / jnp.sqrt(jnp.float32(cfg.head_dim))
+    probs = jax.nn.softmax(logits, axis=-1)          # [B, H, S]
+    return probs.mean(axis=1)[:, 1:]                 # drop CLS column
 
 
 def extract_saliency_maps(encoder: ViTEncoder, variables: Dict, pixel_values,

@@ -42,6 +42,13 @@ class LlavaConfig:
     # per-tower-name FeaturizerConfig overrides (from loaded bundles);
     # consumed by tower_runtime.make_diffusion_apply
     featurizer_overrides: Optional[Dict[str, Any]] = None
+    # Opt-in visual-token pruning (beyond-reference inference accelerator,
+    # PruMerge/FastV-family): keep only the top-`visual_keep` image tokens,
+    # scored by `prune_score` ("auto" = tower CLS attention when the lead
+    # tower has a class token, else projected-token L2 norm). Static keep
+    # count -> static shapes; visual_keep=None (default) is exact parity.
+    visual_keep: Optional[int] = None
+    prune_score: str = "auto"            # auto | saliency | norm
 
     @classmethod
     def build(cls, tower: str, decoder: Optional[L.LlamaConfig] = None,
@@ -50,8 +57,8 @@ class LlavaConfig:
                    decoder=decoder or L.vicuna_7b(), **kw)
 
     @property
-    def num_patches(self) -> int:
-        """Image-token count seen by the splice — i.e. AFTER the projector.
+    def full_num_patches(self) -> int:
+        """Image-token count after the projector, BEFORE any pruning.
         A perceiver projector resamples any patch grid to its 64 learned
         latents (`perceiver_helpers.py:76`); per-tower projectors under MoF
         contribute 64 each."""
@@ -63,6 +70,14 @@ class LlavaConfig:
                 return NUM_LATENTS * len(self.tower_spec.entries)
             return NUM_LATENTS
         return self.tower_spec.num_patches
+
+    @property
+    def num_patches(self) -> int:
+        """Image-token count the splice sees (post-pruning)."""
+        n = self.full_num_patches
+        if self.visual_keep is not None:
+            return min(self.visual_keep, n)
+        return n
 
 
 def init_params(rng, cfg: LlavaConfig,
@@ -113,18 +128,63 @@ def _select_feature(cfg: LlavaConfig, entry: TowerEntry) -> str:
     return cfg.select_feature
 
 
+def _vit_forward_with_saliency(tower_params, vcfg, select_layer: int,
+                               precision: Precision, pixel_values):
+    """One encoder pass returning (patch features, CLS-attention scores
+    [B, P]) — the saliency comes from the last block actually run, via the
+    sown q/k projections (O(S) memory; see facet.cls_attention_scores)."""
+    from .vit import ViTEncoder
+    n = vcfg.resolve_layer(select_layer)
+    enc = ViTEncoder(vcfg, precision)
+    out, inter = enc.apply({"params": tower_params["encoder"]}, pixel_values,
+                           num_blocks=n, sow_facets_layer=n - 1,
+                           mutable=["intermediates"])
+    blk = inter["intermediates"][f"block_{n - 1}"]
+    q = blk["facet_q"][0].astype(jnp.float32)
+    k = blk["facet_k"][0].astype(jnp.float32)
+    logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k)
+    logits = logits / jnp.sqrt(jnp.float32(vcfg.head_dim))
+    sal = jax.nn.softmax(logits, axis=-1).mean(axis=1)[:, 1:]
+    return out[:, 1:], sal
+
+
+def prune_visual_tokens(tokens: jnp.ndarray, scores: jnp.ndarray,
+                        keep: int) -> jnp.ndarray:
+    """Keep the top-`keep` tokens by score, in their ORIGINAL order
+    (positional structure matters to the decoder). Static shapes: top_k +
+    sort + gather."""
+    _, idx = lax.top_k(scores, keep)
+    idx = jnp.sort(idx, axis=-1)
+    return jnp.take_along_axis(tokens, idx[..., None], axis=1)
+
+
 def encode_images(params, cfg: LlavaConfig, pixel_values: List[jnp.ndarray],
                   precision: Precision = DEFAULT_PRECISION,
                   diffusion_apply=None) -> jnp.ndarray:
     """pixel_values: one NHWC array per tower entry. Returns projected
     features [B, P, D_llm]. Towers are frozen (stop_gradient), matching
-    `requires_grad_(False)` in every reference tower."""
+    `requires_grad_(False)` in every reference tower.
+
+    With `cfg.visual_keep`, the projected tokens are pruned to the top-K by
+    tower CLS attention (or token norm) — see LlavaConfig.visual_keep."""
     feats = []
+    saliency = None
+    want_saliency = (cfg.visual_keep is not None
+                     and cfg.prune_score in ("auto", "saliency"))
     for i, e in enumerate(cfg.tower_spec.entries):
         if e.kind == "vit":
-            mod = ViTTower(e.vit_config, cfg.select_layer,
-                           _select_feature(cfg, e), precision)
-            f = mod.apply({"params": params["towers"][i]}, pixel_values[i])
+            sel = _select_feature(cfg, e)
+            if (want_saliency and saliency is None and sel == "patch"
+                    and e.vit_config.use_class_token):
+                f, saliency = _vit_forward_with_saliency(
+                    params["towers"][i], e.vit_config, cfg.select_layer,
+                    precision, pixel_values[i])
+                saliency = lax.stop_gradient(saliency)
+            else:
+                mod = ViTTower(e.vit_config, cfg.select_layer, sel,
+                               precision)
+                f = mod.apply({"params": params["towers"][i]},
+                              pixel_values[i])
         elif e.kind == "diffusion":
             if diffusion_apply is None:
                 raise ValueError("diffusion tower requires diffusion_apply "
@@ -145,9 +205,23 @@ def encode_images(params, cfg: LlavaConfig, pixel_values: List[jnp.ndarray],
         pmin = min(p.shape[1] for p in projected)
         stack = jnp.stack([p[:, :pmin] for p in projected], axis=1)
         b, n, t, d = stack.shape
-        return stack.transpose(0, 2, 1, 3).reshape(b, n * t, d)
-    cat = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
-    return apply_projector(params["projector"], cat, precision)
+        out = stack.transpose(0, 2, 1, 3).reshape(b, n * t, d)
+        saliency = None                  # interleave breaks the alignment
+    else:
+        cat = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+        out = apply_projector(params["projector"], cat, precision)
+    keep = cfg.num_patches
+    if cfg.visual_keep is not None and keep < out.shape[1]:
+        if cfg.prune_score == "saliency" and saliency is None:
+            raise ValueError(
+                "prune_score='saliency' needs a patch-selected class-token "
+                "ViT as a tower entry (and no MoF interleave)")
+        if saliency is not None and saliency.shape[1] == out.shape[1]:
+            scores = saliency
+        else:
+            scores = jnp.linalg.norm(out.astype(jnp.float32), axis=-1)
+        out = prune_visual_tokens(out, lax.stop_gradient(scores), keep)
+    return out
 
 
 def dump_image_embeds(params, cfg: LlavaConfig, pixel_values,

@@ -171,7 +171,10 @@ class ViTBlock(nn.Module):
     causal: bool = False   # reused by the CLIP *text* encoders
 
     @nn.compact
-    def __call__(self, x, sow_facets: bool = False):
+    def __call__(self, x, sow_facets=False):
+        # sow_facets: False | "qkv" (projections only) | "attn" (adds the
+        # full S x S softmax probs — memory-heavy, only for the attn facet)
+        # | True (both, back-compat)
         cfg, prec = self.cfg, self.precision
         dense = lambda name: nn.Dense(  # noqa: E731
             cfg.hidden_size, dtype=prec.compute_dtype,
@@ -194,12 +197,13 @@ class ViTBlock(nn.Module):
             self.sow("intermediates", "facet_q", q)
             self.sow("intermediates", "facet_k", k)
             self.sow("intermediates", "facet_v", v)
-            logits = jnp.einsum("bqhd,bkhd->bhqk",
-                                q.astype(jnp.float32),
-                                k.astype(jnp.float32))
-            logits = logits / jnp.sqrt(jnp.float32(cfg.head_dim))
-            self.sow("intermediates", "facet_attn",
-                     jax.nn.softmax(logits, axis=-1))
+            if sow_facets in (True, "attn"):
+                logits = jnp.einsum("bqhd,bkhd->bhqk",
+                                    q.astype(jnp.float32),
+                                    k.astype(jnp.float32))
+                logits = logits / jnp.sqrt(jnp.float32(cfg.head_dim))
+                self.sow("intermediates", "facet_attn",
+                         jax.nn.softmax(logits, axis=-1))
         impl = cfg.attn_impl
         if impl == "auto":
             # measured on v5e (round 2): XLA attention with bf16 logits +
@@ -252,7 +256,8 @@ class ViTEncoder(nn.Module):
     @nn.compact
     def __call__(self, pixel_values, *, num_blocks: int | None = None,
                  output_hidden_states: bool = False,
-                 sow_facets_layer: int | None = None) -> Any:
+                 sow_facets_layer: int | None = None,
+                 sow_facets_mode="qkv") -> Any:
         cfg, prec = self.cfg, self.precision
         b, h, w, c = pixel_values.shape
         p, st = cfg.patch_size, cfg.stride_
@@ -299,7 +304,8 @@ class ViTEncoder(nn.Module):
         hidden_states = [x]
         for i in range(n):
             x = ViTBlock(cfg, prec, name=f"block_{i}")(
-                x, sow_facets=(i == sow_facets_layer))
+                x, sow_facets=(sow_facets_mode if i == sow_facets_layer
+                               else False))
             if output_hidden_states:
                 hidden_states.append(x)
 

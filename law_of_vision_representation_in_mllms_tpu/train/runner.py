@@ -92,7 +92,9 @@ def build_model(cfg: RunConfig, rng=None):
         projector_type=cfg.model.projector_type,
         select_layer=cfg.model.select_layer,
         select_feature=cfg.model.select_feature,
-        featurizer_overrides=overrides or None)
+        featurizer_overrides=overrides or None,
+        visual_keep=cfg.model.visual_keep,
+        prune_score=cfg.model.prune_score)
     params = llava.init_params(rng or jax.random.PRNGKey(cfg.train.seed),
                                model_cfg)
     for i, tp in enumerate(tower_params):
