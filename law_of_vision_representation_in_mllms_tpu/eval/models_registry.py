@@ -193,3 +193,12 @@ for _name, _version in (("gpt4v", "gpt-4-vision-preview"),
     LMM_REGISTRY[_name] = (
         lambda _v=_version, **kw: OpenAIAPILMM(
             **{"model_version": _v, **kw}))
+
+# Reference local-model adapter names (`lmms_eval/models/*.py`). Each of
+# those files wraps a third-party torch checkpoint in ad-hoc
+# prompt/generate glue; HF's AutoModelForVision2Seq + AutoProcessor now
+# resolve all of these architectures, so they alias the generic adapter —
+# pass the local snapshot via pretrained=...
+for _name in ("llava_hf", "instructblip", "fuyu", "idefics2", "minicpm_v",
+              "phi3v", "qwen_vl", "xcomposer2"):
+    LMM_REGISTRY[_name] = HFVision2SeqLMM
