@@ -52,7 +52,7 @@ def main():
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(variables, px * (1.0 + 0.003 * i))
+        out = fn(variables, px * (1.01 + 0.003 * i))
     _ = float(jnp.sum(out))
     dt = time.perf_counter() - t0
 

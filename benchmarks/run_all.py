@@ -63,7 +63,7 @@ def bench_towers(results, quick=False):
         v = jax.tree.map(lambda x: x.astype(jnp.bfloat16), v)
         fn = jax.jit(lambda vv, p: tower.apply(vv, p))
         dt = _timed(lambda p: fn(v, p), (px,),
-                    [(px * (1.0 + 0.003 * i),) for i in range(iters)],
+                    [(px * (1.01 + 0.003 * i),) for i in range(iters)],
                     lambda o: float(jnp.sum(o)))
         results.append({"metric": f"tower_throughput/{name}",
                         "value": round(batch / dt, 2),
@@ -132,7 +132,7 @@ def bench_diffusion(results, quick=False):
         fn = jax.jit(lambda p, x: F.extract_features(
             p, cfg, x, deterministic=True, precision=prec))
         dt = _timed(lambda x: fn(params, x), (px,),
-                    [(px * (1.0 - 0.002 * i),) for i in range(iters)],
+                    [(px * (1.01 - 0.002 * i),) for i in range(iters)],
                     lambda o: float(jnp.sum(o.astype(jnp.float32))))
         results.append({"metric": f"diffusion_featurize/{short}",
                         "value": round(batch / dt, 2),
@@ -154,7 +154,7 @@ def bench_a_score(results, quick=False):
     for name, fn in (("pallas", lambda x: max_cos_pallas(x, a_arr)),
                      ("xla", lambda x: a_score_pairwise(x, a_arr))):
         dt = _timed(fn, (t_arr,),
-                    [(t_arr * (1.0 + 0.01 * i),) for i in range(5)],
+                    [(t_arr * (1.01 + 0.01 * i),) for i in range(5)],
                     lambda o: float(o.sum()))
         results.append({"metric": f"a_score_100x576x4096/{name}",
                         "value": round(1000 * dt * (100 / n), 3),
@@ -178,7 +178,7 @@ def bench_c_score(results, quick=False):
         res, _ = compute_pck_batch(x, d2, kps, kps, vis, thr,
                                    num_patches=npatch, anno_size=840)
         return res.per_img
-    dt = _timed(fn, (d1,), [(d1 * (1.0 + 0.01 * i),) for i in range(5)],
+    dt = _timed(fn, (d1,), [(d1 * (1.01 + 0.01 * i),) for i in range(5)],
                 lambda o: float(o.sum()))
     results.append({"metric": f"c_score_pck_{pairs}pairs",
                     "value": round(1000 * dt, 2), "unit": "ms/batch"})
@@ -217,7 +217,7 @@ def bench_decode(results, quick=False):
     gen16 = make_gen(new)
     iters = 3 if quick else 6
     dt = _timed(lambda pxv: gen16(params, jnp.asarray(ids), pxv), (px,),
-                [(px * (1.0 + 0.01 * i),) for i in range(iters)],
+                [(px * (1.01 + 0.01 * i),) for i in range(iters)],
                 lambda o: int(o[0, 0]))
     results.append({"metric": "llava_1p4b_generate_b8_new16",
                     "value": round(b / dt, 2), "unit": "samples/sec"})
@@ -229,7 +229,7 @@ def bench_decode(results, quick=False):
     # pure decode throughput: marginal cost of 48 extra tokens
     gen64 = make_gen(64)
     dt64 = _timed(lambda pxv: gen64(params, jnp.asarray(ids), pxv), (px,),
-                  [(px * (1.0 + 0.01 * i),) for i in range(iters)],
+                  [(px * (1.01 + 0.01 * i),) for i in range(iters)],
                   lambda o: int(o[0, 0]))
     per_step = (dt64 - dt) / 48
     results.append({"metric": "llava_1p4b_pure_decode_tok_s",
@@ -273,7 +273,7 @@ def bench_visual_prune(results, quick=False):
                                          eos_id=2, precision=prec)
         iters = 3 if quick else 6
         dt = _timed(lambda pxv: gen(params, jnp.asarray(ids), pxv), (px,),
-                    [(px * (1.0 + 0.01 * i),) for i in range(iters)],
+                    [(px * (1.01 + 0.01 * i),) for i in range(iters)],
                     lambda o: int(o[0, 0]))
         results.append({"metric": f"llava_1p4b_generate_b8_keep{keep}",
                         "value": round(b / dt, 2), "unit": "samples/sec"})

@@ -162,7 +162,8 @@ class OpenAIAPILMM(LMM):
                      "Authorization": f"Bearer {self.api_key}"})
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             body = _json.loads(resp.read().decode("utf-8"))
-        return body["choices"][0]["message"]["content"]
+        # content may legally be null (refusal / tool-call responses)
+        return body["choices"][0]["message"]["content"] or ""
 
     def generate_until(self, requests: List[Instance]) -> List[str]:
         import time
@@ -194,11 +195,12 @@ for _name, _version in (("gpt4v", "gpt-4-vision-preview"),
         lambda _v=_version, **kw: OpenAIAPILMM(
             **{"model_version": _v, **kw}))
 
-# Reference local-model adapter names (`lmms_eval/models/*.py`). Each of
-# those files wraps a third-party torch checkpoint in ad-hoc
-# prompt/generate glue; HF's AutoModelForVision2Seq + AutoProcessor now
-# resolve all of these architectures, so they alias the generic adapter —
-# pass the local snapshot via pretrained=...
-for _name in ("llava_hf", "instructblip", "fuyu", "idefics2", "minicpm_v",
-              "phi3v", "qwen_vl", "xcomposer2"):
+# Reference local-model adapter names (`lmms_eval/models/*.py`) whose
+# architectures ARE registered in HF's AutoModelForVision2Seq mapping —
+# they alias the generic adapter (pass the local snapshot via
+# pretrained=...). The custom-code checkpoints (qwen_vl, xcomposer2,
+# minicpm_v, phi3v) need trust_remote_code and their own generate glue;
+# they stay unregistered rather than aliased to an adapter that cannot
+# load them.
+for _name in ("llava_hf", "instructblip", "fuyu", "idefics2"):
     LMM_REGISTRY[_name] = HFVision2SeqLMM

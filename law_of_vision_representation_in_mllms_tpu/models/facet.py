@@ -39,12 +39,22 @@ def attention_maps(encoder: ViTEncoder, variables: Dict, pixel_values,
     return inter["intermediates"][f"block_{layer}"]["facet_attn"][0]
 
 
+def cls_scores_from_qk(q, k, head_dim: int) -> jnp.ndarray:
+    """CLS->patch attention [B, S-1] from sown q/k projections [B, S, H, Dh]
+    — one CLS-row softmax (O(S) memory, not the O(S^2) full attn facet),
+    mean over heads, CLS column dropped."""
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k)
+    logits = logits / jnp.sqrt(jnp.float32(head_dim))
+    probs = jax.nn.softmax(logits, axis=-1)          # [B, H, S]
+    return probs.mean(axis=1)[:, 1:]
+
+
 def cls_attention_scores(encoder: ViTEncoder, variables: Dict, pixel_values,
                          *, layer: int) -> jnp.ndarray:
-    """CLS->patch attention [B, t-1] of one block, mean over all heads —
-    computed from the sown q/k projections with a single CLS-row softmax
-    (O(S) memory, not the O(S^2) full attn facet). The visual-token
-    pruning score (`llava.encode_images` prune_score='saliency')."""
+    """CLS->patch attention [B, t-1] of one block. The visual-token pruning
+    score (`llava.encode_images` prune_score='saliency')."""
     cfg = encoder.cfg
     if not cfg.use_class_token:
         raise ValueError("cls attention scores need a CLS token")
@@ -52,12 +62,8 @@ def cls_attention_scores(encoder: ViTEncoder, variables: Dict, pixel_values,
                              sow_facets_layer=layer,
                              mutable=["intermediates"])
     blk = inter["intermediates"][f"block_{layer}"]
-    q = blk["facet_q"][0].astype(jnp.float32)        # [B, S, H, Dh]
-    k = blk["facet_k"][0].astype(jnp.float32)
-    logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k)
-    logits = logits / jnp.sqrt(jnp.float32(cfg.head_dim))
-    probs = jax.nn.softmax(logits, axis=-1)          # [B, H, S]
-    return probs.mean(axis=1)[:, 1:]                 # drop CLS column
+    return cls_scores_from_qk(blk["facet_q"][0], blk["facet_k"][0],
+                              cfg.head_dim)
 
 
 def extract_saliency_maps(encoder: ViTEncoder, variables: Dict, pixel_values,
@@ -69,6 +75,9 @@ def extract_saliency_maps(encoder: ViTEncoder, variables: Dict, pixel_values,
     cfg = encoder.cfg
     if not cfg.use_class_token:
         raise ValueError("saliency maps need a CLS token")
+    if any(h >= cfg.num_heads for h in head_idxs):
+        raise ValueError(f"head_idxs {tuple(head_idxs)} out of range for "
+                         f"{cfg.num_heads} heads")
     if layer is None:
         layer = cfg.num_layers - 1
     probs = attention_maps(encoder, variables, pixel_values, layer=layer)

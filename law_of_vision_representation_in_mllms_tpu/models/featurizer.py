@@ -132,6 +132,37 @@ def config_from_dict(d: Dict) -> FeaturizerConfig:
     return FeaturizerConfig(**d)
 
 
+def _noisy_latents(params: Dict, cfg: FeaturizerConfig, pixel_values,
+                   rng: Optional[jax.Array], *, deterministic: bool,
+                   precision: Precision) -> jax.Array:
+    """Shared featurization preamble: VAE encode -> (posterior mean |
+    sampled) latents -> add noise at step t (flow-matching for sd3, DDIM
+    otherwise). `deterministic` zeroes both stochastic inputs so feature
+    caches are bit-stable."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    r_post, r_noise = jax.random.split(rng)
+    moments = VA.VAEEncoder(cfg.vae, precision).apply(
+        {"params": params["vae"]}, pixel_values)
+    if deterministic:
+        mean, _ = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
+        if cfg.vae.shift_factor:
+            mean = mean - cfg.vae.shift_factor
+        latents = mean * cfg.vae.scaling_factor
+        noise = jnp.zeros_like(latents)
+    else:
+        latents = VA.sample_latents(moments, r_post, cfg.vae)
+        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+    if cfg.family == "sd3":
+        noisy = MM.flow_match_add_noise(latents, noise, cfg.t)
+    else:
+        acp = ddim_alphas_cumprod(beta_start=cfg.beta_start,
+                                  beta_end=cfg.beta_end,
+                                  schedule=cfg.beta_schedule)
+        noisy = add_noise(latents, noise, cfg.t, acp)
+    return noisy.astype(precision.compute_dtype)
+
+
 def extract_features(params: Dict, cfg: FeaturizerConfig, pixel_values,
                      rng: Optional[jax.Array] = None, *,
                      deterministic: bool = False,
@@ -148,30 +179,8 @@ def extract_features(params: Dict, cfg: FeaturizerConfig, pixel_values,
     e = cfg.ensemble_size
     if e > 1:
         pixel_values = jnp.repeat(pixel_values, e, axis=0)
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    r_post, r_noise = jax.random.split(rng)
-
-    moments = VA.VAEEncoder(cfg.vae, precision).apply(
-        {"params": params["vae"]}, pixel_values)
-    if deterministic:
-        mean, _ = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
-        if cfg.vae.shift_factor:
-            mean = mean - cfg.vae.shift_factor
-        latents = mean * cfg.vae.scaling_factor
-        noise = jnp.zeros_like(latents)
-    else:
-        latents = VA.sample_latents(moments, r_post, cfg.vae)
-        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
-
-    if cfg.family == "sd3":
-        noisy = MM.flow_match_add_noise(latents, noise, cfg.t)
-    else:
-        acp = ddim_alphas_cumprod(beta_start=cfg.beta_start,
-                                  beta_end=cfg.beta_end,
-                                  schedule=cfg.beta_schedule)
-        noisy = add_noise(latents, noise, cfg.t, acp)
-    noisy = noisy.astype(precision.compute_dtype)
+    noisy = _noisy_latents(params, cfg, pixel_values, rng,
+                           deterministic=deterministic, precision=precision)
 
     if cfg.family in ("sd", "imsd", "sdxl"):
         if cfg.family == "imsd":
@@ -235,24 +244,8 @@ def extract_multiscale_features(params: Dict, cfg: FeaturizerConfig,
     if cfg.family not in ("sd", "sdxl"):
         raise ValueError("multi-scale harvest is a UNet-family feature "
                          f"(got family={cfg.family!r})")
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    r_post, r_noise = jax.random.split(rng)
-    moments = VA.VAEEncoder(cfg.vae, precision).apply(
-        {"params": params["vae"]}, pixel_values)
-    if deterministic:
-        mean, _ = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
-        if cfg.vae.shift_factor:
-            mean = mean - cfg.vae.shift_factor
-        latents = mean * cfg.vae.scaling_factor
-        noise = jnp.zeros_like(latents)
-    else:
-        latents = VA.sample_latents(moments, r_post, cfg.vae)
-        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
-    acp = ddim_alphas_cumprod(beta_start=cfg.beta_start, beta_end=cfg.beta_end,
-                              schedule=cfg.beta_schedule)
-    noisy = add_noise(latents, noise, cfg.t, acp)
-    noisy = noisy.astype(precision.compute_dtype)
+    noisy = _noisy_latents(params, cfg, pixel_values, rng,
+                           deterministic=deterministic, precision=precision)
     ctx = jnp.broadcast_to(
         params["prompt_embeds"],
         (noisy.shape[0], *params["prompt_embeds"].shape[1:]))

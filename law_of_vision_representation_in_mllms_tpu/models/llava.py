@@ -133,6 +133,7 @@ def _vit_forward_with_saliency(tower_params, vcfg, select_layer: int,
     """One encoder pass returning (patch features, CLS-attention scores
     [B, P]) — the saliency comes from the last block actually run, via the
     sown q/k projections (O(S) memory; see facet.cls_attention_scores)."""
+    from .facet import cls_scores_from_qk
     from .vit import ViTEncoder
     n = vcfg.resolve_layer(select_layer)
     enc = ViTEncoder(vcfg, precision)
@@ -140,11 +141,8 @@ def _vit_forward_with_saliency(tower_params, vcfg, select_layer: int,
                            num_blocks=n, sow_facets_layer=n - 1,
                            mutable=["intermediates"])
     blk = inter["intermediates"][f"block_{n - 1}"]
-    q = blk["facet_q"][0].astype(jnp.float32)
-    k = blk["facet_k"][0].astype(jnp.float32)
-    logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k)
-    logits = logits / jnp.sqrt(jnp.float32(vcfg.head_dim))
-    sal = jax.nn.softmax(logits, axis=-1).mean(axis=1)[:, 1:]
+    sal = cls_scores_from_qk(blk["facet_q"][0], blk["facet_k"][0],
+                             vcfg.head_dim)
     return out[:, 1:], sal
 
 
@@ -170,7 +168,8 @@ def encode_images(params, cfg: LlavaConfig, pixel_values: List[jnp.ndarray],
     feats = []
     saliency = None
     want_saliency = (cfg.visual_keep is not None
-                     and cfg.prune_score in ("auto", "saliency"))
+                     and cfg.prune_score in ("auto", "saliency")
+                     and cfg.tower_spec.join != "mof")
     for i, e in enumerate(cfg.tower_spec.entries):
         if e.kind == "vit":
             sel = _select_feature(cfg, e)
@@ -212,14 +211,14 @@ def encode_images(params, cfg: LlavaConfig, pixel_values: List[jnp.ndarray],
         out = apply_projector(params["projector"], cat, precision)
     keep = cfg.num_patches
     if cfg.visual_keep is not None and keep < out.shape[1]:
-        if cfg.prune_score == "saliency" and saliency is None:
+        usable = saliency is not None and saliency.shape[1] == out.shape[1]
+        if cfg.prune_score == "saliency" and not usable:
             raise ValueError(
                 "prune_score='saliency' needs a patch-selected class-token "
-                "ViT as a tower entry (and no MoF interleave)")
-        if saliency is not None and saliency.shape[1] == out.shape[1]:
-            scores = saliency
-        else:
-            scores = jnp.linalg.norm(out.astype(jnp.float32), axis=-1)
+                "ViT tower whose patch count matches the projected tokens "
+                "(no MoF interleave, no perceiver resampling)")
+        scores = (saliency if usable
+                  else jnp.linalg.norm(out.astype(jnp.float32), axis=-1))
         out = prune_visual_tokens(out, lax.stop_gradient(scores), keep)
     return out
 

@@ -100,10 +100,13 @@ def make_geoware_extractors(sd_params: Dict, sd_cfg: FeaturizerConfig,
         ensemble = 1
 
     @jax.jit
-    def sd_fn(px):
+    def sd_fn(px, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
         def one(i):
             return extract_multiscale_features(
-                sd_params, sd_cfg, px, jax.random.PRNGKey(i),
+                sd_params, sd_cfg, px, jax.random.fold_in(rng, i),
                 deterministic=deterministic, precision=precision)
         acc = one(0)
         for i in range(1, ensemble):
@@ -124,18 +127,37 @@ def preprocess_maps(image_paths: Sequence[str], out_dir: str, sd_fn, dino_fn,
                     process_index: int = 0,
                     process_count: int = 1) -> List[str]:
     """Per image (and flip): save `<stem>_sd[_flip].npz` (s3/s4/s5 NHWC) and
-    `<stem>_dino[_flip].npy` ([1,1,t,d]) under out_dir."""
+    `<stem>_dino[_flip].npy` ([1,1,t,d]) under out_dir.
+
+    Outputs are keyed by basename stem (matching the reference's flat
+    per-image .pt layout); duplicate stems across subdirectories would
+    silently clobber each other, so they are rejected up front."""
     from PIL import Image
+    paths = list(image_paths)
+    stems = {}
+    for p in paths:
+        s = os.path.splitext(os.path.basename(p))[0]
+        if s in stems and stems[s] != p:
+            raise ValueError(
+                f"duplicate image stem '{s}': {stems[s]} vs {p} — outputs "
+                "are keyed by basename; run per-directory or rename")
+        stems[s] = p
     os.makedirs(out_dir, exist_ok=True)
     written = []
     variants = [False, True] if flips else [False]
-    for p in list(image_paths)[process_index::process_count]:
-        img = Image.open(p)
+    base_rng = jax.random.PRNGKey(0)
+    for j, p in enumerate(paths[process_index::process_count]):
+        with Image.open(p) as img:
+            img = img.convert("RGB")
         stem = os.path.splitext(os.path.basename(p))[0]
         for flip in variants:
             suffix = "_flip" if flip else ""
             sd_px = _sd_pixels(load_square(img, real_size, flip=flip))
-            feats = jax.device_get(sd_fn(jnp.asarray(sd_px[None])))
+            # fresh per-image/flip noise draws (the reference samples
+            # torch.randn per call); deterministic mode ignores the key
+            rng = jax.random.fold_in(
+                base_rng, (process_index + j * process_count) * 2 + flip)
+            feats = jax.device_get(sd_fn(jnp.asarray(sd_px[None]), rng))
             sd_out = os.path.join(out_dir, f"{stem}_sd{suffix}.npz")
             np.savez(sd_out, **{k: np.asarray(v, np.float32)
                                 for k, v in feats.items()})

@@ -131,3 +131,15 @@ def test_generate_and_loss_with_pruning():
                           "text_mask": jnp.asarray(mask),
                           "pixel_values": px}, FP32_PRECISION)
     assert np.isfinite(float(loss))
+
+
+def test_saliency_shape_mismatch_errors_for_perceiver():
+    """Explicit prune_score='saliency' must error (not silently fall back
+    to norm) when the projector resamples tokens away from the ViT grid."""
+    cfg = llava.LlavaConfig.build(
+        "debug/tiny-vit", decoder=llama.tiny(),
+        projector_type="perceiver2x", visual_keep=8,
+        prune_score="saliency")
+    params = llava.init_params(jax.random.PRNGKey(4), cfg, FP32_PRECISION)
+    with pytest.raises(ValueError, match="saliency"):
+        llava.encode_images(params, cfg, _pixels(cfg), FP32_PRECISION)
