@@ -64,15 +64,31 @@ def restore_train_state(path: str, template: Dict[str, Any]
 
 
 def save_projector(ckpt_dir: str, projector_params: Dict,
-                   config: Optional[Dict] = None) -> str:
-    """Stage-1 projector-only checkpoint (mm_projector.bin equivalent)."""
+                   config: Optional[Dict] = None,
+                   proj_type: Optional[str] = None) -> str:
+    """Stage-1 projector-only checkpoint (mm_projector.bin equivalent).
+
+    With `proj_type`, ALSO writes the reference's torch `mm_projector.bin`
+    layout (via `export_projector_torch_sd`) so a reference finetune can
+    consume our stage-1 output directly (`--pretrain_mm_mlp_adapter`)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     flat = {}
-    for i, layer in enumerate(projector_params["layers"]):
-        for k, v in layer.items():
-            flat[f"layers.{i}.{k}"] = np.asarray(v)
+    is_mof = isinstance(projector_params, (list, tuple))
+    trees = list(projector_params) if is_mof else [projector_params]
+    for t, tree in enumerate(trees):
+        pfx = f"proj{t}." if is_mof else ""
+        for i, layer in enumerate(tree["layers"]):
+            for k, v in layer.items():
+                flat[f"{pfx}layers.{i}.{k}"] = np.asarray(v)
     path = os.path.join(ckpt_dir, "mm_projector.npz")
     np.savez(path, **flat)
+    if (proj_type is not None and "perceiver" not in proj_type
+            and isinstance(projector_params, dict)):
+        import torch
+
+        from ..models.projector import export_projector_torch_sd
+        torch.save(export_projector_torch_sd(projector_params, proj_type),
+                   os.path.join(ckpt_dir, "mm_projector.bin"))
     if config is not None:
         with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
             json.dump(config, f, indent=1)
@@ -80,16 +96,29 @@ def save_projector(ckpt_dir: str, projector_params: Dict,
 
 
 def load_projector(path: str) -> Dict:
-    """Load a projector-only checkpoint back into the param pytree."""
+    """Load a projector-only checkpoint back into the param pytree
+    (a list of per-tower projectors for MoF saves)."""
     if os.path.isdir(path):
         path = os.path.join(path, "mm_projector.npz")
     data = np.load(path)
-    n = 1 + max(int(k.split(".")[1]) for k in data.files)
-    layers = []
-    for i in range(n):
-        layers.append({k.split(".")[-1]: data[k] for k in data.files
-                       if k.startswith(f"layers.{i}.")})
-    return {"layers": layers}
+
+    def _tree(keys, pfx):
+        n = 1 + max(int(k[len(pfx):].split(".")[1]) for k in keys)
+        layers = []
+        for i in range(n):
+            layers.append({k.split(".")[-1]: data[k] for k in keys
+                           if k.startswith(f"{pfx}layers.{i}.")})
+        return {"layers": layers}
+
+    if any(k.startswith("proj0.") for k in data.files):
+        out = []
+        t = 0
+        while any(k.startswith(f"proj{t}.") for k in data.files):
+            keys = [k for k in data.files if k.startswith(f"proj{t}.")]
+            out.append(_tree(keys, f"proj{t}."))
+            t += 1
+        return out
+    return _tree(list(data.files), "")
 
 
 def load_projector_from_torch(path: str) -> Dict:

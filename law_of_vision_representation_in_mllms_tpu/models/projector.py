@@ -109,7 +109,43 @@ def port_projector(state_dict, proj_type: str, prefix: str = "") -> Dict:
             "bias": np.asarray(
                 state_dict[f"{prefix}{i}.bias"].detach().float().numpy()),
         })
+    base = prefix.rstrip(".")
+    wkey = f"{base}.weight" if base else "weight"
+    if not layers and wkey in state_dict:
+        # 'linear' checkpoints are a bare nn.Linear (builder.py:9-10):
+        # keys `model.mm_projector.weight`, no Sequential index
+        layers.append({
+            "kernel": np.asarray(
+                state_dict[wkey].detach().float().numpy().T),
+            "bias": np.asarray(
+                state_dict[wkey[:-len("weight")] + "bias"]
+                .detach().float().numpy()),
+        })
     return {"layers": layers}
+
+
+def export_projector_torch_sd(projector_params: Dict,
+                              proj_type: str = "mlp2x_gelu") -> Dict:
+    """Inverse of `port_projector`: a torch state dict in the reference's
+    `mm_projector.bin` layout, so reference finetunes can consume our
+    stage-1 output (`--pretrain_mm_mlp_adapter`, train.py:969-983).
+    Sequential index 2*i skips the GELUs between Linears."""
+    import numpy as np
+    import torch
+
+    kind, _ = parse_projector_type(proj_type)
+    layers = projector_params["layers"]
+    sd = {}
+    if kind == "linear":
+        names = ["model.mm_projector"]
+    else:
+        names = [f"model.mm_projector.{2 * i}" for i in range(len(layers))]
+    for name, layer in zip(names, layers):
+        sd[f"{name}.weight"] = torch.from_numpy(
+            np.asarray(layer["kernel"], np.float32).T.copy())
+        sd[f"{name}.bias"] = torch.from_numpy(
+            np.asarray(layer["bias"], np.float32).copy())
+    return sd
 
 
 def _port_perceiver(state_dict, depth: int, prefix: str = "") -> Dict:

@@ -228,7 +228,9 @@ def run_training(cfg: RunConfig) -> int:
                        config={"mm_projector_type":
                                cfg.model.projector_type,
                                "mm_hidden_size":
-                               model_cfg.tower_spec.mm_hidden_size})
+                               model_cfg.tower_spec.mm_hidden_size},
+                       proj_type=cfg.model.projector_type
+                       if model_cfg.tower_spec.join != "mof" else None)
         rank0_print(f"stage-1 projector saved to {cfg.train.output_dir}")
     elif cfg.train.switch_enable:
         import os as _os

@@ -209,3 +209,50 @@ def test_c_score_ap10k_dataset(tmp_path):
                       categories=["dog"], dataset="ap10k", subsample=None)
     assert 0.0 <= res["per_img"][0] <= 1.0
     assert "geo" not in res          # geo masks are SPair-only
+
+
+def test_projector_torch_export_roundtrip(tmp_path):
+    """Stage-1 interop: our mm_projector.bin export loads through the
+    torch-port path bit-exactly, for both mlp2x_gelu and bare linear."""
+    import torch
+    from law_of_vision_representation_in_mllms_tpu.io.checkpoint import (
+        load_projector_from_torch)
+    from law_of_vision_representation_in_mllms_tpu.models.projector import (
+        export_projector_torch_sd, init_projector)
+
+    for ptype in ("mlp2x_gelu", "linear"):
+        proj = init_projector(jax.random.PRNGKey(0), ptype, 16, 24)
+        d = tmp_path / ptype
+        save_projector(str(d), proj, proj_type=ptype)
+        bin_path = d / "mm_projector.bin"
+        assert bin_path.exists()
+        back = load_projector_from_torch(str(bin_path))
+        assert len(back["layers"]) == len(proj["layers"])
+        for a, b in zip(proj["layers"], back["layers"]):
+            np.testing.assert_allclose(np.asarray(a["kernel"], np.float32),
+                                       b["kernel"], atol=1e-7)
+            np.testing.assert_allclose(np.asarray(a["bias"], np.float32),
+                                       b["bias"], atol=1e-7)
+        # the exported layout matches the reference key naming
+        sd = torch.load(bin_path, map_location="cpu")
+        if ptype == "linear":
+            assert set(sd) == {"model.mm_projector.weight",
+                               "model.mm_projector.bias"}
+        else:
+            assert "model.mm_projector.2.weight" in sd
+
+
+def test_projector_mof_save_load_roundtrip(tmp_path):
+    """MoF stage-1 saves a LIST of per-tower projectors."""
+    from law_of_vision_representation_in_mllms_tpu.models.projector import (
+        init_projector)
+    projs = [init_projector(jax.random.PRNGKey(i), "mlp2x_gelu", 8, 12)
+             for i in range(2)]
+    d = str(tmp_path / "mof")
+    save_projector(d, projs)
+    back = load_projector(d)
+    assert isinstance(back, list) and len(back) == 2
+    for orig, got in zip(projs, back):
+        for a, b in zip(orig["layers"], got["layers"]):
+            np.testing.assert_array_equal(np.asarray(a["kernel"]),
+                                          b["kernel"])
