@@ -279,6 +279,58 @@ def bench_visual_prune(results, quick=False):
                         "value": round(b / dt, 2), "unit": "samples/sec"})
 
 
+def bench_train(results, quick=False):
+    """Stage-1 (projector-train, frozen tower+decoder weights) train-step
+    throughput at 1.4B scale, b8 x 576-image+64-text tokens — the
+    reference's per-step workload shape (`train.py` pretrain stage,
+    batch 16/GPU). Reports trained tokens/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        Precision)
+    from law_of_vision_representation_in_mllms_tpu.models import llama, llava
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IGNORE_INDEX, IMAGE_TOKEN_INDEX)
+    from law_of_vision_representation_in_mllms_tpu.train.train_step import (
+        TrainConfig, init_train_state, make_train_step)
+
+    prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                            intermediate_size=5632, num_layers=16,
+                            num_heads=16, num_kv_heads=16)
+    cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
+                                  decoder=dec)
+    params = llava.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    tcfg = TrainConfig(stage=1, learning_rate=1e-3, total_steps=100,
+                       remat=True, use_flash=True)
+    state, opt = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt, prec))
+
+    b, l = 8, 64
+    rng = np.random.RandomState(5)
+    ids = rng.randint(1, 32000, size=(b, l)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    labels = ids.copy()
+    labels[:, :2] = IGNORE_INDEX
+    px = jnp.asarray(rng.randn(b, 336, 336, 3).astype(np.float32))
+
+    def one(pxv):
+        batch = {"input_ids": jnp.asarray(ids),
+                 "labels": jnp.asarray(labels),
+                 "text_mask": jnp.ones((b, l), bool),
+                 "pixel_values": [pxv]}
+        _, metrics = step(state, batch)
+        return metrics
+    iters = 2 if quick else 5
+    dt = _timed(one, (px,),
+                [(px * (1.01 + 0.01 * i),) for i in range(iters)],
+                lambda m: float(m["loss"]))
+    toks = b * (l - 1 + cfg.num_patches)   # spliced sequence length
+    results.append({"metric": "llava_1p4b_stage1_train_tok_s",
+                    "value": round(toks / dt, 1), "unit": "tokens/sec/chip"})
+
+
 def bench_decode_7b(results, quick=False):
     """Flagship-scale (vicuna-7b) decoder on ONE v5e chip: 13.4 GB bf16
     params. Measures the 512-token flash prefill in-program, plus per-step
@@ -372,12 +424,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", choices=["towers", "diffusion", "a", "c",
-                                       "decode", "decode7b", "prune"])
+                                       "decode", "decode7b", "prune",
+                                       "train"])
     args = ap.parse_args()
     results = []
     todo = {"towers": bench_towers, "diffusion": bench_diffusion,
             "a": bench_a_score, "c": bench_c_score, "decode": bench_decode,
-            "decode7b": bench_decode_7b, "prune": bench_visual_prune}
+            "decode7b": bench_decode_7b, "prune": bench_visual_prune,
+            "train": bench_train}
     if args.only:
         todo = {args.only: todo[args.only]}
     elif "decode7b" in todo:
