@@ -30,7 +30,7 @@ precomputed masks (SAM/ODISE exports) or all-ones (see
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
