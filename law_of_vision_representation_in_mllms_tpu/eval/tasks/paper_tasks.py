@@ -152,3 +152,81 @@ def pope_aggregate(records):
     recall = tp / max(tp + fn, 1)
     f1 = 2 * precision * recall / max(precision + recall, 1e-9)
     return f1
+
+
+# ---- beyond the paper's 8: widely-run lmms-eval tasks ------------------------
+
+# ai2d: diagram MC, same letter protocol (`lmms_eval/tasks/ai2d/utils.py`)
+register_function("ai2d.doc_to_text")(_mc_text)
+register_function("ai2d.process_results")(_mc_results)
+
+
+@register_function("docvqa.doc_to_text")
+def docvqa_doc_to_text(doc):
+    # lmms_eval/tasks/docvqa/utils.py: bare question + short-answer prompt
+    return f"{doc['question'].strip()}\n{WORD_SUFFIX}"
+
+
+@register_function("docvqa.process_results")
+def docvqa_process_results(doc, prediction, task):
+    """ANLS over the annotator answers (`docvqa/utils.py` anls metric)."""
+    from ..metrics import anls
+    return {"score": anls(prediction, doc["answers"])}
+
+
+@register_function("chartqa.doc_to_text")
+def chartqa_doc_to_text(doc):
+    # chartqa.yaml: "\nAnswer the question with a single word."
+    return (f"{doc['question'].strip()}\n"
+            "Answer the question with a single word.")
+
+
+def relaxed_correctness(prediction: str, target: str,
+                        max_relative_change: float = 0.05) -> bool:
+    """ChartQA relaxed accuracy (`chartqa/utils.py:25-63`): numeric answers
+    correct within 5% relative error, non-numeric require exact
+    (case-insensitive) match; percent signs divide by 100."""
+    def to_float(text):
+        try:
+            if text.endswith("%"):
+                return float(text.rstrip("%")) / 100.0
+            return float(text)
+        except ValueError:
+            return None
+    p, t = to_float(prediction.strip()), to_float(str(target).strip())
+    if p is not None and t:
+        return abs(p - t) / abs(t) <= max_relative_change
+    return prediction.strip().lower() == str(target).strip().lower()
+
+
+@register_function("chartqa.process_results")
+def chartqa_process_results(doc, prediction, task):
+    answers = doc["answers"] if isinstance(doc.get("answers"), list) \
+        else [doc["answer"]]
+    return {"score": float(any(relaxed_correctness(prediction, a)
+                               for a in answers))}
+
+
+@register_function("ocrbench.doc_to_text")
+def ocrbench_doc_to_text(doc):
+    return doc["question"].strip()
+
+
+@register_function("ocrbench.process_results")
+def ocrbench_process_results(doc, prediction, task):
+    """Substring containment scoring (`ocrbench/utils.py:33-66`): the
+    normalized ground truth must appear in the normalized prediction;
+    HME100k (math expressions) strips spaces instead of lowercasing."""
+    ans = doc["answer"]
+    answers = ans if isinstance(ans, list) else [ans]
+    pred = prediction.lower().strip()
+    if doc.get("dataset") == "HME100k":
+        p = prediction.strip().replace("\n", " ").replace(" ", "")
+        hit = any(str(a).strip().replace("\n", " ").replace(" ", "") in p
+                  for a in answers)
+    else:
+        p = pred.strip().replace("\n", " ")
+        hit = any(str(a).lower().strip().replace("\n", " ") in p
+                  for a in answers)
+    return {"score": float(hit),
+            "question_type": doc.get("question_type", "")}

@@ -438,6 +438,39 @@ def test_gqa_and_vqav2_tasks(tmp_path):
     assert res["vqav2_val"]["value"] == 1.0
 
 
+def test_ai2d_docvqa_chartqa_ocrbench_tasks(tmp_path):
+    # ai2d: MC letter protocol, same as mmbench
+    mc_docs = [{"question": "Which part?", "options": ["stem", "leaf"],
+                "answer": "B"}]
+    cfg = _write_task(tmp_path, "ai2d", mc_docs)
+    res = simple_evaluate(EchoLMM({0: "B. leaf"}), [cfg], log_samples=True)
+    assert res["ai2d"]["value"] == 1.0
+
+    # docvqa: ANLS over annotator answers ("hallo" vs "hello" -> sim 0.8)
+    docs = [{"question": "Invoice number?", "answers": ["hello"]}]
+    cfg = _write_task(tmp_path, "docvqa_val", docs)
+    res = simple_evaluate(EchoLMM({0: "hallo"}), [cfg], log_samples=True)
+    assert abs(res["docvqa_val"]["value"] - 0.8) < 1e-9
+
+    # chartqa: 5% relaxed numeric accuracy
+    docs = [{"question": "Total?", "answer": "100"},
+            {"question": "Share?", "answer": "24%"},
+            {"question": "Label?", "answer": "Paris"}]
+    cfg = _write_task(tmp_path, "chartqa", docs)
+    res = simple_evaluate(EchoLMM({0: "104", 1: "30%", 2: "paris"}), [cfg],
+                          log_samples=True)
+    assert abs(res["chartqa"]["value"] - 2 / 3) < 1e-9
+
+    # ocrbench: substring containment; HME100k strips spaces
+    docs = [{"question": "Read the text", "answer": ["STOP"]},
+            {"question": "Formula?", "answer": ["x^2 + 1"],
+             "dataset": "HME100k"}]
+    cfg = _write_task(tmp_path, "ocrbench", docs)
+    res = simple_evaluate(EchoLMM({0: "the sign says stop.",
+                                   1: "x^2+1"}), [cfg], log_samples=True)
+    assert res["ocrbench"]["value"] == 1.0
+
+
 def test_eval_cli_log_samples(tmp_path, capsys):
     from law_of_vision_representation_in_mllms_tpu.cli import main as cli
     from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
