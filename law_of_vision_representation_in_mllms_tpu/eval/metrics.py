@@ -128,6 +128,136 @@ def parse_multi_choice(prediction: str, choices: Sequence[str],
 
 
 # ---------------------------------------------------------------------------
+# caption metrics (corpus-level)
+# ---------------------------------------------------------------------------
+
+_CAP_PUNCT = re.compile(r"[^\w\s]")
+
+
+def caption_tokenize(text: str) -> List[str]:
+    """Simplified PTB-style caption normalization: lowercase, strip
+    punctuation, whitespace split. The reference pipes captions through
+    Stanford PTBTokenizer (`pycocoevalcap.tokenizer`); for the scorer math
+    below the only load-bearing steps are lowercasing + punctuation
+    removal."""
+    return _CAP_PUNCT.sub("", text.lower()).split()
+
+
+def _ngram_counts(tokens: Sequence[str], max_n: int) -> Dict:
+    counts: Dict = {}
+    for n in range(1, max_n + 1):
+        for i in range(len(tokens) - n + 1):
+            key = tuple(tokens[i:i + n])
+            counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def cider_d(predictions: Sequence[str],
+            references: Sequence[Sequence[str]],
+            max_n: int = 4, sigma: float = 6.0) -> float:
+    """Corpus CIDEr-D (Vedantam et al. 2015), matching
+    `pycocoevalcap/cider/cider_scorer.py` (used by the reference's caption
+    tasks, `lmms_eval/tasks/coco_cap/utils.py:46`): tf-idf n-gram vectors
+    (n=1..4), idf from reference-set document frequency with
+    ref_len=log(#docs), clipped cosine similarity per n, gaussian length
+    penalty (sigma=6, length measured in bigram term-frequencies as the
+    original code does), averaged over n and references, x10.
+
+    Returns 0-10 (x100 when reported, per coco leaderboard convention —
+    we keep the raw 0-10 scale like pycocoevalcap)."""
+    assert len(predictions) == len(references)
+    num_docs = len(predictions)
+    if num_docs == 0:
+        return 0.0
+    ref_tok = [[_ngram_counts(caption_tokenize(r), max_n) for r in refs]
+               for refs in references]
+    hyp_tok = [_ngram_counts(caption_tokenize(p), max_n)
+               for p in predictions]
+
+    # document frequency: each distinct ngram counted once per ref SET
+    df: Dict = {}
+    for refs in ref_tok:
+        for ng in set(k for r in refs for k in r):
+            df[ng] = df.get(ng, 0) + 1
+    ref_len = np.log(float(num_docs))
+
+    def to_vec(cnts):
+        vec = [dict() for _ in range(max_n)]
+        norm = [0.0] * max_n
+        length = 0
+        for ng, tf in cnts.items():
+            idf = ref_len - np.log(max(1.0, df.get(ng, 0.0)))
+            k = len(ng) - 1
+            w = float(tf) * idf
+            vec[k][ng] = w
+            norm[k] += w * w
+            if k == 1:  # original counts length via bigram tf
+                length += tf
+        return vec, [np.sqrt(x) for x in norm], length
+
+    def sim(vh, nh, lh, vr, nr, lr):
+        delta = float(lh - lr)
+        vals = np.zeros(max_n)
+        for k in range(max_n):
+            s = 0.0
+            for ng, wh in vh[k].items():
+                wr = vr[k].get(ng)
+                if wr is not None:
+                    s += min(wh, wr) * wr
+            if nh[k] * nr[k] > 0:
+                s /= nh[k] * nr[k]
+            vals[k] = s * np.exp(-(delta ** 2) / (2 * sigma ** 2))
+        return vals
+
+    scores = []
+    for hyp, refs in zip(hyp_tok, ref_tok):
+        vh, nh, lh = to_vec(hyp)
+        acc = np.zeros(max_n)
+        for r in refs:
+            vr, nr, lr = to_vec(r)
+            acc += sim(vh, nh, lh, vr, nr, lr)
+        scores.append(10.0 * float(np.mean(acc / max(len(refs), 1))))
+    return float(np.mean(scores))
+
+
+def corpus_bleu4(predictions: Sequence[str],
+                 references: Sequence[Sequence[str]],
+                 max_n: int = 4) -> float:
+    """Corpus BLEU-4 with per-reference clipped counts and closest-length
+    brevity penalty (`pycocoevalcap/bleu/bleu_scorer.py` semantics,
+    uniform weights, 0-1 scale)."""
+    match = np.zeros(max_n)
+    total = np.zeros(max_n)
+    hyp_len = ref_len = 0
+    for pred, refs in zip(predictions, references):
+        h = caption_tokenize(pred)
+        rs = [caption_tokenize(r) for r in refs]
+        hyp_len += len(h)
+        ref_len += min((abs(len(r) - len(h)), len(r)) for r in rs)[1]
+        hc = _ngram_counts(h, max_n)
+        clip: Dict = {}
+        for r in rs:
+            for ng, c in _ngram_counts(r, max_n).items():
+                clip[ng] = max(clip.get(ng, 0), c)
+        for ng, c in hc.items():
+            k = len(ng) - 1
+            total[k] += c
+            match[k] += min(c, clip.get(ng, 0))
+    precisions = [(match[k] / total[k]) if total[k] else 0.0
+                  for k in range(max_n)]
+    if min(precisions) == 0.0:
+        return 0.0
+    bp = 1.0 if hyp_len > ref_len else np.exp(1 - ref_len / max(hyp_len, 1))
+    return float(bp * np.exp(np.mean(np.log(precisions))))
+
+
+def caption_aggregate(records: List[Dict]) -> float:
+    """Corpus CIDEr-D over evaluator records (prediction + references)."""
+    return cider_d([r["prediction"] for r in records],
+                   [r["references"] for r in records])
+
+
+# ---------------------------------------------------------------------------
 # aggregation
 # ---------------------------------------------------------------------------
 
@@ -179,4 +309,5 @@ AGGREGATIONS = {
     "mean": aggregate_mean,
     "mme": mme_aggregate,
     "pope_f1": _pope_aggregate,
+    "cider": caption_aggregate,
 }

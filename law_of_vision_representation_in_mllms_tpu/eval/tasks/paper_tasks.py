@@ -230,3 +230,21 @@ def ocrbench_process_results(doc, prediction, task):
                   for a in answers)
     return {"score": float(hit),
             "question_type": doc.get("question_type", "")}
+
+
+# ---- caption family: coco_cap / textcaps / nocaps / flickr30k ---------------
+
+@register_function("caption.doc_to_text")
+def caption_doc_to_text(doc):
+    # all four caption tasks use the same prompt
+    # (`lmms_eval/tasks/coco_cap/utils.py:22-23`, nocaps/textcaps prompt kwarg)
+    return "Provide a one-sentence caption for the provided image."
+
+
+@register_function("caption.process_results")
+def caption_process_results(doc, prediction, task):
+    """Store references; corpus CIDEr-D happens at aggregation time
+    (`coco_cap/utils.py:26-56` stashes pred+answer the same way)."""
+    ans = doc.get("answers", doc.get("answer"))
+    refs = ans if isinstance(ans, list) else [ans]
+    return {"references": [str(r) for r in refs]}

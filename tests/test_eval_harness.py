@@ -471,6 +471,55 @@ def test_ai2d_docvqa_chartqa_ocrbench_tasks(tmp_path):
     assert res["ocrbench"]["value"] == 1.0
 
 
+def test_cider_and_bleu_metrics():
+    from law_of_vision_representation_in_mllms_tpu.eval.metrics import (
+        cider_d, corpus_bleu4)
+    # distinct captions, exact-match predictions: every ngram's df=1 so
+    # idf=log(N)>0, cosine=1 per n, delta=0 -> exactly 10.0 per doc
+    refs = [["a red fox jumps over the lazy dog"],
+            ["two green boats float near the old pier"],
+            ["children play chess inside a quiet library hall"]]
+    preds = [r[0] for r in refs]
+    assert abs(cider_d(preds, refs) - 10.0) < 1e-9
+    assert abs(corpus_bleu4(preds, refs) - 1.0) < 1e-9
+
+    # a wrong/partial prediction scores strictly less
+    worse = ["a red fox sits", preds[1], preds[2]]
+    assert cider_d(worse, refs) < 10.0 - 1e-6
+    assert corpus_bleu4(worse, refs) < 1.0
+
+    # length penalty: same ngram overlap, padded length -> lower score
+    padded = [preds[0] + " yes yes yes yes yes yes", preds[1], preds[2]]
+    assert cider_d(padded, refs) < cider_d(preds, refs)
+
+    # multi-reference: exact match of one ref still averages over refs
+    refs_multi = [["a cat on a mat", "one cat sits on the mat"],
+                  refs[1], refs[2]]
+    s = cider_d(["a cat on a mat", preds[1], preds[2]], refs_multi)
+    assert 0.0 < s <= 10.0
+
+    # punctuation/case-insensitive tokenization
+    assert abs(cider_d(["A Red Fox, jumps over the lazy dog!"],
+                       [["a red fox jumps over the lazy dog"]]) -
+               cider_d(["a red fox jumps over the lazy dog"],
+                       [["a red fox jumps over the lazy dog"]])) < 1e-9
+
+
+def test_caption_task_end_to_end(tmp_path):
+    docs = [{"question": "", "answers": ["a red fox jumps over the dog"]},
+            {"question": "", "answers": ["two boats float near the pier"]}]
+    cfg = _write_task(tmp_path, "coco_cap", docs)
+    model = EchoLMM({0: "a red fox jumps over the dog",
+                     1: "two boats float near the pier"})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    assert abs(res["coco_cap"]["value"] - 10.0) < 1e-9
+    # the same hooks drive the other three caption tasks
+    for name in ("textcaps_val", "nocaps_val", "flickr30k"):
+        cfg = _write_task(tmp_path, name, docs)
+        res = simple_evaluate(model, [cfg], log_samples=True)
+        assert abs(res[name]["value"] - 10.0) < 1e-9
+
+
 def test_eval_cli_log_samples(tmp_path, capsys):
     from law_of_vision_representation_in_mllms_tpu.cli import main as cli
     from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
