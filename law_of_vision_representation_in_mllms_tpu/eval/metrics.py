@@ -305,9 +305,15 @@ def _pope_aggregate(records):
     return pope_aggregate(records)
 
 
+def _hallusion_aggregate(records):
+    from .tasks.paper_tasks import hallusion_aggregate
+    return hallusion_aggregate(records)
+
+
 AGGREGATIONS = {
     "mean": aggregate_mean,
     "mme": mme_aggregate,
     "pope_f1": _pope_aggregate,
     "cider": caption_aggregate,
+    "hallusion_aacc": _hallusion_aggregate,
 }

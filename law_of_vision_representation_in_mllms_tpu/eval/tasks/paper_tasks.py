@@ -248,3 +248,104 @@ def caption_process_results(doc, prediction, task):
     ans = doc.get("answers", doc.get("answer"))
     refs = ans if isinstance(ans, list) else [ans]
     return {"references": [str(r) for r in refs]}
+
+
+# ---- ANLS family: infovqa / stvqa / multidocvqa -----------------------------
+# same bare-question + single-word prompt and ANLS scoring as docvqa
+# (`lmms_eval/tasks/{infovqa,stvqa,multidocvqa}`; post_prompt in their yamls)
+for _name in ("infovqa", "stvqa", "multidocvqa"):
+    register_function(f"{_name}.doc_to_text")(docvqa_doc_to_text)
+    register_function(f"{_name}.process_results")(docvqa_process_results)
+
+# seedbench_2: same lettered-MC protocol as seedbench
+# (`lmms_eval/tasks/seedbench_2/utils.py` seed_doc_to_text/process_result)
+register_function("seedbench_2.doc_to_text")(_mc_text)
+register_function("seedbench_2.process_results")(_mc_results)
+
+
+@register_function("realworldqa.doc_to_text")
+def realworldqa_doc_to_text(doc):
+    # options are embedded in the question text upstream
+    # (`realworldqa/utils.py:12-25`)
+    return doc["question"].strip()
+
+
+@register_function("realworldqa.process_results")
+def realworldqa_process_results(doc, prediction, task):
+    """Exact match after the reference's flexible-extract filter chain
+    (`realworldqa/realworldqa.yaml` filter_list: number-words->digits then
+    a '(A)'-style letter grab). Letter answers pull the first standalone
+    letter; open answers go through the VQA normalizer (which maps number
+    words to digits and strips articles/punctuation)."""
+    import re as _re
+    from ..metrics import vqa_normalize
+    ans = str(doc["answer"]).strip().lower()
+    pred = prediction.strip().lower()
+    if len(ans) == 1 and ans.isalpha():
+        m = _re.search(r"\(([a-z])\)", pred) or \
+            _re.match(r"^([a-z])\b", pred)
+        got = m.group(1) if m else pred.strip(" .")
+        return {"score": float(got == ans)}
+    return {"score": float(vqa_normalize(pred) == vqa_normalize(ans))}
+
+
+# ---- hallusion_bench --------------------------------------------------------
+
+@register_function("hallusion.doc_to_text")
+def hallusion_doc_to_text(doc):
+    # bare question (`hallusion_bench/evaluate_hb.py:17-22`)
+    return doc["question"].strip()
+
+
+@register_function("hallusion.process_results")
+def hallusion_process_results(doc, prediction, task):
+    """Yes/no correctness. The reference grades with a GPT judge
+    (`evaluate_hb.py` evaluate_by_chatgpt -> 0/1/2); offline we parse the
+    yes/no directly, keeping the 0/1/2 convention (2 = uncertain)."""
+    import re as _re
+    p = prediction.lower()
+    if _re.search(r"\byes\b", p):
+        parsed = 1
+    elif _re.search(r"\bno\b|\bnot\b", p):
+        parsed = 0
+    else:
+        parsed = 2
+    return {"correct": int(parsed == int(doc["gt_answer"])),
+            "category": doc.get("category", ""),
+            "subcategory": doc.get("subcategory", ""),
+            "set_id": str(doc.get("set_id", "")),
+            "figure_id": str(doc.get("figure_id", "")),
+            "question_id": str(doc.get("question_id", ""))}
+
+
+def hallusion_all(records):
+    """aAcc / qAcc / fAcc (`hallusion_bench/utils.py` get_eval_all /
+    get_eval_pair_all / get_eval_fig): per-answer accuracy; per question
+    group (all figure variants of a question right); per figure group (all
+    questions about a figure right, VS figure_id 0 control rows skipped)."""
+    a_acc = 100.0 * sum(r["correct"] for r in records) / max(len(records), 1)
+
+    def _group_acc(key_fn, skip=None):
+        groups = {}
+        for r in records:
+            if skip and skip(r):
+                continue
+            groups.setdefault(key_fn(r), []).append(r["correct"])
+        if not groups:
+            return 0.0
+        return 100.0 * sum(all(v) for v in groups.values()) / len(groups)
+
+    q_acc = _group_acc(lambda r: (r["category"], r["subcategory"],
+                                  r["set_id"], r["question_id"]))
+    f_acc = _group_acc(lambda r: (r["category"], r["subcategory"],
+                                  r["set_id"], r["figure_id"]),
+                       skip=lambda r: r["category"] == "VS" and
+                       r["figure_id"] == "0")
+    return {"aAcc": round(a_acc, 4), "qAcc": round(q_acc, 4),
+            "fAcc": round(f_acc, 4)}
+
+
+def hallusion_aggregate(records):
+    """Task value = aAcc; the qAcc/fAcc breakdown comes via
+    hallusion_all on the logged samples."""
+    return hallusion_all(records)["aAcc"]

@@ -520,6 +520,58 @@ def test_caption_task_end_to_end(tmp_path):
         assert abs(res[name]["value"] - 10.0) < 1e-9
 
 
+def test_anls_family_seedbench2_realworldqa_tasks(tmp_path):
+    # infovqa/stvqa/multidocvqa share the docvqa ANLS protocol
+    docs = [{"question": "Name?", "answers": ["hello"]}]
+    for name in ("infovqa_val", "stvqa", "multidocvqa_val"):
+        cfg = _write_task(tmp_path, name, docs)
+        res = simple_evaluate(EchoLMM({0: "hallo"}), [cfg],
+                              log_samples=True)
+        assert abs(res[name]["value"] - 0.8) < 1e-9
+
+    # seedbench_2: MC protocol
+    cfg = _write_task(tmp_path, "seedbench_2",
+                      [{"question": "What?", "options": ["cat", "dog"],
+                        "answer": "B"}])
+    res = simple_evaluate(EchoLMM({0: "B"}), [cfg], log_samples=True)
+    assert res["seedbench_2"]["value"] == 1.0
+
+    # realworldqa: letter extraction + number-word normalization
+    docs = [{"question": "Pick. A. left B. right", "answer": "B"},
+            {"question": "How many cars?", "answer": "2"}]
+    cfg = _write_task(tmp_path, "realworldqa", docs)
+    res = simple_evaluate(EchoLMM({0: "The answer is (B)", 1: "Two."}),
+                          [cfg], log_samples=True)
+    assert res["realworldqa"]["value"] == 1.0
+
+
+def test_hallusion_bench_task(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.eval.tasks.paper_tasks \
+        import hallusion_all
+    # one VD question asked over two figure variants (figure_id 0/1) plus
+    # a VS control row with figure_id 0 (skipped by fAcc)
+    docs = [
+        {"question": "Is the left side longer?", "gt_answer": "1",
+         "category": "VD", "subcategory": "illusion", "set_id": "0",
+         "figure_id": "0", "question_id": "0"},
+        {"question": "Is the left side longer?", "gt_answer": "0",
+         "category": "VD", "subcategory": "illusion", "set_id": "0",
+         "figure_id": "1", "question_id": "0"},
+        {"question": "Is this a chart?", "gt_answer": "1",
+         "category": "VS", "subcategory": "chart", "set_id": "1",
+         "figure_id": "0", "question_id": "0"},
+    ]
+    cfg = _write_task(tmp_path, "hallusion_bench", docs)
+    # pred: yes / yes (wrong) / yes -> aAcc 2/3; qAcc: VD pair broken, VS
+    # group right -> 1/2; fAcc: only VD figs 0,1 count -> 1/2
+    model = EchoLMM({0: "Yes", 1: "Yes, it is", 2: "yes"})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    assert abs(res["hallusion_bench"]["value"] - round(200 / 3, 4)) < 1e-9
+    breakdown = hallusion_all(res["hallusion_bench"]["samples"])
+    assert breakdown["qAcc"] == 50.0
+    assert breakdown["fAcc"] == 50.0
+
+
 def test_eval_cli_log_samples(tmp_path, capsys):
     from law_of_vision_representation_in_mllms_tpu.cli import main as cli
     from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
