@@ -310,10 +310,16 @@ def _hallusion_aggregate(records):
     return hallusion_aggregate(records)
 
 
+def _llava_wild_aggregate(records):
+    from .tasks.judged_tasks import llava_wild_aggregate
+    return llava_wild_aggregate(records)
+
+
 AGGREGATIONS = {
     "mean": aggregate_mean,
     "mme": mme_aggregate,
     "pope_f1": _pope_aggregate,
     "cider": caption_aggregate,
     "hallusion_aacc": _hallusion_aggregate,
+    "llava_wild": _llava_wild_aggregate,
 }

@@ -93,6 +93,9 @@ class TaskConfig:
     metric: str = "exact_match"
     aggregation: str = "mean"
     limit: Optional[int] = None
+    # free-form task metadata (e.g. gpt_eval_model_name for judged tasks,
+    # mirroring the lmms-eval yaml `metadata:` block)
+    metadata: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 class Task:

@@ -1,6 +1,7 @@
 import os
 
 from . import paper_tasks  # noqa: F401  (registers doc hooks)
+from . import judged_tasks  # noqa: F401  (GPT-judged tasks)
 
 TASK_DIR = os.path.dirname(__file__)
 

@@ -606,6 +606,69 @@ def test_eval_cli_log_samples(tmp_path, capsys):
     assert len(recs) == 2 and recs[0]["prediction"] == "yes"
 
 
+def test_gpt_judged_tasks_stub_server(tmp_path, monkeypatch):
+    """mmvet + llava_wild graded end-to-end against a local judge stub:
+    the stub checks the rubric prompt reaches the judge and returns canned
+    scores."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    seen = []
+
+    class Judge(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            seen.append(body)
+            prompt = body["messages"][-1]["content"]
+            if "Correctness" in prompt:          # mmvet rubric
+                content = "0.5" if "half right" in prompt else "1.0"
+            else:                                 # llava_wild pairwise
+                content = "8 6\nAssistant 2 was less detailed."
+            resp = json.dumps({"choices": [{"message": {
+                "content": content}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Judge)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv(
+            "OPENAI_API_URL",
+            f"http://127.0.0.1:{srv.server_port}/v1/chat/completions")
+        monkeypatch.setenv("OPENAI_API_KEY", "k")
+
+        docs = [{"question": "What is x?", "answer": "-1 <AND> -5",
+                 "capability": "math", "question_id": "q0"},
+                {"question": "Explain.", "answer": "full explanation",
+                 "capability": "know", "question_id": "q1"}]
+        cfg = _write_task(tmp_path, "mmvet", docs)
+        model = EchoLMM({0: "this is half right", 1: "complete answer"})
+        res = simple_evaluate(model, [cfg], log_samples=True)
+        assert abs(res["mmvet"]["value"] - 75.0) < 1e-9  # (50 + 100) / 2
+        assert any("Correctness" in b["messages"][-1]["content"]
+                   for b in seen)
+
+        docs = [{"question": "Describe the scene.", "category": "detail",
+                 "caption": ["a dog on grass"], "gpt_answer": "A dog."}]
+        cfg = _write_task(tmp_path, "llava_wild", docs)
+        res = simple_evaluate(EchoLMM({0: "A brown dog."}), [cfg],
+                              log_samples=True)
+        assert abs(res["llava_wild"]["value"] - 75.0) < 1e-9  # 6/8*100
+        wild = seen[-1]
+        assert wild["messages"][0]["role"] == "system"
+        assert "[Assistant 2]\nA brown dog." in \
+            wild["messages"][-1]["content"]
+    finally:
+        srv.shutdown()
+
+
 def test_openai_api_adapter_stub_server():
     """`openai-api` LMM (gpt4v.py equivalent) against a local
     OpenAI-compatible stub: payload structure (interleaved text + base64
