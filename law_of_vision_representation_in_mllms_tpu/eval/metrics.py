@@ -80,20 +80,24 @@ def exact_match(prediction: str, target: str) -> float:
     return float(prediction.strip().lower() == target.strip().lower())
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance (used by ANLS and mathvista's most-similar-choice)."""
+    if not a or not b:
+        return max(len(a), len(b))
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def anls(prediction: str, targets: Sequence[str],
          threshold: float = 0.5) -> float:
     """Average normalized Levenshtein similarity."""
-    def lev(a, b):
-        if not a or not b:
-            return max(len(a), len(b))
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[-1] + 1,
-                               prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
+    lev = levenshtein
 
     p = prediction.strip().lower()
     best = 0.0

@@ -2,6 +2,8 @@ import os
 
 from . import paper_tasks  # noqa: F401  (registers doc hooks)
 from . import judged_tasks  # noqa: F401  (GPT-judged tasks)
+from . import grounding_tasks  # noqa: F401  (refcoco family)
+from . import mathvista_tasks  # noqa: F401  (mathvista)
 
 TASK_DIR = os.path.dirname(__file__)
 

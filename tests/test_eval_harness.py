@@ -606,6 +606,85 @@ def test_eval_cli_log_samples(tmp_path, capsys):
     assert len(recs) == 2 and recs[0]["prediction"] == "yes"
 
 
+def test_mathvista_task(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.eval.tasks.\
+        mathvista_tasks import extract_answer, normalize_answer
+    docs = [
+        {"question": "Which number is missing?", "question_type":
+         "free_form", "answer_type": "integer", "answer": "14",
+         "query": "Question: Which number is missing?"},
+        {"question": "Fraction?", "question_type": "free_form",
+         "answer_type": "float", "answer": "0.6", "precision": 1},
+        {"question": "What fraction is blue?", "question_type":
+         "multi_choice", "answer_type": "text", "choices":
+         ["3/11", "8/11", "6/11"], "answer": "8/11"},
+    ]
+    cfg = _write_task(tmp_path, "mathvista_testmini", docs)
+    model = EchoLMM({0: "The number missing in the sequence is 14.",
+                     1: "The fraction is 0.6, which means six of ten.",
+                     2: "(B) 8/11"})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    # doc0: 'answer is 14' heuristic; doc1: last-line float; doc2: letter
+    assert res["mathvista_testmini"]["value"] == 1.0
+
+    # normalization details: letter -> choice text; most-similar fallback
+    doc = docs[2]
+    assert normalize_answer("(B)", doc) == "8/11"
+    assert normalize_answer("8/11ish", doc) == "8/11"
+    assert extract_answer('The answer is "42".', doc) == "42"
+    assert normalize_answer("2.345", {"question_type": "free_form",
+                                      "answer_type": "float",
+                                      "precision": 2}) == "2.35"
+
+
+def test_refcoco_tasks(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.eval.tasks.\
+        grounding_tasks import parse_box, box_iou, rec_metric_table
+    # box parsing + IoU math
+    assert parse_box("Here: [0.1, 0.2, 0.5, 0.6].") == [0.1, 0.2, 0.5, 0.6]
+    assert parse_box("no box") == [0.0, 0.0, 0.0, 0.0]
+    assert abs(box_iou([0, 0, 1, 1], [0, 0, 1, 1]) - 1.0) < 1e-9
+    assert abs(box_iou([0, 0, 1, 1], [0.5, 0, 1.5, 1]) - 1 / 3) < 1e-9
+
+    # REC task end-to-end: one hit at IoU>=0.5, one miss
+    docs = [{"question": "", "answer": "the red car",
+             "bbox": [0.1, 0.1, 0.5, 0.5]},
+            {"question": "", "answer": "the dog",
+             "bbox": [0.6, 0.6, 0.9, 0.9]}]
+    cfg = _write_task(tmp_path, "refcoco_bbox_rec_val", docs)
+    model = EchoLMM({0: "[0.1, 0.1, 0.5, 0.5]", 1: "[0.0, 0.0, 0.2, 0.2]"})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    assert abs(res["refcoco_bbox_rec_val"]["value"] - 0.5) < 1e-9
+    table = rec_metric_table(res["refcoco_bbox_rec_val"]["samples"])
+    assert table["ACC@0.5"] == 0.5 and table["Center_ACC"] == 0.5
+    assert 0.0 < table["IoU"] < 1.0
+    # prompt carries the referring expression
+    from law_of_vision_representation_in_mllms_tpu.eval.task import load_task
+    t = load_task(cfg)
+    assert t.doc_to_text(docs[0]).endswith("the red car")
+
+    # region-caption variant: gt box drawn red on the image, CIDEr scored
+    from PIL import Image
+    img_dir = tmp_path / "refcoco_bbox_val"
+    os.makedirs(img_dir, exist_ok=True)
+    Image.new("RGB", (32, 32), (0, 128, 0)).save(img_dir / "im0.png")
+    # >=2 docs: CIDEr idf comes from corpus document frequency
+    # (a single-doc corpus has ref_len=log(1)=0 and scores 0 by design)
+    docs = [{"question": "", "image": "im0.png", "bbox": [4, 4, 10, 10],
+             "answers": ["a green square region"]},
+            {"question": "", "image": "im0.png", "bbox": [2, 2, 8, 8],
+             "answers": ["the small red outlined box"]}]
+    cfg = _write_task(tmp_path, "refcoco_bbox_val", docs)
+    t = load_task(cfg)
+    vis = t.doc_to_visual(docs[0])
+    assert vis[0].getpixel((4, 4)) == (255, 0, 0)      # red outline
+    assert vis[0].getpixel((20, 20)) == (0, 128, 0)    # outside untouched
+    res = simple_evaluate(EchoLMM({0: "a green square region",
+                                   1: "the small red outlined box"}),
+                          [cfg], log_samples=True)
+    assert abs(res["refcoco_bbox_val"]["value"] - 10.0) < 1e-9
+
+
 def test_gpt_judged_tasks_stub_server(tmp_path, monkeypatch):
     """mmvet + llava_wild graded end-to-end against a local judge stub:
     the stub checks the rubric prompt reaches the judge and returns canned
