@@ -349,3 +349,30 @@ def hallusion_aggregate(records):
     """Task value = aAcc; the qAcc/fAcc breakdown comes via
     hallusion_all on the logged samples."""
     return hallusion_all(records)["aAcc"]
+
+
+# ---- iconqa -----------------------------------------------------------------
+
+@register_function("iconqa.doc_to_text")
+def iconqa_doc_to_text(doc):
+    """Three question types (`iconqa/utils.py:27-51`): image choice,
+    text choice (comma-joined `choices` field), or fill-in-the-blank."""
+    q = doc["question"].strip()
+    qt = doc.get("ques_type", "fill_in_blank")
+    if qt == "choose_img":
+        opts = "The first image. The second image."
+        return (f"{q}\nOptions: {opts}\n"
+                "Answer with the option you think is correct.")
+    if qt == "choose_txt":
+        opts = " ".join(f"{c.strip()}." for c in
+                        str(doc.get("choices", "")).split(","))
+        return (f"{q}\nOptions: {opts}\n"
+                "Answer with the option you think is correct.")
+    return f"{q}\n{WORD_SUFFIX}"
+
+
+@register_function("iconqa.process_results")
+def iconqa_process_results(doc, prediction, task):
+    # ANLS over the single answer (`iconqa/utils.py:54-58`)
+    from ..metrics import anls
+    return {"score": anls(prediction, [str(doc["answer"])])}

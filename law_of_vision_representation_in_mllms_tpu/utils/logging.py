@@ -36,6 +36,18 @@ class MetricsLogger:
         self._t0 = time.time()
         self._last_step = 0
         self._last_t = self._t0
+        # optional wandb mirror (the reference trains under
+        # WANDB_PROJECT=diffllava_tuning, `train.py:18`): enabled only when
+        # the env var is set AND wandb is importable; never required.
+        self._wandb = None
+        if os.getenv("WANDB_PROJECT") and jax.process_index() == 0:
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=os.environ["WANDB_PROJECT"], name=run_name,
+                    dir=log_dir or ".", resume="allow")
+            except Exception:  # noqa: BLE001 — offline/no wandb: degrade
+                self._wandb = None
 
     def log(self, step: int, metrics: Dict[str, Any]):
         if step % self.every:
@@ -54,6 +66,9 @@ class MetricsLogger:
         if self._fh is not None:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items()
+                             if k != "step"}, step=rec["step"])
         if self.stdout and jax.process_index() == 0:
             kv = " ".join(f"{k}={v:.5g}" if isinstance(v, float)
                           else f"{k}={v}" for k, v in rec.items()
@@ -63,3 +78,5 @@ class MetricsLogger:
     def close(self):
         if self._fh is not None:
             self._fh.close()
+        if self._wandb is not None:
+            self._wandb.finish()

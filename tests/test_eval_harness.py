@@ -685,6 +685,29 @@ def test_refcoco_tasks(tmp_path):
     assert abs(res["refcoco_bbox_val"]["value"] - 10.0) < 1e-9
 
 
+def test_variant_task_yamls_and_iconqa(tmp_path):
+    # refcoco+/refcocog variants resolve to the shared grounding hooks
+    docs = [{"question": "", "answer": "the cat",
+             "bbox": [0.2, 0.2, 0.6, 0.6]}]
+    for name in ("refcoco+_bbox_rec_val", "refcocog_bbox_rec_val"):
+        cfg = _write_task(tmp_path, name, docs)
+        res = simple_evaluate(EchoLMM({0: "[0.2, 0.2, 0.6, 0.6]"}), [cfg],
+                              log_samples=True)
+        assert res[name]["value"] == 1.0
+
+    # iconqa: choose_txt options in the prompt, ANLS scoring
+    docs = [{"question": "Which shape?", "ques_type": "choose_txt",
+             "choices": "circle,square", "answer": "square"},
+            {"question": "How many icons?", "ques_type": "fill_in_blank",
+             "answer": "three"}]
+    cfg = _write_task(tmp_path, "iconqa_val", docs)
+    t = load_task(cfg)
+    assert "circle." in t.doc_to_text(docs[0])
+    res = simple_evaluate(EchoLMM({0: "square", 1: "three"}), [cfg],
+                          log_samples=True)
+    assert res["iconqa_val"]["value"] == 1.0
+
+
 def test_gpt_judged_tasks_stub_server(tmp_path, monkeypatch):
     """mmvet + llava_wild graded end-to-end against a local judge stub:
     the stub checks the rubric prompt reaches the judge and returns canned
