@@ -330,6 +330,28 @@ def bench_train(results, quick=False):
     results.append({"metric": "llava_1p4b_stage1_train_tok_s",
                     "value": round(toks / dt, 1), "unit": "tokens/sec/chip"})
 
+    # stage-2 full finetune (decoder+projector train, tower frozen) — the
+    # reference's finetune.sh workload. Same shapes; bf16 AdamW moments
+    # keep 1.4B params+moments+grads ~11 GB on one chip.
+    tcfg2 = TrainConfig(stage=2, learning_rate=2e-5, total_steps=100,
+                        remat=True, use_flash=True)
+    state2, opt2 = init_train_state(params, tcfg2)
+    step2 = jax.jit(make_train_step(cfg, tcfg2, opt2, prec))
+
+    def one2(pxv):
+        batch = {"input_ids": jnp.asarray(ids),
+                 "labels": jnp.asarray(labels),
+                 "text_mask": jnp.ones((b, l), bool),
+                 "pixel_values": [pxv]}
+        _, metrics = step2(state2, batch)
+        return metrics
+    dt2 = _timed(one2, (px,),
+                 [(px * (1.02 + 0.01 * i),) for i in range(iters)],
+                 lambda m: float(m["loss"]))
+    results.append({"metric": "llava_1p4b_stage2_train_tok_s",
+                    "value": round(toks / dt2, 1),
+                    "unit": "tokens/sec/chip"})
+
 
 def bench_decode_7b(results, quick=False):
     """Flagship-scale (vicuna-7b) decoder on ONE v5e chip: 13.4 GB bf16
