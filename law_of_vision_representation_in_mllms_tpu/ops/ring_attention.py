@@ -42,6 +42,10 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
     m = jnp.full((b, h, sl, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((b, h, sl, 1), jnp.float32)
     acc = jnp.zeros((b, h, sl, d), jnp.float32)
+    # jax >= 0.8 shard_map tracks varying-manual-axes: the scan carry must
+    # enter already marked device-varying like its outputs
+    if hasattr(lax, "pvary"):
+        m, l, acc = (lax.pvary(x, axis_name) for x in (m, l, acc))
 
     q_pos = idx * sl + jnp.arange(sl)                       # global q rows
 
@@ -76,11 +80,16 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
 def make_ring_attention(mesh, *, axis_name: str = "data",
                         causal: bool = False):
     """shard_map-wrapped ring attention over full [B, S, H, D] arrays."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, axis_name, None, None)
     fn = functools.partial(ring_attention, axis_name=axis_name,
                            causal=causal)
-    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)
+    try:
+        from jax import shard_map  # jax >= 0.8 (no check_rep arg)
+        return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_rep=False)
