@@ -219,6 +219,28 @@ class ViTBlock(nn.Module):
         elif impl == "encoder" and not self.causal:
             from ..ops.encoder_attention import encoder_mha
             attn = encoder_mha(q, k, v)
+        elif impl == "tpu_flash" and not self.causal:
+            # jax library TPU flash kernel (pallas ops): [B,H,S,D] layout,
+            # S padded to a 128-multiple with segment-id masking of the
+            # padded KV columns; padded Q rows are sliced off after.
+            # MEASURED (v5e, CLIP-L-336 b64): 121 img/s vs 246 XLA — the
+            # library kernel hits the same Mosaic D=64 dot ceiling as our
+            # encoder kernel (benchmarks/README). Kept opt-in for
+            # longer-sequence/larger-head configs where flash wins.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention, SegmentIds)
+            s_p = -(-s // 128) * 128
+            pad = [(0, 0), (0, s_p - s), (0, 0), (0, 0)]
+            qt = jnp.transpose(jnp.pad(q, pad), (0, 2, 1, 3))
+            kt = jnp.transpose(jnp.pad(k, pad), (0, 2, 1, 3))
+            vt = jnp.transpose(jnp.pad(v, pad), (0, 2, 1, 3))
+            seg = (jnp.arange(s_p) < s).astype(jnp.int32)[None]
+            seg = jnp.broadcast_to(seg, (b, s_p))
+            out = flash_attention(qt, kt, vt,
+                                  segment_ids=SegmentIds(q=seg, kv=seg),
+                                  causal=False,
+                                  sm_scale=cfg.head_dim ** -0.5)
+            attn = jnp.transpose(out, (0, 2, 1, 3))[:, :s]
         else:
             mask = None
             if self.causal:
