@@ -117,3 +117,31 @@ def rec_metric_table(records) -> Dict[str, float]:
     cen = [r["center_acc"] for r in records]
     table["Center_ACC"] = float(np.mean(cen)) if cen else 0.0
     return table
+
+
+# ---- screenspot: GUI grounding (click/box from an instruction) --------------
+
+SCREENSPOT_REC_PROMPT = (
+    "Bounding box coordinates are specified in the format (top-left x, "
+    "top-left y, bottom-right x, bottom-right y). All values are floating "
+    "point numbers bounded between 0 and 1 with two decimal places of "
+    "precision (e.g., 0.15). Please provide the bounding box coordinates "
+    "of the region that corresponds to the command: ")
+
+
+@register_function("screenspot_rec.doc_to_text")
+def screenspot_rec_doc_to_text(doc):
+    # instruction-driven REC (`screenspot/utils_rec.py:17-18`)
+    return SCREENSPOT_REC_PROMPT + str(doc["instruction"])
+
+
+@register_function("screenspot_rec.process_results")
+def screenspot_rec_process_results(doc, prediction, task):
+    """Same box parsing/IoU table as refcoco REC
+    (`screenspot/utils_rec.py:21-126` duplicates those helpers)."""
+    pred = parse_box(prediction)
+    gt = [float(v) for v in doc["bbox"]]
+    iou = box_iou(pred, gt)
+    return {"score": float(iou >= 0.5), "iou": iou,
+            "center_acc": center_acc(pred, gt),
+            "data_type": doc.get("data_type", "")}

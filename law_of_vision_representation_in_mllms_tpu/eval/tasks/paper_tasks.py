@@ -376,3 +376,30 @@ def iconqa_process_results(doc, prediction, task):
     # ANLS over the single answer (`iconqa/utils.py:54-58`)
     from ..metrics import anls
     return {"score": anls(prediction, [str(doc["answer"])])}
+
+
+# ---- websrc: web-page QA scored by set-token F1 -----------------------------
+
+@register_function("websrc.doc_to_text")
+def websrc_doc_to_text(doc):
+    # question + short-answer suffix (`websrc/utils.py:16-28` construct
+    # prompt: "Answer the question using a single word or phrase.")
+    return f"{doc['question'].strip()}\n{WORD_SUFFIX}"
+
+
+@register_function("websrc.process_results")
+def websrc_process_results(doc, prediction, task):
+    """Set-based token F1 between answer and prediction
+    (`websrc/utils.py:130-153`: lowercase, word/punct tokenize, set
+    precision/recall)."""
+    import re as _re
+
+    def toks(t):
+        return set(_re.findall(r"\w+|[^\w\s]", str(t).lower().strip()))
+    sa, sb = toks(doc["answer"]), toks(prediction)
+    if not sa or not sb:
+        return {"score": 0.0, "domain": doc.get("domain", "")}
+    comm = sa & sb
+    prec, rec = len(comm) / len(sb), len(comm) / len(sa)
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"score": f1, "domain": doc.get("domain", "")}

@@ -708,6 +708,32 @@ def test_variant_task_yamls_and_iconqa(tmp_path):
     assert res["iconqa_val"]["value"] == 1.0
 
 
+def test_websrc_and_screenspot_tasks(tmp_path):
+    # websrc: set-token F1
+    docs = [{"question": "Hotel name?", "answer": "Grand Plaza Hotel"},
+            {"question": "Price?", "answer": "$25"}]
+    cfg = _write_task(tmp_path, "websrc_val", docs)
+    res = simple_evaluate(EchoLMM({0: "grand plaza hotel", 1: "30"}),
+                          [cfg], log_samples=True)
+    assert abs(res["websrc_val"]["value"] - 0.5) < 1e-9  # exact F1 + zero
+
+    # partial overlap F1: pred {a,b} vs gt {a,c} -> p=r=1/2 -> f1=1/2
+    from law_of_vision_representation_in_mllms_tpu.eval.tasks.paper_tasks \
+        import websrc_process_results
+    rec = websrc_process_results({"answer": "red car"}, "red truck", None)
+    assert abs(rec["score"] - 0.5) < 1e-9
+
+    # screenspot REC: instruction prompt + same IoU scoring
+    docs = [{"question": "", "instruction": "click the save button",
+             "bbox": [0.4, 0.4, 0.6, 0.6]}]
+    cfg = _write_task(tmp_path, "screenspot_rec_test", docs)
+    t = load_task(cfg)
+    assert t.doc_to_text(docs[0]).endswith("click the save button")
+    res = simple_evaluate(EchoLMM({0: "[0.4, 0.4, 0.6, 0.6]"}), [cfg],
+                          log_samples=True)
+    assert res["screenspot_rec_test"]["value"] == 1.0
+
+
 def test_gpt_judged_tasks_stub_server(tmp_path, monkeypatch):
     """mmvet + llava_wild graded end-to-end against a local judge stub:
     the stub checks the rubric prompt reaches the judge and returns canned
