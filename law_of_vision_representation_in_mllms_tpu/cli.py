@@ -14,6 +14,7 @@ Commands:
   a-score           compute A scores over dumped embeddings
   c-score           compute C scores (SPair PCK) over cached features
   policy            fit / predict / validate the AC policy
+  serve             OpenAI-compatible chat-completions server
 """
 
 from __future__ import annotations
@@ -48,6 +49,14 @@ def main(argv=None):
     p.add_argument("--log-samples", action="store_true",
                    help="write per-doc records next to --output "
                         "(lmms-eval --log_samples)")
+
+    p = sub.add_parser("serve", help="OpenAI-compatible model server")
+    _add_common(p)
+    p.add_argument("--model", default="llava",
+                   help="adapter name (llava | registered)")
+    p.add_argument("--model-args", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
 
     p = sub.add_parser("extract-embeds", help="A-score embedding dump")
     _add_common(p)
@@ -368,6 +377,23 @@ def _cmd_port_featurizer(args):
     return 0
 
 
+def _cmd_serve(args):
+    from .core.config import RunConfig
+    from .serve import run_server
+    cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
+        else RunConfig.from_dict({})
+    margs = {}
+    for kv in filter(None, args.model_args.split(",")):
+        k, v = kv.split("=", 1)
+        margs[k] = v
+    srv = run_server(cfg, model=args.model, model_args=margs or None,
+                     host=args.host, port=args.port)
+    print(f"serving {args.model} on http://{args.host}:{srv.port}/v1",
+          file=sys.stderr)
+    srv.serve_forever()
+    return 0
+
+
 DISPATCH = {
     "a-score": _cmd_a_score,
     "port-featurizer": _cmd_port_featurizer,
@@ -376,6 +402,7 @@ DISPATCH = {
     "policy": _cmd_policy,
     "train": _cmd_train,
     "eval": _cmd_eval,
+    "serve": _cmd_serve,
     "extract-embeds": _cmd_extract_embeds,
     "extract-features": _cmd_extract_features,
     "c-train": _cmd_c_train,

@@ -1,0 +1,136 @@
+"""`lvr serve` tests: the OpenAI-compatible server fronting (a) a canned
+LMM and (b) the real tiny-JAX LlavaLMM, driven by our own `openai-api`
+client — the two speak the same dialect by construction."""
+
+import json
+import urllib.request
+
+import numpy as np
+import jax
+
+from law_of_vision_representation_in_mllms_tpu.eval.api import Instance, LMM
+from law_of_vision_representation_in_mllms_tpu.serve import (
+    LMMServer, _parse_messages)
+
+
+class CannedLMM(LMM):
+    def __init__(self):
+        self.seen = []
+
+    def generate_until(self, requests):
+        self.seen.extend(requests)
+        return [f"ok:{len(r.visual or [])}img:{r.args[0][:20]}"
+                for r in requests]
+
+    def loglikelihood(self, requests):
+        return [(0.0, True)] * len(requests)
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_server_chat_completions_and_introspection():
+    lmm = CannedLMM()
+    srv = LMMServer(lmm, model_name="tiny", port=0)
+    srv.start_background()
+    try:
+        # health + models
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/v1/models") as r:
+            assert json.loads(r.read())["data"][0]["id"] == "tiny"
+
+        # text-only chat
+        out = _post(srv.port, {"model": "tiny", "max_tokens": 8,
+                               "messages": [{"role": "user",
+                                             "content": "hello there"}]})
+        msg = out["choices"][0]["message"]
+        assert msg["role"] == "assistant"
+        assert msg["content"].startswith("ok:0img:hello there")
+        assert lmm.seen[-1].args[1]["max_new_tokens"] == 8
+
+        # data-URL image part -> PIL image + '<image>' marker
+        import base64
+        from io import BytesIO
+        from PIL import Image
+        buf = BytesIO()
+        Image.new("RGB", (8, 8), (1, 2, 3)).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        out = _post(srv.port, {"messages": [{"role": "user", "content": [
+            {"type": "text", "text": "What?"},
+            {"type": "image_url", "image_url": {
+                "url": f"data:image/png;base64,{b64}"}}]}]})
+        assert out["choices"][0]["message"]["content"].startswith("ok:1img")
+        assert "<image>" in lmm.seen[-1].args[0]
+
+        # malformed request -> structured 400, server stays alive
+        try:
+            _post(srv.port, {"messages": [{"role": "user", "content": [
+                {"type": "image_url",
+                 "image_url": {"url": "https://x/y.png"}}]}]})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "data:image" in json.loads(e.read())["error"]["message"]
+        out = _post(srv.port, {"messages": [
+            {"role": "user", "content": "still alive?"}]})
+        assert out["choices"][0]["message"]["content"].startswith("ok:0img")
+    finally:
+        srv.shutdown()
+
+
+def test_server_roundtrip_with_openai_adapter_and_tiny_llava():
+    """Our openai-api client talking to our server running the real tiny
+    JAX LlavaLMM end-to-end (tower -> splice -> decode)."""
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter \
+        import LlavaLMM
+    from law_of_vision_representation_in_mllms_tpu.eval.models_registry \
+        import build_lmm_by_name
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        ViTConfig)
+    from PIL import Image
+
+    vit_cfg = ViTConfig(image_size=224, patch_size=32, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="openai/clip-vit-large-patch14", kind="vit",
+                       vit_config=vit_cfg, vit_family="clip",
+                       hidden_size=16, num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=L.tiny(vocab_size=1000, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
+                   precision=FP32_PRECISION, batch_size=1)
+
+    srv = LMMServer(lmm, model_name="tiny-llava", port=0)
+    srv.start_background()
+    try:
+        client = build_lmm_by_name(
+            "openai-api", model_version="tiny-llava",
+            api_url=f"http://127.0.0.1:{srv.port}/v1/chat/completions",
+            api_key="k", retries=1)
+        img = Image.new("RGB", (32, 32), (90, 30, 200))
+        reqs = [Instance("generate_until", {}, 0, "t",
+                         ("describe<image>", {"max_new_tokens": 4}),
+                         visual=[img])]
+        out = client.generate_until(reqs)
+        assert len(out) == 1 and isinstance(out[0], str)
+    finally:
+        srv.shutdown()
