@@ -4,6 +4,7 @@ from . import paper_tasks  # noqa: F401  (registers doc hooks)
 from . import judged_tasks  # noqa: F401  (GPT-judged tasks)
 from . import grounding_tasks  # noqa: F401  (refcoco family)
 from . import mathvista_tasks  # noqa: F401  (mathvista)
+from . import extra_tasks  # noqa: F401  (cmmmu/mmupd/mathverse)
 
 TASK_DIR = os.path.dirname(__file__)
 

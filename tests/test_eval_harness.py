@@ -734,6 +734,45 @@ def test_websrc_and_screenspot_tasks(tmp_path):
     assert res["screenspot_rec_test"]["value"] == 1.0
 
 
+def test_cmmmu_mmupd_mathverse_tasks(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.eval.tasks.extra_tasks \
+        import mmupd_dual_accuracy
+    # cmmmu: one of each question type
+    docs = [{"question": "图中是什么动物?", "type": "选择", "answer": "B",
+             "option1": "狗", "option2": "猫", "option3": "鸟",
+             "option4": "鱼"},
+            {"question": "图中有两只猫。", "type": "判断", "answer": "对"},
+            {"question": "图中有几只猫?", "type": "填空", "answer": "2"}]
+    cfg = _write_task(tmp_path, "cmmmu_val", docs)
+    model = EchoLMM({0: "(B) 猫", 1: "对,正确", 2: "共有 2 只"})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    assert res["cmmmu_val"]["value"] == 1.0
+
+    # mmupd: one standard + one masked (unsolvable) question
+    docs = [{"question": "Color?", "A": "red", "B": "blue", "answer": "B",
+             "masked_answer": "", "index": 0, "hint": "", "source": "s",
+             "split": "v", "category": "c", "type": "aad"},
+            {"question": "Which?", "A": "one", "B": "two",
+             "answer": "C", "masked_answer": "three", "index": 1,
+             "hint": "", "source": "s", "split": "v", "category": "c",
+             "type": "aad"}]
+    cfg = _write_task(tmp_path, "mmupd_base", docs)
+    model = EchoLMM({0: "B", 1: "There is no correct answer provided."})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    assert res["mmupd_base"]["value"] == 1.0
+    dual = mmupd_dual_accuracy(res["mmupd_base"]["samples"])
+    assert dual["dual"] == 1.0 and dual["masked"] == 1.0
+
+    # mathverse: numeric comparison through the mathvista extractor
+    docs = [{"question": "Find x.", "question_type": "free_form",
+             "answer_type": "float", "answer": "2.5",
+             "query_cot": "Find x. Answer with the final value."}]
+    cfg = _write_task(tmp_path, "mathverse_testmini", docs)
+    res = simple_evaluate(EchoLMM({0: "Solving gives x = 2.50"}), [cfg],
+                          log_samples=True)
+    assert res["mathverse_testmini"]["value"] == 1.0
+
+
 def test_gpt_judged_tasks_stub_server(tmp_path, monkeypatch):
     """mmvet + llava_wild graded end-to-end against a local judge stub:
     the stub checks the rubric prompt reaches the judge and returns canned
