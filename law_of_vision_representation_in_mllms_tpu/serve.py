@@ -12,10 +12,11 @@ registered LMM (the JAX `LlavaLMM` included) is exposed behind a stdlib
 - ``GET /v1/models`` — single-model listing.
 - ``GET /health`` — liveness.
 
-Dispatch into the model is serialized with a lock (one TPU program at a
-time); HTTP handling threads overlap so request parsing/image decode run
-concurrently with device compute. max_tokens/temperature map onto the
-generation kwargs the adapters already understand.
+Requests are dynamically batched (`_BatchWorker`): concurrent requests
+arriving within ``batch_window_ms`` ride one batched ``generate_until``
+dispatch (one TPU program), while HTTP threads handle parsing/image
+decode concurrently. max_tokens/temperature map onto the generation
+kwargs the adapters already understand.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import io
 import json
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
@@ -67,15 +69,81 @@ def _parse_messages(messages: List[dict]):
     return "\n".join(t for t in texts if t), images
 
 
+class _BatchWorker:
+    """Dynamic request batching: a single worker thread drains the queue,
+    waits up to ``window_ms`` after the first arrival for co-riders, and
+    dispatches one ``generate_until`` call for the whole batch — the
+    LlavaLMM adapter pads/buckets batched requests into one TPU program,
+    so co-batched requests cost ~one request's latency. (The sglang
+    runtime the reference delegates to does the same thing server-side.)
+    """
+
+    def __init__(self, lmm: LMM, max_batch: int = 8,
+                 window_ms: float = 5.0):
+        import queue
+        self.lmm = lmm
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self.dispatches = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, inst: Instance) -> str:
+        done = threading.Event()
+        slot = {}
+        self.q.put((inst, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["text"]
+
+    def _run(self):
+        import queue
+        while not self._stop:
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            insts = [b[0] for b in batch]
+            try:
+                texts = self.lmm.generate_until(insts)
+                self.dispatches += 1
+                for (_, done, slot), text in zip(batch, texts):
+                    slot["text"] = text
+                    done.set()
+            except Exception as e:  # noqa: BLE001 — fail the whole batch
+                for _, done, slot in batch:
+                    slot["error"] = e
+                    done.set()
+
+    def shutdown(self):
+        self._stop = True
+        self._thread.join(timeout=2)
+
+
 class LMMServer:
     """Serve one LMM instance over HTTP until ``shutdown()``."""
 
     def __init__(self, lmm: LMM, model_name: str = "lvr",
-                 host: str = "127.0.0.1", port: int = 8000):
+                 host: str = "127.0.0.1", port: int = 8000,
+                 max_batch: int = 8, batch_window_ms: float = 5.0):
         self.lmm = lmm
         self.model_name = model_name
-        self._lock = threading.Lock()
         self._count = 0
+        self.worker = _BatchWorker(lmm, max_batch=max_batch,
+                                   window_ms=batch_window_ms)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -93,7 +161,9 @@ class LMMServer:
             def do_GET(self):
                 if self.path == "/health":
                     self._send(200, {"status": "ok",
-                                     "requests": outer._count})
+                                     "requests": outer._count,
+                                     "dispatches":
+                                         outer.worker.dispatches})
                 elif self.path == "/v1/models":
                     self._send(200, {"object": "list", "data": [
                         {"id": outer.model_name, "object": "model"}]})
@@ -118,9 +188,8 @@ class LMMServer:
                     inst = Instance("generate_until", {}, 0,
                                     "serve", (prompt, gen_kwargs),
                                     visual=images or None)
-                    with outer._lock:     # one device program at a time
-                        text = outer.lmm.generate_until([inst])[0]
-                        outer._count += 1
+                    text = outer.worker.submit(inst)
+                    outer._count += 1
                     self._send(200, {
                         "id": f"chatcmpl-{outer._count}",
                         "object": "chat.completion",
@@ -148,6 +217,7 @@ class LMMServer:
 
     def shutdown(self):
         self.httpd.shutdown()
+        self.worker.shutdown()
 
 
 def run_server(cfg, *, model: str = "llava", model_args: Optional[dict]

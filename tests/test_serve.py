@@ -134,3 +134,44 @@ def test_server_roundtrip_with_openai_adapter_and_tiny_llava():
         assert len(out) == 1 and isinstance(out[0], str)
     finally:
         srv.shutdown()
+
+
+def test_dynamic_batching_coalesces_concurrent_requests():
+    import threading
+    import time as _time
+
+    class SlowLMM(LMM):
+        def __init__(self):
+            self.batches = []
+
+        def generate_until(self, requests):
+            self.batches.append(len(requests))
+            _time.sleep(0.05)
+            return [f"r{i}" for i in range(len(requests))]
+
+        def loglikelihood(self, requests):
+            return [(0.0, True)] * len(requests)
+
+    lmm = SlowLMM()
+    srv = LMMServer(lmm, port=0, max_batch=8, batch_window_ms=150)
+    srv.start_background()
+    try:
+        results = []
+
+        def hit(i):
+            out = _post(srv.port, {"messages": [
+                {"role": "user", "content": f"q{i}"}]})
+            results.append(out["choices"][0]["message"]["content"])
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results) == 6
+        # 6 concurrent requests coalesce into far fewer dispatches
+        assert srv.worker.dispatches <= 3
+        assert max(lmm.batches) >= 2
+    finally:
+        srv.shutdown()
