@@ -238,17 +238,14 @@ def _cmd_train(args):
     return run_training(cfg)
 
 
-def _cmd_eval(args):
-    from .core.config import RunConfig
-    from .eval.runner import run_evaluation
-    cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
-        else RunConfig.from_dict({})
+def _parse_model_args(spec: str) -> dict:
+    """k=v,k=v adapter kwargs with bool/int/float coercion (lmms-eval's
+    simple_parse_args_string semantics)."""
     margs = {}
-    for kv in filter(None, args.model_args.split(",")):
+    for kv in filter(None, spec.split(",")):
         if "=" not in kv:
             raise SystemExit(f"--model-args entry '{kv}' is not k=v")
         k, v = kv.split("=", 1)
-        # coerce like lmms-eval's simple_parse_args_string
         if v.lower() in ("true", "false"):
             v = v.lower() == "true"
         else:
@@ -259,6 +256,15 @@ def _cmd_eval(args):
                 except ValueError:
                     pass
         margs[k] = v
+    return margs
+
+
+def _cmd_eval(args):
+    from .core.config import RunConfig
+    from .eval.runner import run_evaluation
+    cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
+        else RunConfig.from_dict({})
+    margs = _parse_model_args(args.model_args)
     res = run_evaluation(cfg, args.tasks, limit=args.limit,
                          model=args.model, model_args=margs or None,
                          log_samples=args.log_samples)
@@ -382,10 +388,7 @@ def _cmd_serve(args):
     from .serve import run_server
     cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
         else RunConfig.from_dict({})
-    margs = {}
-    for kv in filter(None, args.model_args.split(",")):
-        k, v = kv.split("=", 1)
-        margs[k] = v
+    margs = _parse_model_args(args.model_args)
     srv = run_server(cfg, model=args.model, model_args=margs or None,
                      host=args.host, port=args.port)
     print(f"serving {args.model} on http://{args.host}:{srv.port}/v1",

@@ -97,13 +97,11 @@ def levenshtein(a: str, b: str) -> int:
 def anls(prediction: str, targets: Sequence[str],
          threshold: float = 0.5) -> float:
     """Average normalized Levenshtein similarity."""
-    lev = levenshtein
-
     p = prediction.strip().lower()
     best = 0.0
     for t in targets:
         t = t.strip().lower()
-        d = lev(p, t)
+        d = levenshtein(p, t)
         s = 1 - d / max(len(p), len(t), 1)
         best = max(best, s if s >= threshold else 0.0)
     return best

@@ -56,7 +56,10 @@ def cmmmu_process_results(doc, prediction, task):
     qtype = doc.get("type", "填空")
     answer = str(doc.get("answer", "")).strip()
     if qtype == "选择":
-        letters = re.findall(r"\(?([A-D])\)?", pred)
+        # parenthesised letter first, then a standalone letter (word
+        # boundaries keep 'Based'/'Answer' from matching)
+        letters = re.findall(r"\(([A-D])\)", pred) or \
+            re.findall(r"\b([A-D])\b", pred)
         got = letters[0] if letters else ""
         if not got:
             for i, c in enumerate(_CMMMU_LETTERS, 1):

@@ -44,9 +44,15 @@ def _parse_messages(messages: List[dict]):
     texts: List[str] = []
     images = []
     for msg in messages:
-        if msg.get("role") not in ("user", "system"):
+        role = msg.get("role")
+        if role not in ("user", "system", "assistant"):
             continue
         content = msg.get("content", "")
+        if role == "assistant":
+            # keep multi-turn history in the prompt rather than dropping it
+            if isinstance(content, str) and content:
+                texts.append(f"ASSISTANT: {content}")
+            continue
         if isinstance(content, str):
             texts.append(content)
             continue
@@ -116,21 +122,44 @@ class _BatchWorker:
                     batch.append(self.q.get(timeout=left))
                 except queue.Empty:
                     break
-            insts = [b[0] for b in batch]
-            try:
-                texts = self.lmm.generate_until(insts)
-                self.dispatches += 1
-                for (_, done, slot), text in zip(batch, texts):
-                    slot["text"] = text
-                    done.set()
-            except Exception as e:  # noqa: BLE001 — fail the whole batch
-                for _, done, slot in batch:
-                    slot["error"] = e
-                    done.set()
+            # group by generation kwargs: the LlavaLMM adapter reads
+            # max_new_tokens/until from the first request of a chunk
+            # (llava_adapter.py), so only same-kwargs requests may share
+            # a dispatch
+            groups: dict = {}
+            for item in batch:
+                key = tuple(sorted(item[0].args[1].items())) \
+                    if len(item[0].args) > 1 else ()
+                groups.setdefault(key, []).append(item)
+            for group in groups.values():
+                insts = [g[0] for g in group]
+                try:
+                    texts = self.lmm.generate_until(insts)
+                    if len(texts) != len(insts):
+                        raise RuntimeError(
+                            f"adapter returned {len(texts)} results for "
+                            f"{len(insts)} requests")
+                    self.dispatches += 1
+                    for (_, done, slot), text in zip(group, texts):
+                        slot["text"] = text
+                        done.set()
+                except Exception as e:  # noqa: BLE001 — fail the batch
+                    for _, done, slot in group:
+                        slot["error"] = e
+                        done.set()
 
     def shutdown(self):
+        import queue
         self._stop = True
         self._thread.join(timeout=2)
+        # fail any request still queued so its HTTP thread unblocks
+        while True:
+            try:
+                _, done, slot = self.q.get_nowait()
+            except queue.Empty:
+                break
+            slot["error"] = RuntimeError("server shutting down")
+            done.set()
 
 
 class LMMServer:
@@ -142,6 +171,7 @@ class LMMServer:
         self.lmm = lmm
         self.model_name = model_name
         self._count = 0
+        self._count_lock = threading.Lock()
         self.worker = _BatchWorker(lmm, max_batch=max_batch,
                                    window_ms=batch_window_ms)
         outer = self
@@ -178,6 +208,11 @@ class LMMServer:
                     req = json.loads(self.rfile.read(
                         int(self.headers["Content-Length"])))
                     prompt, images = _parse_messages(req["messages"])
+                    if len(images) > 1:
+                        raise ValueError(
+                            "this model accepts at most one image per "
+                            "request (the LLaVA splice conditions on a "
+                            "single image)")
                     gen_kwargs = {}
                     if "max_tokens" in req:
                         gen_kwargs["max_new_tokens"] = int(
@@ -189,9 +224,11 @@ class LMMServer:
                                     "serve", (prompt, gen_kwargs),
                                     visual=images or None)
                     text = outer.worker.submit(inst)
-                    outer._count += 1
+                    with outer._count_lock:
+                        outer._count += 1
+                        rid = outer._count
                     self._send(200, {
-                        "id": f"chatcmpl-{outer._count}",
+                        "id": f"chatcmpl-{rid}",
                         "object": "chat.completion",
                         "model": outer.model_name,
                         "choices": [{

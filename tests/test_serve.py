@@ -175,3 +175,82 @@ def test_dynamic_batching_coalesces_concurrent_requests():
         assert max(lmm.batches) >= 2
     finally:
         srv.shutdown()
+
+
+def test_review_fixes_gen_kwargs_grouping_and_multi_image():
+    import threading
+
+    class RecordingLMM(LMM):
+        def __init__(self):
+            self.calls = []
+
+        def generate_until(self, requests):
+            self.calls.append([r.args[1].get("max_new_tokens")
+                               for r in requests])
+            return ["r"] * len(requests)
+
+        def loglikelihood(self, requests):
+            return [(0.0, True)] * len(requests)
+
+    lmm = RecordingLMM()
+    srv = LMMServer(lmm, port=0, max_batch=8, batch_window_ms=200)
+    srv.start_background()
+    try:
+        # different max_tokens must NOT share a dispatch (the adapter
+        # reads gen kwargs from the first request of a chunk)
+        outs = []
+
+        def hit(mt):
+            outs.append(_post(srv.port, {"max_tokens": mt, "messages": [
+                {"role": "user", "content": "q"}]}))
+
+        threads = [threading.Thread(target=hit, args=(mt,))
+                   for mt in (4, 4, 512)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(outs) == 3
+        assert sorted(map(sorted, lmm.calls)) == [[4, 4], [512]]
+
+        # assistant history rides in the prompt
+        seen = {}
+
+        class Cap(LMM):
+            def generate_until(self, requests):
+                seen["prompt"] = requests[0].args[0]
+                return ["x"] * len(requests)
+
+            def loglikelihood(self, requests):
+                return [(0.0, True)] * len(requests)
+
+        srv2 = LMMServer(Cap(), port=0)
+        srv2.start_background()
+        try:
+            _post(srv2.port, {"messages": [
+                {"role": "user", "content": "what is this?"},
+                {"role": "assistant", "content": "a cat"},
+                {"role": "user", "content": "what color?"}]})
+            assert "ASSISTANT: a cat" in seen["prompt"]
+
+            # more than one image -> structured 400
+            import base64
+            from io import BytesIO
+            from PIL import Image
+            buf = BytesIO()
+            Image.new("RGB", (4, 4)).save(buf, format="PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            part = {"type": "image_url", "image_url": {
+                "url": f"data:image/png;base64,{b64}"}}
+            try:
+                _post(srv2.port, {"messages": [
+                    {"role": "user", "content": [part, part]}]})
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "one image" in json.loads(
+                    e.read())["error"]["message"]
+        finally:
+            srv2.shutdown()
+    finally:
+        srv.shutdown()
