@@ -175,3 +175,53 @@ def mathverse_process_results(doc, prediction, task):
         ok = str(norm).strip().lower() == answer.lower()
     return {"score": float(ok), "extraction": extraction,
             "problem_version": doc.get("problem_version", "")}
+
+
+# ---- olympiadbench ----------------------------------------------------------
+
+@register_function("olympiadbench.doc_to_text")
+def olympiadbench_doc_to_text(doc):
+    """`olympiadbench/en_utils.py:22-48`: competition preamble + answer-
+    type instruction + the \\boxed{} ending convention."""
+    subject = doc.get("subfield", "Mathematics")
+    mul = bool(doc.get("is_multiple_answer"))
+    ans_type = doc.get("answer_type") or "a numeric value"
+    if ans_type == "Need_human_evaluate":
+        ans_type = "proof based"
+    pre = (f"The following is a question from an International {subject} "
+           "competition.\n")
+    post = (f"The question has multiple answers, each of them should be "
+            f"{ans_type}.\n" if mul else
+            f"The answer of the question should be {ans_type}.\n")
+    post += ("Please calculate the answer according to the given "
+             "requirements and the information provided. Please use LaTeX "
+             "format to represent the variables and formulas used in the "
+             "solution process and results. Please end your solution with ")
+    post += ('"So the final answer is \\boxed{multiple answers connected '
+             'with commas}."\n' if mul else
+             '"So the final answer is \\boxed{answer}."\n')
+    return pre + doc["question"] + "\n" + post
+
+
+@register_function("olympiadbench.process_results")
+def olympiadbench_process_results(doc, prediction, task):
+    """`en_utils.py:51-66`: strip to the segment after 'final answer is',
+    then sympy-backed equivalence vs final_answer within the per-problem
+    error bound. Proof questions (source contains 'TP') are submission-
+    only in the reference; scored 0 here with a flag."""
+    from ..math_equivalence import judge
+    if "TP" in str(doc.get("source", "")):
+        return {"score": 0.0, "proof_only": True}
+    pred = prediction.split("final answer is")[-1]
+    pred = pred.replace('"', "").replace("\n", "").replace(" ", "") \
+               .strip(".").strip("。")
+    ans = doc.get("final_answer")
+    ans = ans[0] if isinstance(ans, list) else str(ans)
+    precision = doc.get("error") or 1e-8
+    if isinstance(precision, str):
+        try:
+            precision = float(precision)
+        except ValueError:
+            precision = 1e-8
+    return {"score": float(judge(pred, ans, precision)),
+            "proof_only": False}

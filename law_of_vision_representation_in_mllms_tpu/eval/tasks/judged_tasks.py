@@ -145,3 +145,86 @@ def llava_wild_aggregate(records):
         return 0.0
     stats = np.asarray(pairs).mean(axis=0)
     return round(float(stats[1] / stats[0] * 100), 1)
+
+
+# ---- Ferret-Bench -----------------------------------------------------------
+
+# `ferret/rule.json` rubrics, verbatim. All three categories share the
+# scene-context preamble; ground_conv adds the coordinate-precision rule.
+_FERRET_PREAMBLE = (
+    "We would like to request your feedback on the performance of two AI "
+    "assistants in response to the user question displayed above. The "
+    "user asks the question about specific region of an image. For your "
+    "reference, the visual content in the image is represented with five "
+    "descriptive sentences describing the same image. In addition, "
+    "specific object locations within the image are given, along with "
+    "detailed coordinates. These coordinates are in the form of bounding "
+    "boxes, represented as (x1, y1, x2, y2) with floating numbers ranging "
+    "from 0 to 1. These values correspond to the top left x, top left y, "
+    "bottom right x, and bottom right y. Also, the relationships between "
+    "pairs of objects are provided, in the format of object -> "
+    "relationship -> subject, where the object/subject are indexed by "
+    "object id from previous object lists as well as the object names. "
+    "Also, several region description are given, each describing a box "
+    "region of image, with detailed coordinates. \n")
+_FERRET_TAIL = (
+    "Each assistant receives an overall score on a scale of 1 to 10, "
+    "where a higher score indicates better overall performance.\nPlease "
+    "first output a single line containing only two values indicating "
+    "the scores for Assistant 1 and 2, respectively. The two scores are "
+    "separated by a space.\nIn the subsequent line, please provide a "
+    "comprehensive explanation of your evaluation, avoiding any "
+    "potential bias and ensuring that the order in which the responses "
+    "were presented does not affect your judgment.")
+FERRET_RULES = {
+    "refer_desc": {"role": "Assistant", "prompt": _FERRET_PREAMBLE + (
+        "Please rate the spatial correspondence, helpfulness, relevance, "
+        "accuracy, level of details of their responses. ") + _FERRET_TAIL},
+    "refer_reason": {"role": "Assistant", "prompt": _FERRET_PREAMBLE + (
+        "Please rate the spatial correspondence, helpfulness, relevance, "
+        "accuracy, level of details of their responses. ") + _FERRET_TAIL},
+    "ground_conv": {"role": "Assistant", "prompt": (
+        _FERRET_PREAMBLE.replace(
+            "asks the question about specific region of an image",
+            "asks the question that requires model to predict the "
+            "coordinates of relevant object") +
+        "Please rate the predicted coordinates, helpfulness, relevance, "
+        "accuracy, level of details of their responses. Specifically, "
+        "pay your attention to the precision of the coordinates and "
+        "whether it matches the object. Small deviation (<20% of "
+        "ground-truth box width or height) of coordinates is allowed and "
+        "shouldn't be punished. More than that, the degree of deviation "
+        "should be reflected in scoring too.  ") + _FERRET_TAIL},
+}
+
+
+@register_function("ferret.doc_to_text")
+def ferret_doc_to_text(doc):
+    return doc["question"].strip()
+
+
+@register_function("ferret.process_results")
+def ferret_process_results(doc, prediction, task):
+    """Pairwise judging vs the GPT-4 answer with the scene-graph context
+    (`ferret/utils.py:117-140`): same [Context]/[Question]/[Assistant 1/2]
+    content as llava_wild, ferret's category rubrics."""
+    judge = judge_for_task(task)
+    ctx = doc.get("context", [])
+    context = "\n".join(ctx) if isinstance(ctx, list) else ctx
+    rule = FERRET_RULES.get(doc.get("category", "refer_desc"),
+                            FERRET_RULES["refer_desc"])
+    role = rule["role"]
+    content = (f"[Context]\n{context}\n\n"
+               f"[Question]\n{doc['question']}\n\n"
+               f"[{role} 1]\n{doc.get('gpt_answer', '')}\n\n"
+               f"[End of {role} 1]\n\n"
+               f"[{role} 2]\n{prediction}\n\n[End of {role} 2]\n\n"
+               f"[System]\n{rule['prompt']}\n\n")
+    review = judge(content, system=LLAVA_WILD_SYSTEM, max_tokens=1024)
+    try:
+        pair = review.split("\n")[0].replace(",", " ").split()
+        scores = [float(pair[0]), float(pair[1])] if len(pair) == 2 \
+            else [-1.0, -1.0]
+    except (ValueError, IndexError):
+        scores = [-1.0, -1.0]
+    return {"scores": scores, "category": doc.get("category", "")}

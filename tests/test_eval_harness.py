@@ -832,6 +832,18 @@ def test_gpt_judged_tasks_stub_server(tmp_path, monkeypatch):
         assert wild["messages"][0]["role"] == "system"
         assert "[Assistant 2]\nA brown dog." in \
             wild["messages"][-1]["content"]
+
+        # ferret rides the same pairwise machinery with its own rubrics
+        docs = [{"question": "What is in this region?",
+                 "category": "refer_desc",
+                 "context": ["a dog on grass", "obj0: dog (0.1,0.1,0.4,0.4)"],
+                 "gpt_answer": "A dog."}]
+        cfg = _write_task(tmp_path, "ferret", docs)
+        res = simple_evaluate(EchoLMM({0: "A small dog."}), [cfg],
+                              log_samples=True)
+        assert abs(res["ferret"]["value"] - 75.0) < 1e-9
+        assert "spatial correspondence" in \
+            seen[-1]["messages"][-1]["content"]
     finally:
         srv.shutdown()
 
@@ -893,3 +905,33 @@ def test_openai_api_adapter_stub_server():
             gpt4v.loglikelihood([])
     finally:
         srv.shutdown()
+
+
+def test_olympiadbench_task(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.eval.math_equivalence \
+        import judge
+    # math-equivalence core
+    assert judge(r"\boxed{\frac{1}{2}}", "0.5")
+    assert judge(r"\boxed{1,2}", "2,1")
+    assert judge(r"\boxed{2\pi}", "6.2832", 1e-3)
+    assert not judge(r"\boxed{3}", "4")
+    assert judge(r"\boxed{y=2x+1}", "2x - y + 1 = 0")
+
+    docs = [{"question": "Compute the area.", "subfield": "Mathematics",
+             "is_multiple_answer": False, "answer_type": "a numeric value",
+             "final_answer": [r"\frac{\sqrt{3}}{2}"], "error": 1e-5,
+             "source": "OE_en"},
+            {"question": "Prove it.", "subfield": "Mathematics",
+             "is_multiple_answer": False,
+             "answer_type": "Need_human_evaluate",
+             "final_answer": None, "error": None, "source": "TP_en"}]
+    cfg = _write_task(tmp_path, "olympiadbench_test_en", docs)
+    model = EchoLMM({0: r"So the final answer is \boxed{0.8660254}.",
+                     1: "QED."})
+    res = simple_evaluate(model, [cfg], log_samples=True)
+    # doc0 correct, doc1 proof-only (scored 0, flagged)
+    assert abs(res["olympiadbench_test_en"]["value"] - 0.5) < 1e-9
+    assert res["olympiadbench_test_en"]["samples"][1]["proof_only"]
+    from law_of_vision_representation_in_mllms_tpu.eval.task import load_task
+    t = load_task(cfg)
+    assert "So the final answer is" in t.doc_to_text(docs[0])
