@@ -227,6 +227,9 @@ class LMMServer:
                     with outer._count_lock:
                         outer._count += 1
                         rid = outer._count
+                    if req.get("stream"):
+                        self._send_stream(rid, text)
+                        return
                     self._send(200, {
                         "id": f"chatcmpl-{rid}",
                         "object": "chat.completion",
@@ -240,6 +243,33 @@ class LMMServer:
                 except Exception as e:  # noqa: BLE001 — surface as 400
                     self._send(400, {"error": {"message": str(e),
                                                "type": type(e).__name__}})
+
+            def _send_stream(self, rid: int, text: str):
+                """OpenAI SSE protocol (`stream: true`): role delta,
+                content deltas, finish chunk, [DONE]. Generation itself
+                already completed (the decode loop is one TPU program);
+                the stream replays it in word chunks so streaming
+                clients render progressively."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+
+                def chunk(delta, finish=None):
+                    payload = {"id": f"chatcmpl-{rid}",
+                               "object": "chat.completion.chunk",
+                               "model": outer.model_name,
+                               "choices": [{"index": 0, "delta": delta,
+                                            "finish_reason": finish}]}
+                    self.wfile.write(
+                        f"data: {json.dumps(payload)}\n\n".encode())
+                chunk({"role": "assistant"})
+                words = text.split(" ")
+                for i, w in enumerate(words):
+                    chunk({"content": w if i == len(words) - 1
+                           else w + " "})
+                chunk({}, finish="stop")
+                self.wfile.write(b"data: [DONE]\n\n")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_port

@@ -254,3 +254,30 @@ def test_review_fixes_gen_kwargs_grouping_and_multi_image():
             srv2.shutdown()
     finally:
         srv.shutdown()
+
+
+def test_sse_streaming():
+    lmm = CannedLMM()
+    srv = LMMServer(lmm, model_name="tiny", port=0)
+    srv.start_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/chat/completions",
+            data=json.dumps({"stream": True, "messages": [
+                {"role": "user", "content": "hello world"}]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            body = r.read().decode()
+        events = [l[len("data: "):] for l in body.split("\n")
+                  if l.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        assert chunks[0]["choices"][0]["delta"] == {"role": "assistant"}
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert text.startswith("ok:0img:hello world")
+        assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    finally:
+        srv.shutdown()
