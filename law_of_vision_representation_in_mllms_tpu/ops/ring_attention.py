@@ -44,7 +44,10 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
     acc = jnp.zeros((b, h, sl, d), jnp.float32)
     # jax >= 0.8 shard_map tracks varying-manual-axes: the scan carry must
     # enter already marked device-varying like its outputs
-    if hasattr(lax, "pvary"):
+    if hasattr(lax, "pcast"):
+        m, l, acc = (lax.pcast(x, axis_name, to="varying")
+                     for x in (m, l, acc))
+    elif hasattr(lax, "pvary"):  # jax 0.8
         m, l, acc = (lax.pvary(x, axis_name) for x in (m, l, acc))
 
     q_pos = idx * sl + jnp.arange(sl)                       # global q rows
