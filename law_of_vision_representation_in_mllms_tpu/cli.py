@@ -50,6 +50,8 @@ def main(argv=None):
                    help="write per-doc records next to --output "
                         "(lmms-eval --log_samples)")
 
+    p = sub.add_parser("tasks", help="list bundled eval tasks")
+
     p = sub.add_parser("serve", help="OpenAI-compatible model server")
     _add_common(p)
     p.add_argument("--model", default="llava",
@@ -383,6 +385,21 @@ def _cmd_port_featurizer(args):
     return 0
 
 
+def _cmd_tasks(args):
+    import glob
+    import os as _os
+    from .eval.tasks import TASK_DIR
+    for path in sorted(glob.glob(_os.path.join(TASK_DIR, "*.yaml"))):
+        name = _os.path.splitext(_os.path.basename(path))[0]
+        desc = ""
+        with open(path) as f:
+            first = f.readline().strip()
+            if first.startswith("#"):
+                desc = first.lstrip("# ")
+        print(f"{name:28s} {desc}")
+    return 0
+
+
 def _cmd_serve(args):
     from .core.config import RunConfig
     from .serve import run_server
@@ -406,6 +423,7 @@ DISPATCH = {
     "train": _cmd_train,
     "eval": _cmd_eval,
     "serve": _cmd_serve,
+    "tasks": _cmd_tasks,
     "extract-embeds": _cmd_extract_embeds,
     "extract-features": _cmd_extract_features,
     "c-train": _cmd_c_train,

@@ -935,3 +935,13 @@ def test_olympiadbench_task(tmp_path):
     from law_of_vision_representation_in_mllms_tpu.eval.task import load_task
     t = load_task(cfg)
     assert "So the final answer is" in t.doc_to_text(docs[0])
+
+
+def test_tasks_cli_lists_all(capsys):
+    from law_of_vision_representation_in_mllms_tpu.cli import main as cli
+    rc = cli(["tasks"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().split("\n") if l]
+    assert rc == 0 and len(lines) == 44
+    assert any(l.startswith("mme ") for l in lines)
+    assert any(l.startswith("olympiadbench_test_en") for l in lines)
