@@ -59,6 +59,10 @@ def main(argv=None):
     p.add_argument("--model-args", default="")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="dynamic-batching max requests per dispatch")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="coalescing window after the first request")
 
     p = sub.add_parser("extract-embeds", help="A-score embedding dump")
     _add_common(p)
@@ -407,7 +411,9 @@ def _cmd_serve(args):
         else RunConfig.from_dict({})
     margs = _parse_model_args(args.model_args)
     srv = run_server(cfg, model=args.model, model_args=margs or None,
-                     host=args.host, port=args.port)
+                     host=args.host, port=args.port,
+                     max_batch=args.max_batch,
+                     batch_window_ms=args.batch_window_ms)
     print(f"serving {args.model} on http://{args.host}:{srv.port}/v1",
           file=sys.stderr)
     srv.serve_forever()

@@ -289,7 +289,8 @@ class LMMServer:
 
 def run_server(cfg, *, model: str = "llava", model_args: Optional[dict]
                = None, host: str = "127.0.0.1", port: int = 8000,
-               model_name: Optional[str] = None) -> LMMServer:
+               model_name: Optional[str] = None, max_batch: int = 8,
+               batch_window_ms: float = 5.0) -> LMMServer:
     """CLI entry: build the adapter like `eval/runner.run_evaluation` does
     and serve it."""
     if model == "llava":
@@ -299,4 +300,5 @@ def run_server(cfg, *, model: str = "llava", model_args: Optional[dict]
         from .eval.models_registry import build_lmm_by_name
         lmm = build_lmm_by_name(model, **(model_args or {}))
     return LMMServer(lmm, model_name=model_name or model,
-                     host=host, port=port)
+                     host=host, port=port, max_batch=max_batch,
+                     batch_window_ms=batch_window_ms)
