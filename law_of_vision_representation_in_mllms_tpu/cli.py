@@ -52,6 +52,15 @@ def main(argv=None):
 
     p = sub.add_parser("tasks", help="list bundled eval tasks")
 
+    p = sub.add_parser("merge-results",
+                       help="merge per-process sample logs into one "
+                            "aggregated result (multi-host eval gather)")
+    p.add_argument("--task", required=True,
+                   help="task yaml path or bundled task name")
+    p.add_argument("--samples", nargs="+", required=True,
+                   help="per-process *_samples.jsonl files")
+    p.add_argument("--output", default="merged_results.json")
+
     p = sub.add_parser("serve", help="OpenAI-compatible model server")
     _add_common(p)
     p.add_argument("--model", default="llava",
@@ -404,6 +413,48 @@ def _cmd_tasks(args):
     return 0
 
 
+def _cmd_merge_results(args):
+    """Host-side gather for doc-sharded multi-process eval: each process
+    runs `lvr eval --log-samples` over its `jax.process_index()` shard;
+    this re-aggregates the union of their sample logs (the reference
+    gathers rank results with accelerate, `evaluator.py` tail)."""
+    import yaml as pyyaml
+    from .eval.metrics import AGGREGATIONS, bootstrap_stderr
+    from .eval.tasks import task_yaml
+    import os as _os
+
+    path = args.task if _os.path.exists(args.task) else task_yaml(args.task)
+    with open(path) as f:
+        cfg = pyyaml.safe_load(f)
+    name = cfg["task"]
+    agg_name = cfg.get("aggregation", "mean")
+    recs = []
+    for fp in args.samples:
+        with open(fp) as f:
+            recs.extend(json.loads(line) for line in f if line.strip())
+    seen = set()
+    deduped = []
+    for r in recs:
+        if r.get("doc_id") in seen:
+            raise SystemExit(
+                f"doc_id {r['doc_id']} appears in more than one shard — "
+                "the per-process runs overlapped")
+        seen.add(r.get("doc_id"))
+        deduped.append(r)
+    if agg_name == "mean":
+        scores = [r["score"] for r in deduped]
+        value = sum(scores) / len(scores) if scores else 0.0
+        stderr = bootstrap_stderr(scores)
+    else:
+        value = AGGREGATIONS[agg_name](deduped)
+        stderr = 0.0
+    out = {name: {"value": value, "stderr": stderr, "n": len(deduped)}}
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def _cmd_serve(args):
     from .core.config import RunConfig
     from .serve import run_server
@@ -430,6 +481,7 @@ DISPATCH = {
     "eval": _cmd_eval,
     "serve": _cmd_serve,
     "tasks": _cmd_tasks,
+    "merge-results": _cmd_merge_results,
     "extract-embeds": _cmd_extract_embeds,
     "extract-features": _cmd_extract_features,
     "c-train": _cmd_c_train,

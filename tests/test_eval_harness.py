@@ -945,3 +945,43 @@ def test_tasks_cli_lists_all(capsys):
     assert rc == 0 and len(lines) == 44
     assert any(l.startswith("mme ") for l in lines)
     assert any(l.startswith("olympiadbench_test_en") for l in lines)
+
+
+def test_merge_results_cli(tmp_path, capsys):
+    """Two doc-sharded `lvr eval --log-samples` runs merge into the full
+    aggregate via `lvr merge-results` (multi-host gather equivalent)."""
+    from law_of_vision_representation_in_mllms_tpu.cli import main as cli
+    from law_of_vision_representation_in_mllms_tpu.eval.task import load_task
+
+    docs = [{"question": f"q{i}", "options": ["x", "y"], "answer": "A"}
+            for i in range(7)]
+    cfg = _write_task(tmp_path, "seed_image", docs)
+    model = EchoLMM({i: ("A" if i % 2 == 0 else "B") for i in range(7)})
+    tasks = [load_task(cfg)]
+    files = []
+    for pidx in range(2):
+        res = evaluate(model, tasks, process_index=pidx, process_count=2,
+                       log_samples=True)
+        fp = tmp_path / f"rank{pidx}_samples.jsonl"
+        with open(fp, "w") as f:
+            for rec in res["seed_image"]["samples"]:
+                f.write(json.dumps(rec) + "\n")
+        files.append(str(fp))
+
+    import yaml as pyyaml
+    tpath = str(tmp_path / "seed_image.yaml")
+    with open(tpath, "w") as f:
+        pyyaml.safe_dump(cfg, f)
+    out = str(tmp_path / "merged.json")
+    rc = cli(["merge-results", "--task", tpath, "--samples", *files,
+              "--output", out])
+    assert rc == 0
+    merged = json.load(open(out))
+    assert merged["seed_image"]["n"] == 7
+    assert abs(merged["seed_image"]["value"] - 4 / 7) < 1e-9
+
+    # overlapping shards are rejected
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli(["merge-results", "--task", tpath,
+             "--samples", files[0], files[0], "--output", out])
