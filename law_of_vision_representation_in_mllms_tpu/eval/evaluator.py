@@ -53,6 +53,9 @@ def evaluate(model: LMM, tasks: Sequence[Task], *,
             rec = task.process_results(req.doc, pred)
             rec["doc_id"] = req.doc_id
             rec["prediction"] = pred
+            for key in _GROUP_KEYS:      # doc metadata for sub-scores
+                if key not in rec and key in req.doc:
+                    rec[key] = req.doc[key]
             records.append(rec)
 
         agg_name = task.cfg.aggregation
@@ -67,9 +70,34 @@ def evaluate(model: LMM, tasks: Sequence[Task], *,
             "value": value,
             "stderr": stderr,
             "n": len(records),
+            "groups": group_breakdown(records),
             "samples": records if log_samples else None,
         }
     return results
+
+
+# record fields that denote a reporting sub-group (the lmms-eval tasks
+# report per-category/subject/split sub-scores alongside the aggregate,
+# e.g. seedbench by data_type, mmvet by capability, chartqa by split)
+_GROUP_KEYS = ("category", "question_type", "capabilities", "split",
+               "data_type", "domain", "problem_version", "upd_type")
+
+
+def group_breakdown(records: List[Dict]) -> Dict[str, Dict[str, float]]:
+    """Mean score per sub-group for every group-denoting field the task's
+    records carry. Only meaningful for score-per-record tasks; records
+    without a 'score' field (judged/caption protocols with their own
+    aggregations) yield no breakdown."""
+    out: Dict[str, Dict[str, float]] = {}
+    for key in _GROUP_KEYS:
+        groups: Dict[str, List[float]] = {}
+        for r in records:
+            if key in r and "score" in r and r[key] not in ("", None):
+                groups.setdefault(str(r[key]), []).append(r["score"])
+        if len(groups) > 1:
+            out[key] = {g: float(np.mean(v)) for g, v in sorted(
+                groups.items())}
+    return out
 
 
 def merge_process_results(per_process: List[Dict[str, Dict]],

@@ -985,3 +985,24 @@ def test_merge_results_cli(tmp_path, capsys):
     with _pytest.raises(SystemExit):
         cli(["merge-results", "--task", tpath,
              "--samples", files[0], files[0], "--output", out])
+
+
+def test_group_breakdown_reporting(tmp_path):
+    """Per-group sub-scores ride alongside the aggregate (lmms-eval
+    reports per-category numbers for most tasks)."""
+    docs = [{"question": "A?", "answer": "yes", "category": "color"},
+            {"question": "B?", "answer": "yes", "category": "color"},
+            {"question": "C?", "answer": "yes", "category": "count"}]
+    cfg = _write_task(tmp_path, "gqa", docs)
+    res = simple_evaluate(EchoLMM({0: "yes", 1: "no", 2: "yes"}), [cfg],
+                          log_samples=True)
+    groups = res["gqa"]["groups"]
+    assert groups["category"] == {"color": 0.5, "count": 1.0}
+
+    # single-group fields and score-less records produce no breakdown
+    docs = [{"question": "", "answers": ["a red fox"]},
+            {"question": "", "answers": ["two boats"]}]
+    cfg = _write_task(tmp_path, "coco_cap", docs)
+    res = simple_evaluate(EchoLMM({0: "a red fox", 1: "two boats"}), [cfg],
+                          log_samples=True)
+    assert res["coco_cap"]["groups"] == {}
