@@ -503,12 +503,19 @@ def bench_serve(results, quick=False):
             return _json.loads(r.read())
 
     def fire_round(n, round_id):
-        threads = [threading.Thread(target=post, args=(i, round_id))
+        outs = [None] * n
+
+        def hit(i):
+            outs[i] = post(i, round_id)
+        threads = [threading.Thread(target=hit, args=(i,))
                    for i in range(n)]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        # a failed request would time the error path, not the model
+        assert all(o and o.get("choices") for o in outs), \
+            f"serve round {round_id} had failed requests: {outs}"
 
     fire_round(8, 0)     # compile + warm
     fire_round(8, 1)     # warm relay

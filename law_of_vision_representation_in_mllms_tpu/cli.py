@@ -419,7 +419,7 @@ def _cmd_merge_results(args):
     this re-aggregates the union of their sample logs (the reference
     gathers rank results with accelerate, `evaluator.py` tail)."""
     import yaml as pyyaml
-    from .eval.metrics import AGGREGATIONS, bootstrap_stderr
+    from .eval.evaluator import aggregate_records
     from .eval.tasks import task_yaml
     import os as _os
 
@@ -427,28 +427,19 @@ def _cmd_merge_results(args):
     with open(path) as f:
         cfg = pyyaml.safe_load(f)
     name = cfg["task"]
-    agg_name = cfg.get("aggregation", "mean")
     recs = []
     for fp in args.samples:
         with open(fp) as f:
             recs.extend(json.loads(line) for line in f if line.strip())
     seen = set()
-    deduped = []
     for r in recs:
-        if r.get("doc_id") in seen:
+        did = r.get("doc_id")
+        if did in seen:
             raise SystemExit(
-                f"doc_id {r['doc_id']} appears in more than one shard — "
+                f"doc_id {did} appears in more than one shard — "
                 "the per-process runs overlapped")
-        seen.add(r.get("doc_id"))
-        deduped.append(r)
-    if agg_name == "mean":
-        scores = [r["score"] for r in deduped]
-        value = sum(scores) / len(scores) if scores else 0.0
-        stderr = bootstrap_stderr(scores)
-    else:
-        value = AGGREGATIONS[agg_name](deduped)
-        stderr = 0.0
-    out = {name: {"value": value, "stderr": stderr, "n": len(deduped)}}
+        seen.add(did)
+    out = {name: aggregate_records(recs, cfg.get("aggregation", "mean"))}
     with open(args.output, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

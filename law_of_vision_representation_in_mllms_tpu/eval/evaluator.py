@@ -58,22 +58,27 @@ def evaluate(model: LMM, tasks: Sequence[Task], *,
                     rec[key] = req.doc[key]
             records.append(rec)
 
-        agg_name = task.cfg.aggregation
-        if agg_name == "mean":
-            scores = [r["score"] for r in records]
-            value = float(np.mean(scores)) if scores else 0.0
-            stderr = bootstrap_stderr(scores)
-        else:
-            value = AGGREGATIONS[agg_name](records)
-            stderr = 0.0
-        results[task.name] = {
-            "value": value,
-            "stderr": stderr,
-            "n": len(records),
-            "groups": group_breakdown(records),
-            "samples": records if log_samples else None,
-        }
+        agg = aggregate_records(records, task.cfg.aggregation)
+        agg["samples"] = records if log_samples else None
+        results[task.name] = agg
     return results
+
+
+def aggregate_records(records: List[Dict], agg_name: str) -> Dict:
+    """Aggregate scored records into {value, stderr, n, groups} — the one
+    tail shared by evaluate(), merge_process_results(), and `lvr
+    merge-results`. Records WITHOUT a 'score' field are excluded from the
+    mean (e.g. olympiadbench proof docs are submission-only in the
+    reference and must not deflate the accuracy)."""
+    if agg_name == "mean":
+        scores = [r["score"] for r in records if "score" in r]
+        value = float(np.mean(scores)) if scores else 0.0
+        stderr = bootstrap_stderr(scores)
+    else:
+        value = AGGREGATIONS[agg_name](records)
+        stderr = 0.0
+    return {"value": value, "stderr": stderr, "n": len(records),
+            "groups": group_breakdown(records)}
 
 
 # record fields that denote a reporting sub-group (the lmms-eval tasks
@@ -111,14 +116,9 @@ def merge_process_results(per_process: List[Dict[str, Dict]],
             if r["samples"] is None:
                 raise ValueError("merge requires log_samples=True")
             recs.extend(r["samples"])
-        agg_name = task.cfg.aggregation
-        if agg_name == "mean":
-            scores = [r["score"] for r in recs]
-            value = float(np.mean(scores)) if scores else 0.0
-        else:
-            value = AGGREGATIONS[agg_name](recs)
-        merged[task.name] = {"value": value, "n": len(recs),
-                             "samples": recs}
+        agg = aggregate_records(recs, task.cfg.aggregation)
+        agg["samples"] = recs
+        merged[task.name] = agg
     return merged
 
 

@@ -20,25 +20,32 @@ from typing import List
 
 
 def extract_boxed(text: str) -> str:
-    """Last \\boxed{...} payload with balanced braces, else the text
-    (`olympiadbench_evals.py:288-321` extract_boxed_content)."""
-    idx = text.rfind("\\boxed{")
-    if idx < 0:
-        return text
-    i = idx + len("\\boxed{")
-    depth = 1
-    out = []
-    while i < len(text) and depth:
-        c = text[i]
-        if c == "{":
-            depth += 1
-        elif c == "}":
-            depth -= 1
-            if depth == 0:
-                break
-        out.append(c)
-        i += 1
-    return "".join(out)
+    """ALL \\boxed{...} payloads (balanced braces), comma-joined — the
+    reference concatenates every occurrence so one-answer-per-box
+    responses score correctly (`olympiadbench_evals.py:288-321`
+    extract_boxed_content); falls back to the raw text when unboxed."""
+    payloads = []
+    pos = 0
+    while True:
+        idx = text.find("\\boxed{", pos)
+        if idx < 0:
+            break
+        i = idx + len("\\boxed{")
+        depth = 1
+        out = []
+        while i < len(text) and depth:
+            c = text[i]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            out.append(c)
+            i += 1
+        payloads.append("".join(out))
+        pos = i
+    return ",".join(payloads) if payloads else text
 
 
 def split_top_level(expr: str, sep: str = ",") -> List[str]:
@@ -82,9 +89,11 @@ _LATEX_SUBS = [
     (re.compile(r"\\infty"), "oo"),
     (re.compile(r"\\(?:mathrm|text|textbf|mathbf)\s*\{([^{}]*)\}"), r"\1"),
     (re.compile(r"\\%|%"), "/100"),
+    # degree annotations strip BEFORE '^' becomes '**' (order matters:
+    # 45^\circ must reach sympy as 45, not 45**circ)
+    (re.compile(r"\\degree|\^\\circ|°"), ""),
     (re.compile(r"\^\s*\{([^{}]+)\}"), r"**(\1)"),
     (re.compile(r"\^"), "**"),
-    (re.compile(r"\\degree|\^\\circ|°"), ""),
     (re.compile(r"\$|\\,|\\;|\\!|\s"), ""),
 ]
 
@@ -121,12 +130,42 @@ def _numeric(expr: str):
         return None
 
 
+_INTERVAL_RE = re.compile(
+    r"^\s*([\(\[])([^,]+),([^,]+)([\)\]])\s*$")
+
+
+def _interval_equal(e1: str, e2: str, precision: float) -> bool:
+    r"""Interval/tuple equivalence (`interval_equal`, :253-284): same
+    bracket kinds, endpoints equal; \cup unions compare part-wise."""
+    parts1 = e1.split("\\cup")
+    parts2 = e2.split("\\cup")
+    if len(parts1) != len(parts2):
+        return False
+    for p1, p2 in zip(parts1, parts2):
+        m1 = _INTERVAL_RE.match(p1.strip())
+        m2 = _INTERVAL_RE.match(p2.strip())
+        if not (m1 and m2):
+            return False
+        if m1.group(1) != m2.group(1) or m1.group(4) != m2.group(4):
+            return False
+        for a, b in ((m1.group(2), m2.group(2)),
+                     (m1.group(3), m2.group(3))):
+            if not _single_equal(a.strip(), b.strip(), precision):
+                return False
+    return True
+
+
 def _single_equal(e1: str, e2: str, precision: float) -> bool:
     """Mirror `is_equal`: exact, numeric-within-precision (with the x100
-    / /100 percentage leniency), symbolic, then equation comparison."""
+    / /100 percentage leniency), interval, symbolic, then equation
+    comparison."""
     if e1 == e2:
         return True
     precision = max(precision, 1e-8)
+    if _INTERVAL_RE.match(e1.strip()) and _INTERVAL_RE.match(e2.strip()):
+        return _interval_equal(e1, e2, precision)
+    if "\\cup" in e1 or "\\cup" in e2:
+        return _interval_equal(e1, e2, precision)
     n1, n2 = _numeric(e1), _numeric(e2)
     if n1 is not None and n2 is not None:
         for cand in (n2, n2 / 100.0, n2 * 100.0):

@@ -197,8 +197,10 @@ def olympiadbench_doc_to_text(doc):
              "requirements and the information provided. Please use LaTeX "
              "format to represent the variables and formulas used in the "
              "solution process and results. Please end your solution with ")
-    post += ('"So the final answer is \\boxed{multiple answers connected '
-             'with commas}."\n' if mul else
+    # NOTE: the reference quotes the single-answer ending but NOT the
+    # multi-answer one (`en_utils.py:42-45`) — match exactly
+    post += ('So the final answer is \\boxed{multiple answers connected '
+             'with commas}.\n' if mul else
              '"So the final answer is \\boxed{answer}."\n')
     return pre + doc["question"] + "\n" + post
 
@@ -211,7 +213,9 @@ def olympiadbench_process_results(doc, prediction, task):
     only in the reference; scored 0 here with a flag."""
     from ..math_equivalence import judge
     if "TP" in str(doc.get("source", "")):
-        return {"score": 0.0, "proof_only": True}
+        # submission-only in the reference (`en_utils.py:58-60`): no
+        # score key, so the mean aggregation excludes it
+        return {"proof_only": True}
     pred = prediction.split("final answer is")[-1]
     pred = pred.replace('"', "").replace("\n", "").replace(" ", "") \
                .strip(".").strip("。")

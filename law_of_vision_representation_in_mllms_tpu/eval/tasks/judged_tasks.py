@@ -108,17 +108,17 @@ def llava_wild_doc_to_text(doc):
     return doc["question"].strip()
 
 
-@register_function("llava_wild.process_results")
-def llava_wild_process_results(doc, prediction, task):
-    """Pairwise 1-10 grading vs the GPT-4 reference answer
-    (`llava-in-the-wild/utils.py:116-175`): judge sees image captions as
-    context, both answers, and the category rubric; first line = two
-    scores."""
+def _pairwise_judge(doc, prediction, task, rules, default_rule,
+                    context_field):
+    """Shared pairwise 1-10 grading vs the GPT-4 reference answer
+    (`llava-in-the-wild/utils.py:116-175`, `ferret/utils.py:117-140`):
+    judge sees the textual context, both answers, and the category
+    rubric; first review line = two scores."""
     judge = judge_for_task(task)
-    captions = doc.get("caption", [])
-    context = "\n".join(captions) if isinstance(captions, list) else captions
-    rule = LLAVA_WILD_RULES.get(doc.get("category", "conv"),
-                                LLAVA_WILD_RULES["conv"])
+    ctx = doc.get(context_field, [])
+    context = "\n".join(ctx) if isinstance(ctx, list) else ctx
+    rule = rules.get(doc.get("category", default_rule),
+                     rules[default_rule])
     role = rule["role"]
     content = (f"[Context]\n{context}\n\n"
                f"[Question]\n{doc['question']}\n\n"
@@ -134,6 +134,12 @@ def llava_wild_process_results(doc, prediction, task):
     except (ValueError, IndexError):
         scores = [-1.0, -1.0]
     return {"scores": scores, "category": doc.get("category", "")}
+
+
+@register_function("llava_wild.process_results")
+def llava_wild_process_results(doc, prediction, task):
+    return _pairwise_judge(doc, prediction, task, LLAVA_WILD_RULES,
+                           "conv", "caption")
 
 
 def llava_wild_aggregate(records):
@@ -205,26 +211,8 @@ def ferret_doc_to_text(doc):
 
 @register_function("ferret.process_results")
 def ferret_process_results(doc, prediction, task):
-    """Pairwise judging vs the GPT-4 answer with the scene-graph context
-    (`ferret/utils.py:117-140`): same [Context]/[Question]/[Assistant 1/2]
-    content as llava_wild, ferret's category rubrics."""
-    judge = judge_for_task(task)
-    ctx = doc.get("context", [])
-    context = "\n".join(ctx) if isinstance(ctx, list) else ctx
-    rule = FERRET_RULES.get(doc.get("category", "refer_desc"),
-                            FERRET_RULES["refer_desc"])
-    role = rule["role"]
-    content = (f"[Context]\n{context}\n\n"
-               f"[Question]\n{doc['question']}\n\n"
-               f"[{role} 1]\n{doc.get('gpt_answer', '')}\n\n"
-               f"[End of {role} 1]\n\n"
-               f"[{role} 2]\n{prediction}\n\n[End of {role} 2]\n\n"
-               f"[System]\n{rule['prompt']}\n\n")
-    review = judge(content, system=LLAVA_WILD_SYSTEM, max_tokens=1024)
-    try:
-        pair = review.split("\n")[0].replace(",", " ").split()
-        scores = [float(pair[0]), float(pair[1])] if len(pair) == 2 \
-            else [-1.0, -1.0]
-    except (ValueError, IndexError):
-        scores = [-1.0, -1.0]
-    return {"scores": scores, "category": doc.get("category", "")}
+    """Same pairwise machinery with ferret's scene-graph context and
+    category rubrics; per-category sub-scores come via the evaluator's
+    group breakdown."""
+    return _pairwise_judge(doc, prediction, task, FERRET_RULES,
+                           "refer_desc", "context")

@@ -228,7 +228,12 @@ class LMMServer:
                         outer._count += 1
                         rid = outer._count
                     if req.get("stream"):
-                        self._send_stream(rid, text)
+                        try:
+                            self._send_stream(rid, text)
+                        except OSError:
+                            pass   # client hung up mid-stream: headers
+                            # are already out, a JSON 400 would corrupt
+                            # the half-written SSE response
                         return
                     self._send(200, {
                         "id": f"chatcmpl-{rid}",

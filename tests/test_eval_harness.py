@@ -929,9 +929,11 @@ def test_olympiadbench_task(tmp_path):
     model = EchoLMM({0: r"So the final answer is \boxed{0.8660254}.",
                      1: "QED."})
     res = simple_evaluate(model, [cfg], log_samples=True)
-    # doc0 correct, doc1 proof-only (scored 0, flagged)
-    assert abs(res["olympiadbench_test_en"]["value"] - 0.5) < 1e-9
+    # doc0 correct; doc1 proof-only (submission-only in the reference:
+    # excluded from the mean, flagged in its record)
+    assert abs(res["olympiadbench_test_en"]["value"] - 1.0) < 1e-9
     assert res["olympiadbench_test_en"]["samples"][1]["proof_only"]
+    assert "score" not in res["olympiadbench_test_en"]["samples"][1]
     from law_of_vision_representation_in_mllms_tpu.eval.task import load_task
     t = load_task(cfg)
     assert "So the final answer is" in t.doc_to_text(docs[0])
