@@ -916,6 +916,13 @@ def test_olympiadbench_task(tmp_path):
     assert judge(r"\boxed{2\pi}", "6.2832", 1e-3)
     assert not judge(r"\boxed{3}", "4")
     assert judge(r"\boxed{y=2x+1}", "2x - y + 1 = 0")
+    # one answer per box, intervals, unions, degree annotations
+    assert judge(r"the answers are \boxed{1} and \boxed{2}", "1,2")
+    assert judge(r"\boxed{(1,2)}", "(1, 2)")
+    assert judge(r"\boxed{[0,\frac{1}{2}]}", "[0, 0.5]")
+    assert not judge(r"\boxed{(1,2)}", "[1, 2]")
+    assert judge(r"\boxed{(0,1)\cup(2,3)}", r"(0, 1) \cup (2, 3)")
+    assert judge(r"\boxed{45^\circ}", "45")
 
     docs = [{"question": "Compute the area.", "subfield": "Mathematics",
              "is_multiple_answer": False, "answer_type": "a numeric value",
