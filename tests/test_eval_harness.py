@@ -1015,3 +1015,69 @@ def test_group_breakdown_reporting(tmp_path):
     res = simple_evaluate(EchoLMM({0: "a red fox", 1: "two boats"}), [cfg],
                           log_samples=True)
     assert res["coco_cap"]["groups"] == {}
+
+
+def test_cider_matches_independent_oracle():
+    """cider_d vs a from-scratch oracle (direct formula transcription,
+    no shared code) on a small mixed corpus with multi-refs, partial
+    overlap, and a length mismatch."""
+    import math
+    from collections import Counter, defaultdict
+    from law_of_vision_representation_in_mllms_tpu.eval.metrics import (
+        cider_d, caption_tokenize)
+
+    preds = ["a dog runs across the field",
+             "two birds on a wire",
+             "a dog and a cat sleep"]
+    refs = [["a dog runs across the green field",
+             "the dog is running across a field"],
+            ["two small birds sit on a wire"],
+            ["a cat sleeps beside a dog"]]
+
+    def ngrams(toks, n):
+        return Counter(tuple(toks[i:i + n])
+                       for i in range(len(toks) - n + 1))
+
+    N = len(preds)
+    sigma = 6.0
+    # document frequency over reference SETS
+    df = defaultdict(int)
+    for rs in refs:
+        seen = set()
+        for r in rs:
+            toks = caption_tokenize(r)
+            for n in range(1, 5):
+                seen |= set(ngrams(toks, n))
+        for g in seen:
+            df[g] += 1
+
+    def vec(toks):
+        out, norms, length = {}, [0.0] * 4, 0
+        for n in range(1, 5):
+            for g, tf in ngrams(toks, n).items():
+                w = tf * (math.log(N) - math.log(max(1.0, df[g])))
+                out[g] = w
+                norms[n - 1] += w * w
+            if n == 2:
+                length += sum(ngrams(toks, n).values())
+        return out, [math.sqrt(x) for x in norms], length
+
+    total = 0.0
+    for p, rs in zip(preds, refs):
+        pv, pn, pl = vec(caption_tokenize(p))
+        acc = [0.0] * 4
+        for r in rs:
+            rv, rn, rl = vec(caption_tokenize(r))
+            pen = math.exp(-((pl - rl) ** 2) / (2 * sigma ** 2))
+            for n in range(1, 5):
+                s = sum(min(w, rv[g]) * rv[g] for g, w in pv.items()
+                        if len(g) == n and g in rv)
+                if pn[n - 1] * rn[n - 1] > 0:
+                    s /= pn[n - 1] * rn[n - 1]
+                acc[n - 1] += s * pen
+        total += 10.0 * sum(a / len(rs) for a in acc) / 4
+    expected = total / N
+
+    got = cider_d(preds, refs)
+    assert abs(got - expected) < 1e-9, (got, expected)
+    assert 0.0 < got < 10.0
