@@ -317,6 +317,11 @@ def _llava_wild_aggregate(records):
     return llava_wild_aggregate(records)
 
 
+def _mmupd_dual(records):
+    from .tasks.extra_tasks import mmupd_dual_accuracy
+    return mmupd_dual_accuracy(records)["dual"]
+
+
 AGGREGATIONS = {
     "mean": aggregate_mean,
     "mme": mme_aggregate,
@@ -324,4 +329,5 @@ AGGREGATIONS = {
     "cider": caption_aggregate,
     "hallusion_aacc": _hallusion_aggregate,
     "llava_wild": _llava_wild_aggregate,
+    "mmupd_dual": _mmupd_dual,
 }

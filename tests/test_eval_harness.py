@@ -759,9 +759,13 @@ def test_cmmmu_mmupd_mathverse_tasks(tmp_path):
     cfg = _write_task(tmp_path, "mmupd_base", docs)
     model = EchoLMM({0: "B", 1: "There is no correct answer provided."})
     res = simple_evaluate(model, [cfg], log_samples=True)
-    assert res["mmupd_base"]["value"] == 1.0
+    assert res["mmupd_base"]["value"] == 1.0   # dual accuracy headline
     dual = mmupd_dual_accuracy(res["mmupd_base"]["samples"])
     assert dual["dual"] == 1.0 and dual["masked"] == 1.0
+    # dual = min(standard, masked): a masked miss zeroes the headline
+    res = simple_evaluate(EchoLMM({0: "B", 1: "C"}), [cfg],
+                          log_samples=True)
+    assert res["mmupd_base"]["value"] == 0.0
 
     # mathverse: numeric comparison through the mathvista extractor
     docs = [{"question": "Find x.", "question_type": "free_form",
