@@ -310,3 +310,104 @@ def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
     init = (cache, first_tok, jnp.zeros((b,), bool), n_valid)
     _, toks = lax.scan(step, init, jnp.arange(max_new_tokens))
     return jnp.transpose(toks)                                   # [B, T_new]
+
+
+def generate_speculative(params, cfg: LlavaConfig, input_ids, text_mask,
+                         pixel_values, *, max_new_tokens: int, eos_id: int,
+                         draft_len: int = 8,
+                         precision: Precision = DEFAULT_PRECISION,
+                         diffusion_apply=None,
+                         use_flash: Optional[bool] = None):
+    """Greedy-equivalent decode with prompt-lookup speculation
+    (models/speculative.py rationale) on the FULL LLaVA path: identical
+    outputs to `generate_greedy`, but each decode-side weight pass
+    verifies up to draft_len+1 tokens. Handles right-padded ragged
+    batches (positions are per-row; cache slots are uniform; acceptance
+    is lockstep = min over rows, which only under-accepts). Returns
+    ([B, max_new_tokens] tokens, verification-round count)."""
+    from jax import lax
+
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    b, l = input_ids.shape
+    g = draft_len
+    plan = splice_plan(input_ids, jnp.full_like(input_ids, IGNORE_INDEX),
+                       text_mask, cfg.num_patches)
+    img = encode_images(params, cfg, pixel_values, precision,
+                        diffusion_apply)
+    txt = L.embed_tokens(params["decoder"], input_ids, precision)
+    embeds = splice_embeds(plan, txt, img)
+
+    l_out = embeds.shape[1]
+    gen_cap = max_new_tokens + g + 1
+    t_max = l_out + gen_cap
+    cache = L.init_cache(cfg.decoder, b, t_max, precision.compute_dtype)
+    h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
+                         plan.positions,
+                         attn_mask=jnp.concatenate(
+                             [plan.attn_mask,
+                              jnp.zeros((b, gen_cap), bool)], axis=1),
+                         cache=cache, cache_index=0, precision=precision,
+                         use_flash=use_flash)
+    n_valid = jnp.sum(plan.attn_mask, axis=1)
+    last_idx = jnp.maximum(n_valid - 1, 0)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+    first = jnp.argmax(L.logits_fn(params["decoder"], h_last[:, None],
+                                   precision)[:, -1],
+                       axis=-1).astype(jnp.int32)
+
+    # token history for the bigram lookup: text prompt (the image
+    # placeholder id never collides with generated tokens) + generated
+    h_max = l + gen_cap
+    hist = jnp.zeros((b, h_max), jnp.int32)
+    hist = lax.dynamic_update_slice(hist, input_ids, (0, 0))
+    hist = lax.dynamic_update_slice(hist, first[:, None], (0, l))
+
+    def draft_from(hist, hist_len):
+        last2 = lax.dynamic_slice(hist, (0, hist_len - 2), (b, 2))
+        j = jnp.arange(h_max - 1)
+        hit = (hist[:, :-1] == last2[:, :1]) & \
+              (hist[:, 1:] == last2[:, 1:2]) & (j[None] < hist_len - 2)
+        found = jnp.any(hit, axis=1)
+        j_best = jnp.argmax(jnp.where(hit, j[None], -1), axis=1)
+        src = jnp.minimum(j_best[:, None] + 2 + jnp.arange(g)[None],
+                          hist_len - 1)
+        draft = jnp.take_along_axis(hist, src, axis=1)
+        cur = lax.dynamic_slice(hist, (0, hist_len - 1), (b, 1))
+        return jnp.where(found[:, None], draft,
+                         jnp.broadcast_to(cur, (b, g)))
+
+    def cond(carry):
+        return carry[2] < max_new_tokens
+
+    def body(carry):
+        hist, cache, n_gen, rounds = carry
+        # n_gen tokens are known; the latest one's KV is not yet cached
+        cur = lax.dynamic_slice(hist, (0, l + n_gen - 1), (b, 1))
+        draft = draft_from(hist, l + n_gen)
+        inp = jnp.concatenate([cur, draft], axis=1)
+        emb = L.embed_tokens(params["decoder"], inp, precision)
+        pos = n_valid[:, None] + n_gen - 1 + jnp.arange(g + 1)[None]
+        slot_ok = jnp.concatenate(
+            [plan.attn_mask,
+             jnp.broadcast_to(jnp.arange(gen_cap)[None] < n_gen + g,
+                              (b, gen_cap))], axis=1)
+        h, cache = L.forward(params["decoder"], cfg.decoder, emb, pos,
+                             attn_mask=slot_ok, cache=cache,
+                             cache_index=l_out + n_gen - 1,
+                             precision=precision)
+        y = jnp.argmax(L.logits_fn(params["decoder"], h, precision),
+                       axis=-1).astype(jnp.int32)
+        agree = jnp.cumprod((draft == y[:, :g]).astype(jnp.int32), axis=1)
+        a = jnp.min(jnp.sum(agree, axis=1))
+        a = jnp.clip(a, 0, max_new_tokens - n_gen - 1)
+        hist = lax.dynamic_update_slice(hist, y, (0, l + n_gen))
+        return hist, cache, n_gen + a + 1, rounds + 1
+
+    hist, _, _, rounds = lax.while_loop(
+        cond, body, (hist, cache, jnp.int32(1), jnp.int32(0)))
+
+    out = lax.dynamic_slice(hist, (0, l), (b, max_new_tokens))
+    seen = jnp.cumsum((out == eos_id).astype(jnp.int32), axis=1) > 0
+    prev = jnp.concatenate([jnp.zeros((b, 1), bool), seen[:, :-1]], axis=1)
+    return jnp.where(prev, eos_id, out), rounds

@@ -92,3 +92,45 @@ def test_speculative_eos_padding():
                                   draft_len=4, eos_id=5,
                                   precision=FP32_PRECISION)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_llava_generate_speculative_equals_greedy():
+    """Full LLaVA path (tower -> splice -> decode), ragged right-padded
+    batch: speculative output must equal generate_greedy exactly."""
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IMAGE_TOKEN_INDEX)
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        ViTConfig)
+
+    vit_cfg = ViTConfig(image_size=64, patch_size=16, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="openai/clip-vit-large-patch14", kind="vit",
+                       vit_config=vit_cfg, vit_family="clip",
+                       hidden_size=16, num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=L.tiny(vocab_size=211, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(1), cfg, FP32_PRECISION)
+
+    rng = np.random.RandomState(4)
+    b, l = 2, 14
+    ids = rng.randint(3, 211, size=(b, l)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    mask = np.ones((b, l), bool)
+    mask[1, -4:] = False          # ragged: row 1 is right-padded
+    px = jnp.asarray(rng.randn(b, 64, 64, 3).astype(np.float32))
+
+    ref = M.generate_greedy(params, cfg, jnp.asarray(ids),
+                            jnp.asarray(mask), [px], max_new_tokens=9,
+                            eos_id=2, precision=FP32_PRECISION,
+                            use_flash=False)
+    got, rounds = M.generate_speculative(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask), [px],
+        max_new_tokens=9, eos_id=2, draft_len=4,
+        precision=FP32_PRECISION, use_flash=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert int(rounds) <= 9
