@@ -500,6 +500,15 @@ def bench_speculative(results, quick=False):
                     "512-tok prompt + 128 new (prefill included in the "
                     "denominator); greedy-equivalent output"})
 
+    # NOTE: a FULL-llava speculative composite (tower + splice + prefill
+    # + while_loop decode in one jit) exceeds this environment's remote
+    # compile budget at 1.4B (>30 min; the same limitation as the 7B
+    # in-program decode scan, see bench_decode_7b). The llava-path
+    # speculation (`llava.generate_speculative`) is exact-parity tested
+    # on CPU (tests/test_speculative.py); its on-chip benefit is bounded
+    # by the decoder-level numbers above since tower+prefill are
+    # speculation-invariant.
+
 
 def bench_serve(results, quick=False):
     """End-to-end SERVING throughput: the 1.4B LLaVA behind `lvr serve`'s
