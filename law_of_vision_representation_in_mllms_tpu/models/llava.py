@@ -319,13 +319,14 @@ def generate_speculative(params, cfg: LlavaConfig, input_ids, text_mask,
                          diffusion_apply=None,
                          use_flash: Optional[bool] = None):
     """Greedy-equivalent decode with prompt-lookup speculation
-    (models/speculative.py rationale) on the FULL LLaVA path: identical
-    outputs to `generate_greedy`, but each decode-side weight pass
-    verifies up to draft_len+1 tokens. Handles right-padded ragged
+    (models/speculative.py rationale) on the FULL LLaVA path: matches
+    `generate_greedy` by construction (bit-exact parity tested in fp32;
+    see speculative.py's bf16 tie caveat), but each decode-side weight
+    pass verifies up to draft_len+1 tokens. Handles right-padded ragged
     batches (positions are per-row; cache slots are uniform; acceptance
     is lockstep = min over rows, which only under-accepts). Returns
     ([B, max_new_tokens] tokens, verification-round count)."""
-    from jax import lax
+    from .speculative import bigram_draft, pad_after_eos
 
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
@@ -363,20 +364,6 @@ def generate_speculative(params, cfg: LlavaConfig, input_ids, text_mask,
     hist = lax.dynamic_update_slice(hist, input_ids, (0, 0))
     hist = lax.dynamic_update_slice(hist, first[:, None], (0, l))
 
-    def draft_from(hist, hist_len):
-        last2 = lax.dynamic_slice(hist, (0, hist_len - 2), (b, 2))
-        j = jnp.arange(h_max - 1)
-        hit = (hist[:, :-1] == last2[:, :1]) & \
-              (hist[:, 1:] == last2[:, 1:2]) & (j[None] < hist_len - 2)
-        found = jnp.any(hit, axis=1)
-        j_best = jnp.argmax(jnp.where(hit, j[None], -1), axis=1)
-        src = jnp.minimum(j_best[:, None] + 2 + jnp.arange(g)[None],
-                          hist_len - 1)
-        draft = jnp.take_along_axis(hist, src, axis=1)
-        cur = lax.dynamic_slice(hist, (0, hist_len - 1), (b, 1))
-        return jnp.where(found[:, None], draft,
-                         jnp.broadcast_to(cur, (b, g)))
-
     def cond(carry):
         return carry[2] < max_new_tokens
 
@@ -384,7 +371,7 @@ def generate_speculative(params, cfg: LlavaConfig, input_ids, text_mask,
         hist, cache, n_gen, rounds = carry
         # n_gen tokens are known; the latest one's KV is not yet cached
         cur = lax.dynamic_slice(hist, (0, l + n_gen - 1), (b, 1))
-        draft = draft_from(hist, l + n_gen)
+        draft = bigram_draft(hist, l + n_gen, g)
         inp = jnp.concatenate([cur, draft], axis=1)
         emb = L.embed_tokens(params["decoder"], inp, precision)
         pos = n_valid[:, None] + n_gen - 1 + jnp.arange(g + 1)[None]
@@ -408,6 +395,4 @@ def generate_speculative(params, cfg: LlavaConfig, input_ids, text_mask,
         cond, body, (hist, cache, jnp.int32(1), jnp.int32(0)))
 
     out = lax.dynamic_slice(hist, (0, l), (b, max_new_tokens))
-    seen = jnp.cumsum((out == eos_id).astype(jnp.int32), axis=1) > 0
-    prev = jnp.concatenate([jnp.zeros((b, 1), bool), seen[:, :-1]], axis=1)
-    return jnp.where(prev, eos_id, out), rounds
+    return pad_after_eos(out, eos_id), rounds

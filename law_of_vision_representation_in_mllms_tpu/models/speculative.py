@@ -5,9 +5,12 @@ full decoder weights (~2.8 GB/step at 1.4B; benchmarks llava_1p4b pure
 decode runs at 74% of that roofline). Speculation beats the roofline by
 verifying several tokens per weight pass: draft G candidate tokens, run
 ONE cached forward over [current, d_0..d_{G-1}], and accept the longest
-prefix where the model's own argmax agrees — the output is exactly the
-greedy sequence (speculation is lossless for argmax decoding), but
-copy-heavy stretches advance up to G+1 tokens per parameter read.
+prefix where the model's own argmax agrees — the output matches greedy
+decoding by construction (bit-exact parity is tested in fp32; under
+bf16 the (G+1)-query forward may reduce in a different order than the
+1-query step, so an exactly-tied argmax can resolve differently — the
+same caveat as any batched-vs-single forward). Copy-heavy stretches
+advance up to G+1 tokens per parameter read.
 
 The draft here is prompt lookup (n-gram matching, as popularized by
 transformers' prompt_lookup_num_tokens): find the most recent earlier
@@ -39,12 +42,43 @@ from ..core.precision import DEFAULT_PRECISION, Precision
 from . import llama as L
 
 
+def bigram_draft(toks, cur_len, g):
+    """Most recent earlier occurrence of the trailing bigram in the token
+    history; the G tokens that followed it become the draft. Shared by
+    the decoder-only and full-LLaVA speculative paths."""
+    b, t_max = toks.shape
+    last2 = lax.dynamic_slice(toks, (0, cur_len - 2), (b, 2))
+    j = jnp.arange(t_max - 1)
+    hit = (toks[:, :-1] == last2[:, :1]) & (toks[:, 1:] == last2[:, 1:2])
+    hit = hit & (j[None] < cur_len - 2)
+    found = jnp.any(hit, axis=1)
+    j_best = jnp.argmax(jnp.where(hit, j[None], -1), axis=1)       # [B]
+    src = jnp.minimum(j_best[:, None] + 2 + jnp.arange(g)[None],
+                      cur_len - 1)
+    draft = jnp.take_along_axis(toks, src, axis=1)                 # [B, G]
+    # no match: draft repeats the current token (always verified, never
+    # wrong — just a cold round)
+    cur = lax.dynamic_slice(toks, (0, cur_len - 1), (b, 1))
+    return jnp.where(found[:, None], draft,
+                     jnp.broadcast_to(cur, (b, g)))
+
+
+def pad_after_eos(out, eos_id):
+    """Greedy emits eos forever after the first eos — replicate."""
+    b = out.shape[0]
+    seen = jnp.cumsum((out == eos_id).astype(jnp.int32), axis=1) > 0
+    prev = jnp.concatenate([jnp.zeros((b, 1), bool), seen[:, :-1]], axis=1)
+    return jnp.where(prev, eos_id, out)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "max_new_tokens", "draft_len", "eos_id", "precision"))
+    "cfg", "max_new_tokens", "draft_len", "eos_id", "precision",
+    "use_flash"))
 def decode_prompt_lookup(params, cfg: L.LlamaConfig, input_ids,
                          *, max_new_tokens: int, draft_len: int = 8,
                          eos_id: int = 2,
-                         precision: Precision = DEFAULT_PRECISION):
+                         precision: Precision = DEFAULT_PRECISION,
+                         use_flash: bool = False):
     """Greedy-equivalent decode with prompt-lookup speculation.
 
     Args:
@@ -67,28 +101,11 @@ def decode_prompt_lookup(params, cfg: L.LlamaConfig, input_ids,
     pos = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
     h, cache = L.forward(params, cfg, emb, pos,
                          attn_mask=jnp.arange(t_max)[None] < l,
-                         cache=cache, cache_index=0, precision=precision)
+                         cache=cache, cache_index=0, precision=precision,
+                         use_flash=use_flash)
     logits = L.logits_fn(params, h[:, -1:], precision)
     first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
     toks = lax.dynamic_update_slice(toks, first[:, None], (0, l))
-
-    def draft_from_history(toks, cur_len):
-        """Most recent earlier occurrence of the trailing bigram; the G
-        tokens that followed it become the draft."""
-        last2 = lax.dynamic_slice(toks, (0, cur_len - 2), (b, 2))
-        j = jnp.arange(t_max - 1)
-        hit = (toks[:, :-1] == last2[:, :1]) & (toks[:, 1:] == last2[:, 1:2])
-        hit = hit & (j[None] < cur_len - 2)
-        found = jnp.any(hit, axis=1)
-        j_best = jnp.argmax(jnp.where(hit, j[None], -1), axis=1)   # [B]
-        k = jnp.arange(g)[None]
-        src = jnp.minimum(j_best[:, None] + 2 + k, cur_len - 1)
-        draft = jnp.take_along_axis(toks, src, axis=1)             # [B, G]
-        # no match: draft repeats the current token (always verified,
-        # never wrong — just a cold round)
-        cur = lax.dynamic_slice(toks, (0, cur_len - 1), (b, 1))
-        return jnp.where(found[:, None], draft,
-                         jnp.broadcast_to(cur, (b, g)))
 
     def cond(carry):
         _, _, cur_len, rounds = carry
@@ -97,7 +114,7 @@ def decode_prompt_lookup(params, cfg: L.LlamaConfig, input_ids,
     def body(carry):
         toks, cache, cur_len, rounds = carry
         cur = lax.dynamic_slice(toks, (0, cur_len - 1), (b, 1))
-        draft = draft_from_history(toks, cur_len)
+        draft = bigram_draft(toks, cur_len, g)
         inp = jnp.concatenate([cur, draft], axis=1)                # [B,G+1]
         emb = L.embed_tokens(params, inp, precision)
         pos = cur_len - 1 + jnp.arange(g + 1)[None]
@@ -123,9 +140,4 @@ def decode_prompt_lookup(params, cfg: L.LlamaConfig, input_ids,
         cond, body, (toks, cache, l + 1, jnp.int32(0)))
 
     out = lax.dynamic_slice(toks, (0, l), (b, max_new_tokens))
-    # greedy emits eos forever after the first eos — replicate exactly
-    seen_eos = jnp.cumsum((out == eos_id).astype(jnp.int32), axis=1) > 0
-    prev_eos = jnp.concatenate(
-        [jnp.zeros((b, 1), bool), seen_eos[:, :-1]], axis=1)
-    out = jnp.where(prev_eos, eos_id, out)
-    return out, rounds
+    return pad_after_eos(out, eos_id), rounds
