@@ -241,6 +241,12 @@ class ViTBlock(nn.Module):
                                   causal=False,
                                   sm_scale=cfg.head_dim ** -0.5)
             attn = jnp.transpose(out, (0, 2, 1, 3))[:, :s]
+        elif impl == "xla_post" and not self.causal:
+            from ..ops.attention import mha_post
+            attn = mha_post(q, k, v, accum_dtype=prec.accum_dtype)
+        elif impl == "xla_blocked" and not self.causal:
+            from ..ops.attention import mha_blocked
+            attn = mha_blocked(q, k, v, accum_dtype=prec.accum_dtype)
         else:
             mask = None
             if self.causal:

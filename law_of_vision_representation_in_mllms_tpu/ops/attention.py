@@ -51,6 +51,120 @@ def _softmax(logits):
     return unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
 
 
+def mha_post(q, k, v, *, bias=None, mask=None, scale: float | None = None,
+             accum_dtype=jnp.float32):
+    """`mha` with the softmax normalization moved AFTER the P·V matmul.
+
+    Identical math to `mha` (softmax is linear in the normalizer), but the
+    [B,H,Sq,Skv]-sized divide pass disappears: instead of normalizing the
+    probability tensor (read+write of the largest intermediate in the whole
+    tower), the [B,Sq,H,D] output — Skv/D times smaller — is divided by the
+    row sums. On v5e CLIP-L-336 (B=64,H=16,S=577,D=64) this removes ~1.4 GB
+    of HBM traffic per layer out of ~4.1 GB; everything else stays on XLA's
+    fused fast path (dot → exp fuses as an output fusion, the fp32 row-sum
+    rides the same pass as a second fusion output).
+
+    The denominator accumulates in fp32 regardless of `accum_dtype`: a bf16
+    sum's ulp at l≈600 would swamp small-mass rows (same reasoning as
+    ops/encoder_attention.py), while the bf16 probabilities themselves match
+    the reference's fp16 towers (`clip_encoder.py:33` runs .half()).
+
+    Replaces the same reference surface as `mha` (torch SDPA encoder
+    attention in `clip_encoder.py` / `siglip_encoder.py`).
+    """
+    *_, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=accum_dtype)
+    logits = logits * jnp.asarray(scale, accum_dtype)
+    if bias is not None:
+        logits = logits + bias.astype(accum_dtype)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.asarray(-1e30, accum_dtype))
+    m = lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p.astype(jnp.float32), axis=-1)            # [B,H,Sq] fp32
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                     preferred_element_type=accum_dtype)
+    den = jnp.transpose(l, (0, 2, 1))[..., None]           # [B,Sq,H,1]
+    return (out.astype(jnp.float32) / den).astype(q.dtype)
+
+
+def mha_blocked(q, k, v, *, scale: float | None = None, block_k: int = 128,
+                accum_dtype=jnp.float32, unroll: bool = True):
+    """K-blocked online-softmax attention in pure XLA ops (non-causal).
+
+    The flash-attention recurrence (running max / denominator / fp32
+    accumulator over KV blocks) expressed with plain dots + elementwise ops
+    so the matmuls stay on XLA's fast batched-dot path — the avenue none of
+    the Pallas kernels could take (Mosaic runs D=64 batched dots at
+    ~19 TFLOP/s, benchmarks/README.md "Kernel-policy measurements"). Block
+    logits are [B,H,Sq,block_k]; the full [B,H,Sq,Skv] tensor never exists.
+
+    Trade-off measured on v5e (round 3): per-block carry updates re-read and
+    re-write the fp32 [B,Sq,H,D] accumulator, which XLA cannot fuse into the
+    P·V dots, so total HBM traffic is ≥ the unblocked `mha_post` path
+    whenever the logits tensor fits HBM comfortably. Kept for the record and
+    for shapes where Skv is large enough that materializing logits at all is
+    the problem (Skv ≳ 4k).
+
+    q: [B,Sq,H,D]; k, v: [B,Skv,H,D]. Returns [B,Sq,H,D] in q.dtype.
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    nb = -(-skv // block_k)
+    skv_p = nb * block_k
+    if skv_p != skv:
+        pad = [(0, 0), (0, skv_p - skv), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    # fold the scale into q: one pass over [B,Sq,H,D] instead of one over
+    # every [B,H,Sq,block_k] logits block (d**-0.5 is exact in bf16 for
+    # power-of-two D, so numerics match the logit-scaled path)
+    q = q * jnp.asarray(scale, q.dtype)
+
+    kb = jnp.moveaxis(k.reshape(b, nb, block_k, h, d), 1, 0)
+    vb = jnp.moveaxis(v.reshape(b, nb, block_k, h, d), 1, 0)
+    neg = jnp.asarray(-1e30, accum_dtype)
+
+    def block_update(carry, kv_b, v_b, col0):
+        m, l, acc = carry
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, kv_b,
+                       preferred_element_type=accum_dtype)
+        valid = (col0 + jnp.arange(block_k)) < skv
+        s = jnp.where(valid[None, None, None, :], s, neg)
+        bm = lax.stop_gradient(jnp.max(s, axis=-1))        # [B,H,Sq]
+        nm = jnp.maximum(m, bm)
+        p = jnp.exp(s - nm[..., None])
+        corr = jnp.exp(m - nm).astype(jnp.float32)         # [B,H,Sq]
+        l = l * corr + jnp.sum(p.astype(jnp.float32), axis=-1)
+        pv = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v_b.dtype), v_b,
+                        preferred_element_type=jnp.float32)
+        corr_t = jnp.transpose(corr, (0, 2, 1))[..., None]  # [B,Sq,H,1]
+        acc = acc * corr_t + pv.astype(jnp.float32)
+        return nm, l, acc
+
+    m0 = jnp.full((b, h, sq), -jnp.inf, accum_dtype)
+    l0 = jnp.zeros((b, h, sq), jnp.float32)
+    a0 = jnp.zeros((b, sq, h, d), jnp.float32)
+    if unroll:
+        carry = (m0, l0, a0)
+        for i in range(nb):
+            carry = block_update(carry, kb[i], vb[i], i * block_k)
+        _, l, acc = carry
+    else:
+        def body(carry, xs):
+            kv_b, v_b, col0 = xs
+            return block_update(carry, kv_b, v_b, col0), None
+        cols = jnp.arange(nb) * block_k
+        (_, l, acc), _ = lax.scan(body, (m0, l0, a0), (kb, vb, cols))
+    den = jnp.transpose(l, (0, 2, 1))[..., None]
+    return (acc / den).astype(q.dtype)
+
+
 def causal_mask(sq: int, skv: int, dtype=bool):
     """Lower-triangular mask aligned to the *end* of the kv sequence."""
     i = jnp.arange(sq)[:, None]
