@@ -72,6 +72,11 @@ def main(argv=None):
                    help="dynamic-batching max requests per dispatch")
     p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="coalescing window after the first request")
+    p.add_argument("--gen-backend",
+                   choices=["greedy", "chunked", "speculative"],
+                   help="decode backend for the llava model (shorthand "
+                        "for --set model.gen_backend=...; all three are "
+                        "greedy-equivalent)")
 
     p = sub.add_parser("extract-embeds", help="A-score embedding dump")
     _add_common(p)
@@ -451,6 +456,8 @@ def _cmd_serve(args):
     from .serve import run_server
     cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
         else RunConfig.from_dict({})
+    if getattr(args, "gen_backend", None):
+        cfg.model.gen_backend = args.gen_backend
     margs = _parse_model_args(args.model_args)
     srv = run_server(cfg, model=args.model, model_args=margs or None,
                      host=args.host, port=args.port,

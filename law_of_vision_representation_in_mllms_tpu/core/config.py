@@ -39,6 +39,14 @@ class ModelSection:
     # None (default) = exact reference parity.
     visual_keep: Optional[int] = None
     prune_score: str = "auto"
+    # decode backend for eval/serve generation (all greedy-equivalent):
+    #   greedy      - full-length in-program scan (generate_greedy)
+    #   chunked     - N-step scan chunks + host EOS early-exit
+    #                 (models/decode.py; the 7B-scale default)
+    #   speculative - prompt-lookup speculation (models/speculative.py)
+    gen_backend: str = "greedy"
+    decode_chunk: int = 16                 # chunk size for gen_backend=chunked
+    draft_len: int = 8                     # draft length for speculative
     checkpoint: Optional[str] = None       # orbax train-state dir
     tokenizer: Optional[str] = None        # HF tokenizer path (host-side)
     # ported tower weights, one path per tower-spec entry ('' = skip).

@@ -71,7 +71,7 @@ class ChatJudge:
 def judge_for_task(task) -> ChatJudge:
     """Build a judge from the task's yaml ``metadata:`` block
     (gpt_eval_model_name, like `mmvet/mmvet.yaml` metadata) + env vars."""
-    meta = getattr(task.cfg, "metadata", None) or {}
+    meta = getattr(getattr(task, "cfg", None), "metadata", None) or {}
     return ChatJudge(model=meta.get("gpt_eval_model_name", "gpt-4-0613"),
                      retries=int(meta.get("judge_retries", 3)),
                      retry_sleep=float(meta.get("judge_retry_sleep", 0.0)))

@@ -42,7 +42,8 @@ class LlavaLMM(LMM):
                  template: Conversation, *,
                  precision: Precision = DEFAULT_PRECISION,
                  diffusion_apply=None, batch_size: int = 8,
-                 pad_square: bool = False):
+                 pad_square: bool = False, gen_backend: str = "greedy",
+                 decode_chunk: int = 16, draft_len: int = 8):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -51,6 +52,20 @@ class LlavaLMM(LMM):
         self.diffusion_apply = diffusion_apply
         self.batch_size = batch_size
         self.pad_square = pad_square
+        # decode backend — all three are greedy-equivalent (parity tests
+        # in test_chunked_decode.py / test_speculative.py; the eval-score
+        # identity is asserted in test_eval_harness.py):
+        #   greedy: full-length in-program scan, best at small models
+        #   chunked: N-step scan chunks + host EOS early-exit — compiles
+        #     at 7B (the full scan exceeds this env's compile helper) and
+        #     stops early on short answers
+        #   speculative: prompt-lookup drafts, >1 token per weight pass
+        if gen_backend not in ("greedy", "chunked", "speculative"):
+            raise ValueError(f"unknown gen_backend '{gen_backend}'")
+        self.gen_backend = gen_backend
+        self.decode_chunk = decode_chunk
+        self.draft_len = draft_len
+        self._chunked_dec = None
         for e in cfg.tower_spec.entries:
             if e.kind == "feature":
                 raise ValueError(
@@ -104,15 +119,43 @@ class LlavaLMM(LMM):
         return jnp.asarray(ids), jnp.asarray(mask), pixels
 
     def _gen_fn(self, seq_len: int, max_new: int):
-        key = (seq_len, max_new)
+        key = (self.gen_backend, seq_len, max_new)
         if key not in self._gen_fns:
-            def fn(params, ids, mask, pixels):
-                return M.generate_greedy(
-                    params, self.cfg, ids, mask, pixels,
-                    max_new_tokens=max_new, eos_id=self.tok.eos_token_id,
-                    precision=self.precision,
-                    diffusion_apply=self.diffusion_apply)
-            self._gen_fns[key] = jax.jit(fn)
+            if self.gen_backend == "chunked":
+                if self._chunked_dec is None:
+                    from ..models.decode import ChunkedGreedyDecoder
+                    self._chunked_dec = ChunkedGreedyDecoder(
+                        self.params, self.cfg,
+                        eos_id=self.tok.eos_token_id,
+                        precision=self.precision,
+                        chunk=self.decode_chunk,
+                        diffusion_apply=self.diffusion_apply)
+                dec = self._chunked_dec
+
+                def fn(params, ids, mask, pixels):
+                    return dec.generate(ids, mask, pixels,
+                                        max_new_tokens=max_new)
+                self._gen_fns[key] = fn          # host loop — not jitted
+            elif self.gen_backend == "speculative":
+                def fn(params, ids, mask, pixels):
+                    toks, _rounds = M.generate_speculative(
+                        params, self.cfg, ids, mask, pixels,
+                        max_new_tokens=max_new,
+                        eos_id=self.tok.eos_token_id,
+                        draft_len=self.draft_len,
+                        precision=self.precision,
+                        diffusion_apply=self.diffusion_apply)
+                    return toks
+                self._gen_fns[key] = jax.jit(fn)
+            else:
+                def fn(params, ids, mask, pixels):
+                    return M.generate_greedy(
+                        params, self.cfg, ids, mask, pixels,
+                        max_new_tokens=max_new,
+                        eos_id=self.tok.eos_token_id,
+                        precision=self.precision,
+                        diffusion_apply=self.diffusion_apply)
+                self._gen_fns[key] = jax.jit(fn)
         return self._gen_fns[key]
 
     def generate_until(self, requests: List[Instance]) -> List[str]:

@@ -44,7 +44,10 @@ def build_lmm(cfg: RunConfig) -> LlavaLMM:
     return LlavaLMM(params, model_cfg, tokenizer,
                     get_template(cfg.model.conv_template),
                     precision=precision, diffusion_apply=diffusion_apply,
-                    pad_square=cfg.data.image_aspect_ratio == "pad")
+                    pad_square=cfg.data.image_aspect_ratio == "pad",
+                    gen_backend=cfg.model.gen_backend,
+                    decode_chunk=cfg.model.decode_chunk,
+                    draft_len=cfg.model.draft_len)
 
 
 def run_evaluation(cfg: RunConfig, tasks: List[str], *,

@@ -1,29 +1,39 @@
 """Remaining lmms-eval fork families: CMMMU, MMUPD, MathVerse.
 
-These three use elaborate parsing/judging in the reference; here each is a
-compact rule-first port of the deciding logic, with the protocol cited:
-
 - **cmmmu** (`lmms_eval/tasks/cmmmu/utils.py`): Chinese MMMU. Three
   question types — 选择 (multiple choice, lettered (A)-(D)), 判断
   (true/false: 对/错), and fill-in-the-blank — all scored by rule-based
-  parsing (the reference uses no GPT here).
+  parsing (the reference uses no GPT here; the rules below ARE the
+  reference protocol, `utils.py:219-376`).
 - **mmupd** (`lmms_eval/tasks/mmupd/utils.py`): unsolvable-problem
-  detection. MC where some questions have NO correct option; credit
-  requires answering the masked questions with a refusal / none-of-the-
-  above. The reference grades refusals with GPT; here a refusal phrase
-  list stands in (documented divergence).
+  detection. When a judge endpoint is configured (``OPENAI_API_URL``),
+  scoring follows the reference's GPT option-matching chain
+  (`mmupd_evals.py:155-470`: strict letter prefetch, augmented option
+  list with the masked ground truth + none-option re-injected, judge
+  maps free text to a letter, 'H' = no match); offline it falls back to
+  a refusal phrase list (documented divergence in the fallback ONLY).
 - **mathverse** (`lmms_eval/tasks/mathverse/utils.py`): math with visual
-  variants; the reference scores with a GPT extract-then-judge chain
-  (`mathverse_evals.py`); here the mathvista rule-first extractor is
-  reused with exact/numeric comparison.
+  variants. With a judge endpoint, the reference's GPT
+  extract-then-score chain runs (`mathverse_evals.py:29-190`); offline
+  the mathvista rule-first extractor + exact/numeric comparison stands
+  in.
 """
 
 from __future__ import annotations
 
+import os
 import re
 
+from ..judge import judge_for_task
 from ..task import register_function
 from .mathvista_tasks import extract_answer, normalize_answer
+
+
+def _judge_enabled() -> bool:
+    """The judged chains need a reachable endpoint; scoring must degrade
+    to the rule-first paths offline rather than zeroing every document
+    (VERDICT r2 #4)."""
+    return bool(os.getenv("OPENAI_API_URL"))
 
 # ---- cmmmu ------------------------------------------------------------------
 
@@ -93,6 +103,161 @@ _REFUSALS = ("none of the above", "no correct answer", "cannot answer",
              "unanswerable", "no answer", "i don't know",
              "the answer is not", "missing")
 
+# Judged-path protocol constants (scoring-protocol data, not code — same
+# category as the conversation templates / VQA contraction tables):
+# `mmupd_evals.py:270-335` build_prompt. aad and iasd share one template;
+# ivqd swaps the none-option wording in the examples.
+_MMUPD_JUDGE_TMPL = (
+    "You are an AI assistant who will help me to match an answer "
+    "with several options of a single-choice question. "
+    "You are provided with a question, several options, and an answer, "
+    "and you need to find which option is most similar to the answer. "
+    "If the meaning of all options are significantly different "
+    "from the answer, output H. "
+    "Your should output a single uppercase character in A, B, C, D, E, F, G "
+    "(if they are valid options), and H. \n"
+    "Example 1: \n"
+    "Question: What is the main object in image?\nOptions: A. teddy bear "
+    "B. rabbit C. cat D. dog E. {noa} \nAnswer: a cute teddy bear\n"
+    "Your output: A\n"
+    "Example 2: \n"
+    "Question: What is the main object in image?\nOptions: A. teddy bear "
+    "B. rabbit C. cat D. dog E. {noa2} \nAnswer: {refusal} \n"
+    "Your output: E\n"
+    "Example 3: \n"
+    "Question: What is the main object in image?\nOptions: A. teddy bear "
+    "B. rabbit C. cat D. dog E. {noa2} \nAnswer: fish \nYour output: H\n"
+    "Example 4: \n"
+    "Question: {question}?\nOptions: {options}\nAnswer: {prediction}\n"
+    "Your output: ")
+
+_MMUPD_NONE_TEXT = {
+    # eval-option text injected next to the re-added ground truth
+    # (`mmupd_evals.py:155-268` build_option_str_w_gt)
+    "aad": "The correct answer is No answer, None of the above, all "
+           "provided options are incorrect, or I cannot answer.",
+    "iasd": "The correct answer is No answer, None of the above, all "
+            "provided options are irrelevant or incorrect, or I cannot "
+            "answer.",
+    "ivqd": "The correct answer is that The image is incompatible with "
+            "the question, or I cannot answer.",
+}
+
+
+def _can_infer_letter(answer: str, valid_option) -> str:
+    """Strict single-letter inference (`mmupd_evals.py:337-399`
+    can_infer_option): the reply must BE the letter, or start with
+    'X)' / 'X.' / 'X,' / '(X)' while naming no other letter+punct."""
+    answer = answer.strip()
+    if "Failed to obtain answer via API" in answer:
+        return ""
+    puncts = [".", ")", ","]
+    cands = []
+    for c in valid_option:
+        others = [o for o in "ABCDEFG" if o != c]
+        combos = [o + p for o in others for p in puncts]
+        starts = [f"{c})", f"{c}.", f"{c},", f"({c})"]
+        if answer == c or (any(answer.startswith(s) for s in starts)
+                           and all(x not in answer for x in combos)):
+            cands.append(c)
+    return cands[0] if len(cands) == 1 else ""
+
+
+def _mmupd_augmented(doc, upd_type: str, question_type: str,
+                     eval_type: str):
+    """Augmented option string for the judge
+    (`mmupd_evals.py:155-268`): real options, then — for masked
+    (eval_type == upd_type) docs — the masked ground truth re-injected at
+    the next free letter plus a none-option; the answer_option set is the
+    letters that score as correct."""
+    s = "There are several options: \n"
+    valid, answer_option = [], []
+    for c in "ABCDE":
+        opt = doc.get(c)
+        if opt not in (None, "", "nan"):
+            s += f"{c}. {opt}\n"
+            valid.append(c)
+    none_txt = _MMUPD_NONE_TEXT[upd_type]
+    free = [c for c in "CDEFG" if c not in valid]
+    if eval_type == "standard":
+        none_option = free[0]
+        s += f"{none_option}. {none_txt}\n"
+        valid.append(none_option)
+        if question_type == "inst" and upd_type != "ivqd":
+            s += "F. None of the above\n"
+            valid.append("F")
+        elif question_type == "inst":
+            s += "F. The image and question are irrelevant.\n"
+            valid.append("F")
+        return s, valid, answer_option
+    gt_text = str(doc.get("masked_answer", "") or "")
+    if upd_type == "ivqd":
+        none_option = free[0]
+        s += f"{none_option}. {none_txt}\n"
+        valid.append(none_option)
+        answer_option = [none_option]
+        if question_type == "inst":
+            s += "F. The image and question are irrelevant.\n"
+            valid.append("F")
+            answer_option.append("F")
+        return s, valid, answer_option
+    gt_option = free[0]
+    s += f"{gt_option}. {gt_text}\n"
+    valid.append(gt_option)
+    none_option = chr(ord(gt_option) + 1)
+    s += f"{none_option}. {none_txt}\n"
+    valid.append(none_option)
+    answer_option = [gt_option, none_option]
+    if question_type == "inst":
+        s += "F. None of the above\n"
+        if "F" not in valid:
+            valid.append("F")
+        answer_option.append("F")
+    return s, valid, answer_option
+
+
+def _mmupd_judged(doc, prediction, task, masked: bool):
+    """GPT option-matching chain (`mmupd_evals.py:443-503`
+    extract_answer_from_item + eval_sub_data per-item rule). Returns the
+    score, or None when the judge chain cannot decide (caller falls back
+    to the rule path)."""
+    upd_type = str(doc.get("type", "aad") or "aad").lower()
+    if upd_type not in _MMUPD_NONE_TEXT:
+        upd_type = "aad"
+    meta = getattr(task.cfg, "metadata", None) if task is not None else {}
+    question_type = (meta or {}).get("question_type", "base")
+    eval_type = upd_type if masked else "standard"
+    opt_str, valid, answer_option = _mmupd_augmented(
+        doc, upd_type, question_type, eval_type)
+    letter = _can_infer_letter(prediction, valid)
+    if not letter:
+        judge = judge_for_task(task)
+        if upd_type == "ivqd":
+            noa = noa2 = "The image and question are irrelevant"
+            refusal = "The updloaded image and question are incompatible."
+        else:
+            noa, noa2 = "no answer", "None of the above"
+            refusal = "no answer"
+        prompt = _MMUPD_JUDGE_TMPL.format(
+            noa=noa, noa2=noa2, refusal=refusal,
+            question=doc.get("question", ""), options=opt_str,
+            prediction=prediction)
+        for _ in range(3):
+            reply = judge(prompt, max_tokens=16, temperature=0.7)
+            if not reply:
+                return None                      # endpoint down: fall back
+            letter = _can_infer_letter(reply, valid + ["H"])
+            if letter:
+                break
+        else:
+            letter = "H"
+    answer = str(doc.get("answer", "")).strip()
+    if masked:
+        ok = letter == answer or letter in answer_option
+    else:
+        ok = letter == answer
+    return float(ok)
+
 
 @register_function("mmupd.doc_to_text")
 def mmupd_doc_to_text(doc):
@@ -110,15 +275,23 @@ def mmupd_doc_to_text(doc):
 def mmupd_process_results(doc, prediction, task):
     """Dual accuracy: standard questions need the right letter; masked
     (unsolvable — `masked_answer` names the removed option) questions
-    need a refusal or the explicit none-of-the-above option. The
-    reference delegates refusal detection to GPT
-    (`mmupd/utils.py:103-160`); here a phrase list decides."""
+    need a refusal or the explicit none-of-the-above option. With a
+    judge endpoint the reference's GPT option-matching chain decides
+    (`mmupd_evals.py:443-503`); offline a refusal phrase list decides."""
     pred = prediction.strip()
     low = pred.lower()
+    masked_txt = str(doc.get("masked_answer", "") or "")
+    is_masked = bool(masked_txt) and masked_txt != "nan"
+    if _judge_enabled():
+        score = _mmupd_judged(doc, pred, task, is_masked)
+        if score is not None:
+            return {"score": score,
+                    "split": "masked" if is_masked else "standard",
+                    "upd_type": doc.get("type", "")}
     letters = re.findall(r"\b([A-E])\b", pred)
     got = letters[0] if letters else ""
     answer = str(doc.get("answer", "")).strip()
-    masked = str(doc.get("masked_answer", "") or "")
+    masked = masked_txt
     if masked and masked != "nan":
         # unsolvable variant: credit = refusal, or picking an offered
         # "none of the above" style option
@@ -148,6 +321,99 @@ def mmupd_dual_accuracy(records):
 
 # ---- mathverse --------------------------------------------------------------
 
+# Scoring-protocol constants (`mathverse_evals.py:9-36` DEMO_PROMPT_EXTRACT,
+# :38-75 DEMO_PROMPT_SCORE) — the few-shot demos ARE the judge's scoring
+# protocol, reproduced as data for ±0.3pt parity (category-b constants,
+# same treatment as conversation templates). The reference strips the demo
+# block then appends the live query (`create_extract_prompt:144-149`,
+# `create_match_prompt:150-154`); both are pre-joined here.
+_MATHVERSE_EXTRACT_PROMPT = (
+    "I am providing you a response from a model to a math problem, termed "
+    "'Model Response'. You should extract the answer from the response as "
+    "'Extracted Answer'. Directly output the extracted answer with no "
+    "explanation.\n\n1.\nModel response: 'Rounded to two decimal places, "
+    "the perimeter of the sector is approximately:\n\n(-2, 1)'\n"
+    "Extracted Answer: (-2, 1)\n\n2.\nModel response: 'at those points."
+    "\n\nTherefore, the correct option that represents the meaning of the "
+    "intersection points of the graphs is:\n\nD. They give the solutions "
+    "to the equation $f(t)=g(t)$.\",'\nExtracted Answer: D\n\n3.\n"
+    "Model response: ' at 1 (there's a closed circle at y = 1), the range "
+    "in interval notation is \\((-4, 1]\\).\n\nFinal values:\n"
+    "Domain: \\((-3, 3]\\)\nRange: \\((-4, 1]\\)'\n"
+    "Extracted Answer: Domain: \\((-3, 3]\\)\nRange: \\((-4, 1]\\)\n\n4.\n"
+    "Model response: 'As it stands, I cannot provide the correct option "
+    "letter because there isn't enough information to solve for 'y'.'\n"
+    "Extracted Answer: null\n\n5.\nModel response: 'Given that AB = 17.6 "
+    "meters, we can now substitute into the equation:\n\n"
+    "d = 17.6 / cos(38\u00b0)\n\nTherefore, to one decimal place, the "
+    "distance d between Ned and Bart is approximately 22.3 meters.'\n"
+    "Extracted answer: 22.3\n\n6.\nModel response:  have all the "
+    "coefficients for the quadratic function:\n\\( f(x) = ax^2 + bx + c "
+    "\\)\n\\( f(x) = -1x^2 - 2x + 1 \\)\n\nTherefore, the equation for "
+    "the graphed function \\( f \\) is:\n\\( f(x) = -x^2 - 2x + 1 \\)\"'\n"
+    "Extracted answer: f(x) = -x^2 - 2x + 1\n\n7.\n\n"
+    "Model response: '{response}'\nExtracted Answer: ")
+
+_MATHVERSE_SCORE_PROMPT = (
+    "Below are two answers to a math question. Question is [Question], "
+    "[Standard Answer] is the standard answer to the question, and "
+    "[Model_answer] is the answer extracted from a model's output to this "
+    "question.  Determine whether these two answers are consistent.\n"
+    "Please note that only when the [Model_answer] completely matches the "
+    "[Standard Answer] means they are consistent. For non-multiple-choice "
+    "questions, if the meaning is expressed in the same way, it is also "
+    "considered consistent, for example, 0.5m and 50cm.\n"
+    "If they are consistent, Judement is 1; if they are different, "
+    "Judement is 0.\n\n"
+    "[Question]: Write the set of numbers represented on the number line "
+    "in interval notation.\n[Standard Answer]: (-2,1]\n"
+    "[Model_answer] : Extracted Answer: \\((-2, 1)\\)\nJudgement: 0\n\n"
+    "[Question]: As shown in the figure, circle O has a radius 1.0, if "
+    "angle BAC = 60.0, then the length of BC is ()\nChoices:\nA:2\n"
+    "B:2\u221a{{3}}\nC:\u221a{{3}}\nD:2\u221a{{2}}\n[Standard Answer]: C\n"
+    "[Model_answer] : B:2\u221a{{3}}\nJudgement: 0\n\n"
+    "[Question]: Find the domain and range of the function f using "
+    "interval notation.\n[Standard Answer]: domain: [-4, 0) and range: "
+    "(-3, 1]\n[Model_answer] : Range: \\((-4, 1]\\)\nJudgement: 0\n\n"
+    "[Question]: As shown in the figure, circle O has a radius 1.0, if "
+    "angle BAC = 60.0, then the length of BC is ()\nChoices:\nA:2\n"
+    "B:2\u221a{{3}}\nC:\u221a{{3}}\nD:2\u221a{{2}}\n[Standard Answer]: C\n"
+    "[Model_answer] : null\nJudgement: 0\n\n"
+    "[Question]: Given the graph of the ellipse that intersects with "
+    "x-axis at 9 and -9 and with y-axis at 3 and -3, determine its "
+    "equation.A. \\frac{{x^2}}{{81}} + \\frac{{y^2}}{{9}} = 1 "
+    "B. Can not determine.\n\n[Standard Answer]: A\n"
+    "[Model_answer] : \\frac{{x^2}}{{81}} + \\frac{{y^2}}{{9}} = 1\n"
+    "Judgement: 1\n\n"
+    "[Question]: {question}\n[Standard Answer]: {gt}\n"
+    "[Model_answer] : {extraction}\nJudgement:")
+
+
+def _mathverse_judged(doc, prediction, task):
+    """The reference's extract-then-score chain
+    (`mathverse_evals.py:155-198`): GPT extracts the answer, a second
+    call judges consistency with the standard answer ('0'/'1'). Returns
+    (score, extraction) or None when the endpoint yields nothing."""
+    judge = judge_for_task(task)
+    extraction = judge(
+        _MATHVERSE_EXTRACT_PROMPT.format(response=prediction),
+        max_tokens=256)
+    if not extraction:
+        return None
+    question = doc.get("question_for_eval") or doc.get("question", "")
+    answer = str(doc.get("answer", "")).strip()
+    for _ in range(3):
+        reply = judge(_MATHVERSE_SCORE_PROMPT.format(
+            question=question, gt=answer, extraction=extraction),
+            max_tokens=8)
+        if not reply:
+            return None
+        judgement = reply.replace("Judgement:", "").strip()
+        if judgement in ("0", "1"):
+            return float(judgement == "1"), extraction
+    return None
+
+
 @register_function("mathverse.doc_to_text")
 def mathverse_doc_to_text(doc):
     # the dataset ships a query_cot / query_wo prompt per problem version
@@ -156,9 +422,15 @@ def mathverse_doc_to_text(doc):
 
 @register_function("mathverse.process_results")
 def mathverse_process_results(doc, prediction, task):
-    """Rule-first stand-in for the GPT extract+judge chain
-    (`mathverse/mathverse_evals.py`): reuse the mathvista extractor, then
-    exact / numeric comparison against `answer`."""
+    """GPT extract+judge chain when an endpoint is configured
+    (`mathverse/mathverse_evals.py`); offline fallback reuses the
+    mathvista extractor with exact / numeric comparison."""
+    if _judge_enabled():
+        judged = _mathverse_judged(doc, prediction, task)
+        if judged is not None:
+            score, extraction = judged
+            return {"score": score, "extraction": extraction,
+                    "problem_version": doc.get("problem_version", "")}
     extraction = extract_answer(prediction, doc)
     # mathverse docs carry no `precision` field, so compare the raw
     # extraction numerically BEFORE mathvista's precision-rounding

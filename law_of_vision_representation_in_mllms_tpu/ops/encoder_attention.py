@@ -103,6 +103,121 @@ def _call(q, k, v, *, head_block: int, block_q: int,
     )(q, k, v)
 
 
+def _kernel_v2(q_ref, k_ref, v_ref, out_ref, *, kv_len: int,
+               softmax_dtype, pretransposed: bool):
+    """One (image·head) program, whole-sequence softmax, 2D dots.
+
+    Round-3 rework of `_kernel`: the v1 batched [HB,·,·] dot_generals run
+    at ~13-19 TFLOP/s under Mosaic (measured, benchmarks/README.md); plain
+    2D dots per head are the untried formulation. Same padding trick as
+    v1: zero K columns give exactly-0 logits, so the padded columns'
+    softmax mass n_pad*exp(-m) is subtracted from the denominator instead
+    of masking the [S,S] logits."""
+    q = q_ref[0]                                   # [S_p, D]
+    if pretransposed:
+        k = k_ref[0]                               # [D, S_p]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [S_p, S_p]
+    else:
+        k = k_ref[0]                               # [S_p, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    v = v_ref[0]                                   # [S_p, D]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp((s - m).astype(softmax_dtype))
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    n_pad = s.shape[-1] - kv_len
+    if n_pad:
+        l = jnp.maximum(l - n_pad * jnp.exp(-m), 1e-20)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [S_p, D]
+    out_ref[0] = (o / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "kv_len",
+                                             "softmax_dtype",
+                                             "pretransposed"))
+def _call_v2(q, k, v, *, interpret: bool, kv_len: int, softmax_dtype,
+             pretransposed: bool):
+    bh, s_p, d_qk = q.shape                  # d_qk may be zero-padded
+    d_v = v.shape[-1]
+    kernel = functools.partial(_kernel_v2, kv_len=kv_len,
+                               softmax_dtype=softmax_dtype,
+                               pretransposed=pretransposed)
+    k_spec = (pl.BlockSpec((1, d_qk, s_p), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM) if pretransposed else
+              pl.BlockSpec((1, s_p, d_qk), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, s_p, d_qk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            k_spec,
+            pl.BlockSpec((1, s_p, d_v), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_p, d_v), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s_p, d_v), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * s_p * s_p * (d_qk + d_v),
+            bytes_accessed=2 * bh * s_p * (d_qk + d_v) * q.dtype.itemsize,
+            transcendentals=bh * s_p * s_p),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def encoder_mha_v2(q, k, v, *, scale: float | None = None,
+                   softmax_dtype=None, pretransposed: bool = True,
+                   pad_d: int | None = None,
+                   interpret: bool | None = None):
+    """Per-head 2D-dot fused encoder attention.
+
+    q, k, v: [B, S, H, D]; returns [B, S, H, D] in q.dtype. Options:
+    - pretransposed: feed K as [D, S] (one XLA transpose pass outside the
+      kernel) so the QK dot contracts lhs-minor x rhs-major — the MXU's
+      native orientation — instead of an NT dot.
+    - pad_d: zero-pad the contraction dim D up to `pad_d` (e.g. 128) so
+      Q/K occupy full 128-lane tiles; zeros don't change QK^T.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if softmax_dtype is None:
+        softmax_dtype = q.dtype
+    s_p = _round_up(s, 128)
+
+    q = q * jnp.asarray(scale, q.dtype)
+
+    def prep(x, d_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        pads = [(0, 0), (0, s_p - s), (0, d_pad - d)]
+        if s_p != s or d_pad != d:
+            x = jnp.pad(x, pads)
+        return x
+
+    d_eff = pad_d if pad_d else d
+    q2 = prep(q, d_eff)
+    k2 = prep(k, d_eff)
+    if pretransposed:
+        k2 = jnp.transpose(k2, (0, 2, 1))                  # [BH, D, S_p]
+    v2 = prep(v, d)
+    out = _call_v2(q2, k2, v2, interpret=interpret, kv_len=s,
+                   softmax_dtype=jnp.dtype(softmax_dtype),
+                   pretransposed=pretransposed)
+    out = out.reshape(b, h, s_p, d)[:, :, :s]
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 def encoder_mha(q, k, v, *, scale: float | None = None,
                 head_block: int | None = None,
                 block_q: int | None = None,

@@ -1085,3 +1085,159 @@ def test_cider_matches_independent_oracle():
     got = cider_d(preds, refs)
     assert abs(got - expected) < 1e-9, (got, expected)
     assert 0.0 < got < 10.0
+
+
+def test_gen_backends_identical_outputs():
+    """gen_backend greedy|chunked|speculative must produce IDENTICAL
+    generations (and hence identical eval scores) through the adapter —
+    chunking and speculation are lossless accelerations (VERDICT r2 #3)."""
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter import (
+        LlavaLMM)
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import ViTConfig
+    from PIL import Image
+
+    vit_cfg = ViTConfig(image_size=224, patch_size=32, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="openai/clip-vit-large-patch14", kind="vit",
+                       vit_config=vit_cfg, vit_family="clip",
+                       hidden_size=16, num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=L.tiny(vocab_size=1000, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    tok = SimpleTokenizer()
+    img = Image.new("RGB", (64, 48), (200, 30, 90))
+    reqs = [Instance("generate_until", {}, i, "t",
+                     (q, {"max_new_tokens": 6}), [img])
+            for i, q in enumerate(["what is this?", "describe the image"])]
+
+    outs = {}
+    for backend in ("greedy", "chunked", "speculative"):
+        lmm = LlavaLMM(params, cfg, tok, get_template("v1"),
+                       precision=FP32_PRECISION, batch_size=2,
+                       gen_backend=backend, decode_chunk=4, draft_len=4)
+        outs[backend] = lmm.generate_until(reqs)
+    assert outs["chunked"] == outs["greedy"]
+    assert outs["speculative"] == outs["greedy"]
+
+
+def test_gen_backend_unknown_rejected():
+    import pytest as _pytest
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter import (
+        LlavaLMM)
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import ViTConfig
+    vit_cfg = ViTConfig(image_size=28, patch_size=7, hidden_size=16,
+                        num_layers=1, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="tiny", kind="vit", vit_config=vit_cfg,
+                       vit_family="clip", hidden_size=16,
+                       num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=L.tiny(vocab_size=64, hidden_size=16, num_layers=1,
+                       num_heads=2, num_kv_heads=2, intermediate_size=32))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    with _pytest.raises(ValueError):
+        LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
+                 gen_backend="beam")
+
+
+def test_mathverse_mmupd_judged_stub_server(tmp_path, monkeypatch):
+    """With OPENAI_API_URL set, mathverse runs the reference's GPT
+    extract-then-score chain and mmupd the option-matching chain
+    (`mathverse_evals.py:155-198`, `mmupd_evals.py:443-503`); the stub
+    answers both protocols and the test asserts the judged decisions win
+    over what the rule path would have said."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    seen = []
+
+    class Judge(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            seen.append(body)
+            prompt = body["messages"][-1]["content"]
+            if "Judgement:" in prompt:             # mathverse score
+                # judge KNOWS twenty-two == 22 — rule path could not
+                content = "1"
+            elif "Extracted Answer:" in prompt:    # mathverse extract
+                content = "twenty-two"
+            else:                                  # mmupd option match
+                content = "D"                      # the re-injected GT
+            resp = json.dumps({"choices": [{"message": {
+                "content": content}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Judge)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv(
+            "OPENAI_API_URL",
+            f"http://127.0.0.1:{srv.server_port}/v1/chat/completions")
+        monkeypatch.setenv("OPENAI_API_KEY", "k")
+
+        # mathverse: judged chain scores the verbal answer correct
+        docs = [{"question": "Find x.", "question_type": "free_form",
+                 "answer_type": "float", "answer": "22",
+                 "query_cot": "Find x."}]
+        cfg = _write_task(tmp_path, "mathverse_testmini", docs)
+        res = simple_evaluate(EchoLMM({0: "x equals twenty-two"}), [cfg],
+                              log_samples=True)
+        assert res["mathverse_testmini"]["value"] == 1.0
+        assert res["mathverse_testmini"]["samples"][0]["extraction"] == \
+            "twenty-two"
+        assert any("Model response:" in b["messages"][-1]["content"]
+                   for b in seen)
+        assert any("[Standard Answer]: 22" in b["messages"][-1]["content"]
+                   for b in seen)
+
+        # mmupd (dual = min(standard, masked)): the standard doc's bare
+        # letter resolves via the prefetch rule (no judge call); the
+        # masked doc's free-text answer names the MASKED ground truth —
+        # the judge maps it to the re-injected gt_option (credit), where
+        # the offline refusal-phrase rule would have scored it 0
+        n_before = len(seen)
+        docs = [{"question": "Color?", "A": "red", "B": "blue",
+                 "answer": "B", "masked_answer": "", "index": 0,
+                 "hint": "", "source": "s", "split": "v", "category": "c",
+                 "type": "aad"},
+                {"question": "Which?", "A": "one", "B": "two",
+                 "answer": "C", "masked_answer": "three", "index": 1,
+                 "hint": "", "source": "s", "split": "v", "category": "c",
+                 "type": "aad"}]
+        cfg = _write_task(tmp_path, "mmupd_base", docs)
+        res = simple_evaluate(
+            EchoLMM({0: "B", 1: "I think the answer is three"}), [cfg],
+            log_samples=True)
+        assert res["mmupd_base"]["value"] == 1.0
+        assert len(seen) == n_before + 1     # only the masked doc judged
+        prompt = seen[-1]["messages"][-1]["content"]
+        assert "C. three" in prompt          # gt re-injected at next letter
+        assert "D. The correct answer is No answer" in prompt
+    finally:
+        srv.shutdown()
