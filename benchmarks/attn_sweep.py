@@ -53,6 +53,23 @@ def measure(impl: str, batch: int = 64, iters: int = 10) -> float:
                               ).astype(q.dtype) * (d ** -0.5)
         V.mha = _nosm
         impl_name = "xla"
+    elif impl == "expclamp":
+        # no-max softmax: exp(min(s, 60)) fuses into dot1's output fusion
+        # (no separate max read pass); normalize after PV. Exact whenever
+        # the true row max is < 60 (bf16 exp overflows at 88).
+        def _ec(q, k, v, mask=None, accum_dtype=jnp.bfloat16):
+            d = q.shape[-1]
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                           preferred_element_type=accum_dtype)
+            s = s * jnp.asarray(d ** -0.5, accum_dtype)
+            p = jnp.exp(jnp.minimum(s, jnp.asarray(60, accum_dtype)))
+            l = jnp.sum(p.astype(jnp.float32), axis=-1)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                           preferred_element_type=accum_dtype)
+            den = jnp.transpose(l, (0, 2, 1))[..., None]
+            return (o.astype(jnp.float32) / den).astype(q.dtype)
+        V.mha = _ec
+        impl_name = "xla"
     else:
         impl_name = impl
     cfg = dataclasses.replace(cfg, attn_impl=impl_name)

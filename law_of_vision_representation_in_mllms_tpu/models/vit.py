@@ -243,12 +243,16 @@ class ViTBlock(nn.Module):
             attn = jnp.transpose(out, (0, 2, 1, 3))[:, :s]
         elif impl.startswith("encoder2") and not self.causal:
             # round-3 per-head 2D-dot kernel; "encoder2", "encoder2_nt"
-            # (no K pre-transpose), "encoder2_pad" (D zero-padded to 128)
+            # (no K pre-transpose), "encoder2_pad" (D zero-padded to 128),
+            # "_hbN" (N heads per program, sequential dots)
+            import re as _re
             from ..ops.encoder_attention import encoder_mha_v2
+            hb = _re.search(r"_hb(\d+)", impl)
             attn = encoder_mha_v2(
                 q, k, v,
                 pretransposed="_nt" not in impl,
-                pad_d=128 if "_pad" in impl else None)
+                pad_d=128 if "_pad" in impl else None,
+                head_block=int(hb.group(1)) if hb else 1)
         elif impl == "xla_post" and not self.causal:
             from ..ops.attention import mha_post
             attn = mha_post(q, k, v, accum_dtype=prec.accum_dtype)

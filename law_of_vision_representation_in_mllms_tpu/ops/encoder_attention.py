@@ -104,64 +104,70 @@ def _call(q, k, v, *, head_block: int, block_q: int,
 
 
 def _kernel_v2(q_ref, k_ref, v_ref, out_ref, *, kv_len: int,
-               softmax_dtype, pretransposed: bool):
-    """One (image·head) program, whole-sequence softmax, 2D dots.
+               softmax_dtype, pretransposed: bool, head_block: int):
+    """One program = `head_block` (image·head) pairs, whole-sequence
+    softmax, SEQUENTIAL 2D dots (an unrolled python loop over the leading
+    block dim — never a batched dot_general).
 
     Round-3 rework of `_kernel`: the v1 batched [HB,·,·] dot_generals run
     at ~13-19 TFLOP/s under Mosaic (measured, benchmarks/README.md); plain
-    2D dots per head are the untried formulation. Same padding trick as
-    v1: zero K columns give exactly-0 logits, so the padded columns'
-    softmax mass n_pad*exp(-m) is subtracted from the denominator instead
-    of masking the [S,S] logits."""
-    q = q_ref[0]                                   # [S_p, D]
-    if pretransposed:
-        k = k_ref[0]                               # [D, S_p]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [S_p, S_p]
-    else:
-        k = k_ref[0]                               # [S_p, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    v = v_ref[0]                                   # [S_p, D]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp((s - m).astype(softmax_dtype))
-    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-    n_pad = s.shape[-1] - kv_len
-    if n_pad:
-        l = jnp.maximum(l - n_pad * jnp.exp(-m), 1e-20)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # [S_p, D]
-    out_ref[0] = (o / l).astype(out_ref.dtype)
+    2D dots per head are the untried formulation, and head_block > 1
+    amortizes per-program overhead without reintroducing batched-dot
+    semantics. Same padding trick as v1: zero K columns give exactly-0
+    logits, so the padded columns' softmax mass n_pad*exp(-m) is
+    subtracted from the denominator instead of masking the [S,S] logits."""
+    for i in range(head_block):
+        q = q_ref[i]                               # [S_p, D]
+        if pretransposed:
+            k = k_ref[i]                           # [D, S_p]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [S_p, S_p]
+        else:
+            k = k_ref[i]                           # [S_p, D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        v = v_ref[i]                               # [S_p, D]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp((s - m).astype(softmax_dtype))
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        n_pad = s.shape[-1] - kv_len
+        if n_pad:
+            l = jnp.maximum(l - n_pad * jnp.exp(-m), 1e-20)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [S_p, D]
+        out_ref[i] = (o / l).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "kv_len",
                                              "softmax_dtype",
-                                             "pretransposed"))
+                                             "pretransposed", "head_block"))
 def _call_v2(q, k, v, *, interpret: bool, kv_len: int, softmax_dtype,
-             pretransposed: bool):
+             pretransposed: bool, head_block: int):
     bh, s_p, d_qk = q.shape                  # d_qk may be zero-padded
     d_v = v.shape[-1]
+    hb = head_block
     kernel = functools.partial(_kernel_v2, kv_len=kv_len,
                                softmax_dtype=softmax_dtype,
-                               pretransposed=pretransposed)
-    k_spec = (pl.BlockSpec((1, d_qk, s_p), lambda i: (i, 0, 0),
+                               pretransposed=pretransposed,
+                               head_block=hb)
+    k_spec = (pl.BlockSpec((hb, d_qk, s_p), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM) if pretransposed else
-              pl.BlockSpec((1, s_p, d_qk), lambda i: (i, 0, 0),
+              pl.BlockSpec((hb, s_p, d_qk), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh // hb,),
         in_specs=[
-            pl.BlockSpec((1, s_p, d_qk), lambda i: (i, 0, 0),
+            pl.BlockSpec((hb, s_p, d_qk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             k_spec,
-            pl.BlockSpec((1, s_p, d_v), lambda i: (i, 0, 0),
+            pl.BlockSpec((hb, s_p, d_v), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_p, d_v), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((hb, s_p, d_v), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, s_p, d_v), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -176,7 +182,7 @@ def _call_v2(q, k, v, *, interpret: bool, kv_len: int, softmax_dtype,
 
 def encoder_mha_v2(q, k, v, *, scale: float | None = None,
                    softmax_dtype=None, pretransposed: bool = True,
-                   pad_d: int | None = None,
+                   pad_d: int | None = None, head_block: int = 1,
                    interpret: bool | None = None):
     """Per-head 2D-dot fused encoder attention.
 
@@ -213,7 +219,7 @@ def encoder_mha_v2(q, k, v, *, scale: float | None = None,
     v2 = prep(v, d)
     out = _call_v2(q2, k2, v2, interpret=interpret, kv_len=s,
                    softmax_dtype=jnp.dtype(softmax_dtype),
-                   pretransposed=pretransposed)
+                   pretransposed=pretransposed, head_block=head_block)
     out = out.reshape(b, h, s_p, d)[:, :, :s]
     return jnp.transpose(out, (0, 2, 1, 3))
 
