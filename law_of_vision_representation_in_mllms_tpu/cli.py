@@ -15,6 +15,10 @@ Commands:
   c-score           compute C scores (SPair PCK) over cached features
   policy            fit / predict / validate the AC policy
   serve             OpenAI-compatible chat-completions server
+  generate          one-shot inference (image + prompt -> answer)
+  apply-delta       target = base + delta over .npz param files
+  make-delta        delta = target - base over .npz param files
+  consolidate       orbax train-state checkpoint -> flat params .npz
 """
 
 from __future__ import annotations
@@ -77,6 +81,34 @@ def main(argv=None):
                    help="decode backend for the llava model (shorthand "
                         "for --set model.gen_backend=...; all three are "
                         "greedy-equivalent)")
+
+    p = sub.add_parser("generate",
+                       help="one-shot inference: image + prompt -> answer "
+                            "(run_llava.py equivalent)")
+    _add_common(p)
+    p.add_argument("--image", help="image path (omit for text-only)")
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--gen-backend",
+                   choices=["greedy", "chunked", "speculative"])
+
+    p = sub.add_parser("apply-delta",
+                       help="target = base + delta over .npz param files")
+    p.add_argument("--base", required=True)
+    p.add_argument("--delta", required=True)
+    p.add_argument("--target", required=True)
+
+    p = sub.add_parser("make-delta",
+                       help="delta = target - base over .npz param files")
+    p.add_argument("--base", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--delta", required=True)
+
+    p = sub.add_parser("consolidate",
+                       help="orbax train-state checkpoint -> flat .npz")
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint-N dir (or run dir; newest is used)")
+    p.add_argument("--output", required=True)
 
     p = sub.add_parser("extract-embeds", help="A-score embedding dump")
     _add_common(p)
@@ -451,6 +483,55 @@ def _cmd_merge_results(args):
     return 0
 
 
+def _cmd_generate(args):
+    """One-shot inference (`llava/eval/run_llava.py:1-100` eval_model):
+    template-rendered prompt + one image through the production adapter;
+    the answer prints to stdout."""
+    from .core.config import RunConfig
+    from .eval.api import Instance
+    from .eval.runner import build_lmm
+    cfg = RunConfig.from_yaml(args.config, args.set) if args.config \
+        else RunConfig.from_dict({}, args.set)
+    if getattr(args, "gen_backend", None):
+        cfg.model.gen_backend = args.gen_backend
+    lmm = build_lmm(cfg)
+    visual = []
+    if args.image:
+        from PIL import Image
+        visual = [Image.open(args.image).convert("RGB")]
+    inst = Instance("generate_until", {}, 0, "cli",
+                    (args.prompt,
+                     {"max_new_tokens": args.max_new_tokens}), visual)
+    print(lmm.generate_until([inst])[0])
+    return 0
+
+
+def _cmd_apply_delta(args):
+    from .io.delta import apply_delta
+    n = apply_delta(args.base, args.delta, args.target)
+    print(f"wrote {args.target} ({n} arrays)", file=sys.stderr)
+    return 0
+
+
+def _cmd_make_delta(args):
+    from .io.delta import make_delta
+    n = make_delta(args.base, args.target, args.delta)
+    print(f"wrote {args.delta} ({n} arrays)", file=sys.stderr)
+    return 0
+
+
+def _cmd_consolidate(args):
+    from .io.checkpoint import latest_checkpoint
+    from .io.delta import consolidate
+    path = args.checkpoint
+    latest = latest_checkpoint(path)
+    if latest:
+        path = latest
+    n = consolidate(path, args.output)
+    print(f"wrote {args.output} ({n} arrays)", file=sys.stderr)
+    return 0
+
+
 def _cmd_serve(args):
     from .core.config import RunConfig
     from .serve import run_server
@@ -478,6 +559,10 @@ DISPATCH = {
     "train": _cmd_train,
     "eval": _cmd_eval,
     "serve": _cmd_serve,
+    "generate": _cmd_generate,
+    "apply-delta": _cmd_apply_delta,
+    "make-delta": _cmd_make_delta,
+    "consolidate": _cmd_consolidate,
     "tasks": _cmd_tasks,
     "merge-results": _cmd_merge_results,
     "extract-embeds": _cmd_extract_embeds,
