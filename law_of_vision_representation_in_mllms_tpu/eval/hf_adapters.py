@@ -1,0 +1,245 @@
+"""Named-model HF adapters with reference prompt-format parity.
+
+The fork's adapter zoo (`lmms_eval/models/*.py`) drives THIRD-PARTY torch
+models; the generic `hf-vision2seq` adapter covers the mechanics, but the
+named adapters differ in prompt shaping — which moves benchmark scores.
+This module restores the per-model formats for the highest-value three
+(VERDICT r2 #7):
+
+- **llava_hf** (`lmms_eval/models/llava_hf.py:21-320`): '<image>'
+  prepended when the context has none, then the tokenizer's chat template
+  (fallback: the vicuna template the reference hardcodes);
+  loglikelihood splits template(ctx)+gen-prompt vs template(ctx+cont).
+- **instructblip** (`lmms_eval/models/instructblip.py:180-230`): the
+  '<image>' tag is STRIPPED (the Q-Former consumes pixels separately);
+  bare-text prompts otherwise.
+- **qwen_vl** (`lmms_eval/models/qwen_vl.py:52-260`): interleaved
+  `tokenizer.from_list_format` query ('<img>path</img>' segments);
+  requires the checkpoint's remote code, so the model loads with
+  trust_remote_code=True and the prompt construction is exposed for
+  testing without the checkpoint.
+
+All torch on host CPU; pass a LOCAL snapshot path (network-free).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import List, Tuple
+
+from .api import Instance, LMM
+from .models_registry import HFVision2SeqLMM, LMM_REGISTRY
+
+# `llava_hf.py:24` VICUNA_CHAT_TEMPLATE rendered for one user turn +
+# generation prompt (the only shape the harness produces)
+VICUNA_SYSTEM = ("A chat between a curious user and an artificial "
+                 "intelligence assistant. The assistant gives helpful, "
+                 "detailed, and polite answers to the user's questions.")
+IMAGE_TOKEN = "<image>"
+
+
+class LlavaHFLMM(HFVision2SeqLMM):
+    """`lmms_eval/models/llava_hf.py` parity on top of the generic
+    vision2seq mechanics."""
+
+    def _chat(self, content: str, continuation: str | None = None) -> str:
+        tok = getattr(self.processor, "tokenizer", self.processor)
+        tmpl = getattr(tok, "chat_template", None)
+        if tmpl:
+            messages = [{"role": "user", "content": content}]
+            if continuation is None:
+                return tok.apply_chat_template(messages, tokenize=False,
+                                               add_generation_prompt=True)
+            messages.append({"role": "assistant",
+                             "content": continuation})
+            return tok.apply_chat_template(messages, tokenize=False,
+                                           add_generation_prompt=False)
+        # vicuna fallback (llava_hf.py:24): "...USER: {c} ASSISTANT:"
+        base = f"{VICUNA_SYSTEM} USER: {content} ASSISTANT:"
+        if continuation is None:
+            return base
+        eos = getattr(tok, "eos_token", "") or ""
+        return f"{base} {continuation}{eos}"
+
+    def _format(self, context: str, n_images: int) -> str:
+        # MME-style prompts carry no image token; prepend one per image
+        # (llava_hf.py:275-279)
+        if IMAGE_TOKEN not in context and n_images:
+            toks = " ".join([IMAGE_TOKEN] * n_images)
+            context = f"{toks}\n{context}"
+        return context
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        import torch
+        out = []
+        for r in requests:
+            n = len(r.visual or [])
+            text = self._chat(self._format(r.args[0], n))
+            inputs = self.processor(
+                text=text, images=r.visual[0] if n else None,
+                return_tensors="pt")
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            with torch.no_grad():
+                ids = self.model.generate(
+                    **inputs, do_sample=False,
+                    max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                                  self.max_new_tokens))
+            ans = self.processor.batch_decode(
+                ids[:, inputs["input_ids"].shape[1]:],
+                skip_special_tokens=True)[0].strip()
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in ans:
+                    ans = ans.split(stop)[0]
+            out.append(ans.strip())
+        return out
+
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        """llava_hf.py:183-230: context = template(ctx)+generation prompt,
+        joint = template(ctx, continuation); continuation tokens are the
+        joint encoding's suffix past the context encoding."""
+        import torch
+        tok = getattr(self.processor, "tokenizer", self.processor)
+        out = []
+        for r in requests:
+            n = len(r.visual or [])
+            ctx = self._format(r.args[0], n)
+            prompt = self._chat(ctx)
+            joint = self._chat(ctx, continuation=r.args[1])
+            ctx_ids = tok(prompt)["input_ids"]
+            inputs = self.processor(
+                text=joint, images=r.visual[0] if n else None,
+                return_tensors="pt")
+            full_ids = inputs["input_ids"][0].tolist()
+            k = len(full_ids) - len(ctx_ids)
+            if k <= 0:
+                out.append((0.0, True))
+                continue
+            with torch.no_grad():
+                logits = self.model(**inputs).logits
+            lp = torch.log_softmax(logits[0, -k - 1:-1].float(), dim=-1)
+            tgt = torch.tensor(full_ids[-k:], dtype=torch.long)
+            token_lp = lp.gather(1, tgt[:, None])[:, 0]
+            greedy = bool((lp.argmax(-1) == tgt).all())
+            out.append((float(token_lp.sum()), greedy))
+        return out
+
+
+class InstructBlipLMM(HFVision2SeqLMM):
+    """`lmms_eval/models/instructblip.py` parity: the '<image>' tag is
+    stripped (the Q-Former takes pixels out of band); prompts otherwise
+    reach the text encoder verbatim."""
+
+    @staticmethod
+    def _format(context: str) -> str:
+        return context.replace(IMAGE_TOKEN, "").strip()
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        import torch
+        out = []
+        for r in requests:
+            inputs = self.processor(
+                text=self._format(r.args[0]),
+                images=r.visual[0] if r.visual else None,
+                return_tensors="pt")
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            with torch.no_grad():
+                ids = self.model.generate(
+                    **inputs, do_sample=False,
+                    max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                                  self.max_new_tokens))
+            # instructblip.py:205-210: outputs do not echo the prompt
+            ans = self.processor.batch_decode(
+                ids, skip_special_tokens=True)[0].strip()
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in ans:
+                    ans = ans.split(stop)[0]
+            out.append(ans.strip())
+        return out
+
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        cleaned = [Instance(r.request_type, r.doc, r.doc_id, r.task_name,
+                            (self._format(r.args[0]), r.args[1]), r.visual)
+                   for r in requests]
+        return super().loglikelihood(cleaned)
+
+
+class QwenVLLMM(LMM):
+    """`lmms_eval/models/qwen_vl.py` parity. The checkpoint ships its own
+    modeling/tokenizer code (trust_remote_code); the prompt protocol is
+    `tokenizer.from_list_format` over interleaved {image:path}/{text}
+    entries. `build_query` is separated out so the format is testable
+    without the 9B checkpoint."""
+
+    def __init__(self, pretrained: str | None = None,
+                 max_new_tokens: int = 1024, model=None, tokenizer=None,
+                 **_):
+        if model is not None:
+            self.model, self.tokenizer = model, tokenizer
+        else:
+            import torch
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                pretrained, trust_remote_code=True)
+            self.model = AutoModelForCausalLM.from_pretrained(
+                pretrained, torch_dtype=torch.float32,
+                trust_remote_code=True).eval()
+        self.max_new_tokens = max_new_tokens
+        self._tmp = tempfile.mkdtemp(prefix="qwen_vl_")
+
+    def build_query(self, context: str, visuals) -> List[dict]:
+        """qwen_vl.py:241-251: image entries (as temp file paths) then the
+        text; '<image>' placeholders are dropped from the text."""
+        query = []
+        for i, vis in enumerate(visuals or []):
+            path = os.path.join(self._tmp, f"v{i}.png")
+            vis.save(path)
+            query.append({"image": path})
+        query.append({"text": context.replace(IMAGE_TOKEN, "").strip()})
+        return query
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        out = []
+        for r in requests:
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            questions = self.tokenizer.from_list_format(
+                self.build_query(r.args[0], r.visual))
+            ans, _ = self.model.chat(
+                self.tokenizer, query=questions, history=None)
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in ans:
+                    ans = ans.split(stop)[0]
+            out.append(ans.strip())
+        return out
+
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        """qwen_vl.py:135-180: logprob of the continuation appended to the
+        from_list_format context under the chat wrapping."""
+        import torch
+        out = []
+        for r in requests:
+            ctx_q = self.build_query(r.args[0], r.visual)
+            full_q = list(ctx_q[:-1]) + [
+                {"text": ctx_q[-1]["text"] + r.args[1]}]
+            ctx_ids = self.tokenizer(
+                self.tokenizer.from_list_format(ctx_q))["input_ids"]
+            full_text = self.tokenizer.from_list_format(full_q)
+            full = self.tokenizer(full_text, return_tensors="pt")
+            k = full["input_ids"].shape[1] - len(ctx_ids)
+            if k <= 0:
+                out.append((0.0, True))
+                continue
+            with torch.no_grad():
+                logits = self.model(**full).logits
+            lp = torch.log_softmax(logits[0, -k - 1:-1].float(), dim=-1)
+            tgt = full["input_ids"][0, -k:]
+            token_lp = lp.gather(1, tgt[:, None])[:, 0]
+            out.append((float(token_lp.sum()),
+                        bool((lp.argmax(-1) == tgt).all())))
+        return out
+
+
+# named registrations override the generic aliases
+LMM_REGISTRY["llava_hf"] = LlavaHFLMM
+LMM_REGISTRY["instructblip"] = InstructBlipLMM
+LMM_REGISTRY["qwen_vl"] = QwenVLLMM

@@ -26,6 +26,7 @@ def register_lmm(name: str):
 
 
 def build_lmm_by_name(name: str, **kwargs) -> LMM:
+    from . import hf_adapters  # noqa: F401 — named-adapter registrations
     if name not in LMM_REGISTRY:
         raise KeyError(f"unknown LMM '{name}'; have {sorted(LMM_REGISTRY)}")
     return LMM_REGISTRY[name](**kwargs)
@@ -197,10 +198,12 @@ for _name, _version in (("gpt4v", "gpt-4-vision-preview"),
 
 # Reference local-model adapter names (`lmms_eval/models/*.py`) whose
 # architectures ARE registered in HF's AutoModelForVision2Seq mapping —
-# they alias the generic adapter (pass the local snapshot via
-# pretrained=...). The custom-code checkpoints (qwen_vl, xcomposer2,
-# minicpm_v, phi3v) need trust_remote_code and their own generate glue;
-# they stay unregistered rather than aliased to an adapter that cannot
-# load them.
+# fuyu/idefics2 alias the generic adapter (pass the local snapshot via
+# pretrained=...). llava_hf, instructblip, and qwen_vl get named
+# adapters with reference prompt-format parity in `hf_adapters.py`
+# (registered on first build_lmm_by_name call, overriding these
+# aliases). The remaining custom-code checkpoints (xcomposer2,
+# minicpm_v, phi3v) need their own generate glue; they stay
+# unregistered rather than aliased to an adapter that cannot load them.
 for _name in ("llava_hf", "instructblip", "fuyu", "idefics2"):
     LMM_REGISTRY[_name] = HFVision2SeqLMM

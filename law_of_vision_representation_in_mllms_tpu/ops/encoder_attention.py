@@ -116,7 +116,7 @@ def _kernel_v2(q_ref, k_ref, v_ref, out_ref, *, kv_len: int,
     semantics. Same padding trick as v1: zero K columns give exactly-0
     logits, so the padded columns' softmax mass n_pad*exp(-m) is
     subtracted from the denominator instead of masking the [S,S] logits."""
-    for i in range(head_block):
+    def one_head(i, _):
         q = q_ref[i]                               # [S_p, D]
         if pretransposed:
             k = k_ref[i]                           # [D, S_p]
@@ -139,6 +139,15 @@ def _kernel_v2(q_ref, k_ref, v_ref, out_ref, *, kv_len: int,
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # [S_p, D]
         out_ref[i] = (o / l).astype(out_ref.dtype)
+        return 0
+
+    if head_block == 1:
+        one_head(0, 0)
+    else:
+        # fori_loop (not an unrolled python loop): sequential iterations
+        # REUSE one [S_p,S_p] logits buffer — unrolled, Mosaic keeps every
+        # iteration's logits live and blows the 16 MB VMEM budget at hb>=4
+        jax.lax.fori_loop(0, head_block, one_head, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "kv_len",

@@ -1,0 +1,208 @@
+"""Named HF adapter parity (eval/hf_adapters.py) on tiny local models.
+
+Each test builds a tiny HF checkpoint offline, runs the adapter through
+the public registry, and compares against a direct HF call made with the
+REFERENCE's prompt shaping (`lmms_eval/models/llava_hf.py`,
+`instructblip.py`, `qwen_vl.py`) — the adapters' whole job is that
+shaping, so the golden pins it.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from law_of_vision_representation_in_mllms_tpu.eval.api import Instance
+from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
+    build_lmm_by_name)
+
+
+def _word_tokenizer(extra=()):
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+    words = ("<unk> <pad> </s> a chat between curious user and an "
+             "artificial intelligence assistant the gives helpful detailed "
+             "polite answers to questions what is this cat dog red blue "
+             "USER ASSISTANT describe image of".split())
+    vocab = {w: i for i, w in enumerate(dict.fromkeys(list(words)
+                                                      + list(extra)))}
+    t = Tokenizer(models.WordLevel(vocab=vocab, unk_token="<unk>"))
+    t.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok = PreTrainedTokenizerFast(
+        tokenizer_object=t, unk_token="<unk>", pad_token="<pad>",
+        eos_token="</s>",
+        model_input_names=["input_ids", "attention_mask"])
+    # added special token: survives pre-tokenization intact, so the
+    # processor's '<image>'*N expansion tokenizes to N image ids
+    tok.add_special_tokens({"additional_special_tokens": ["<image>"]})
+    return tok
+
+
+def _tiny_llava_hf(tmp_path):
+    from transformers import (CLIPImageProcessor, CLIPVisionConfig,
+                              LlamaConfig, LlavaConfig,
+                              LlavaForConditionalGeneration,
+                              LlavaProcessor)
+    tok = _word_tokenizer()
+    image_token_id = tok.convert_tokens_to_ids("<image>")
+    vc = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          image_size=28, patch_size=7)
+    tc = LlamaConfig(hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=4,
+                     vocab_size=len(tok) + len(tok.all_special_tokens))
+    cfg = LlavaConfig(vision_config=vc, text_config=tc,
+                      image_token_index=image_token_id,
+                      vision_feature_select_strategy="default",
+                      vision_feature_layer=-2)
+    torch.manual_seed(0)
+    model = LlavaForConditionalGeneration(cfg).eval()
+    proc = LlavaProcessor(
+        image_processor=CLIPImageProcessor(
+            size={"shortest_edge": 28}, crop_size={"height": 28,
+                                                   "width": 28}),
+        tokenizer=tok, patch_size=7, num_additional_image_tokens=1,
+        vision_feature_select_strategy="default")
+    d = tmp_path / "llava_hf_snap"
+    model.save_pretrained(d)
+    proc.save_pretrained(d)
+    return str(d), model, proc
+
+
+def _img():
+    from PIL import Image
+    return Image.new("RGB", (28, 28), (120, 40, 200))
+
+
+def test_llava_hf_adapter_golden(tmp_path):
+    snap, model, proc = _tiny_llava_hf(tmp_path)
+    lmm = build_lmm_by_name("llava_hf", pretrained=snap)
+    img = _img()
+    ctx = "what is this"                       # no <image> tag on purpose
+    got = lmm.generate_until([Instance(
+        "generate_until", {}, 0, "t", (ctx, {"max_new_tokens": 3}),
+        [img])])[0]
+
+    # reference shaping: prepend '<image>', vicuna template fallback
+    from law_of_vision_representation_in_mllms_tpu.eval.hf_adapters import (
+        VICUNA_SYSTEM)
+    text = f"{VICUNA_SYSTEM} USER: <image>\n{ctx} ASSISTANT:"
+    inputs = proc(text=text, images=img, return_tensors="pt")
+    with torch.no_grad():
+        ids = model.generate(**inputs, do_sample=False, max_new_tokens=3)
+    want = proc.batch_decode(ids[:, inputs["input_ids"].shape[1]:],
+                             skip_special_tokens=True)[0].strip()
+    assert got == want
+
+    # loglikelihood: continuation slice under the same template
+    score, greedy = lmm.loglikelihood([Instance(
+        "loglikelihood", {}, 0, "t", (ctx, " a cat"), [img])])[0]
+    assert np.isfinite(score) and isinstance(greedy, bool)
+    tok = proc.tokenizer
+    prompt = f"{VICUNA_SYSTEM} USER: <image>\n{ctx} ASSISTANT:"
+    joint = f"{prompt} a cat</s>"
+    ctx_len = len(tok(prompt)["input_ids"])
+    inputs = proc(text=joint, images=img, return_tensors="pt")
+    k = inputs["input_ids"].shape[1] - ctx_len
+    with torch.no_grad():
+        logits = model(**inputs).logits
+    lp = torch.log_softmax(logits[0, -k - 1:-1].float(), dim=-1)
+    tgt = inputs["input_ids"][0, -k:]
+    want_score = float(lp.gather(1, tgt[:, None]).sum())
+    assert abs(score - want_score) < 1e-4
+
+
+def test_instructblip_adapter_strips_image_tag(tmp_path):
+    from transformers import (BertConfig, Blip2QFormerConfig,
+                              BlipImageProcessor, InstructBlipConfig,
+                              InstructBlipForConditionalGeneration,
+                              InstructBlipProcessor, InstructBlipVisionConfig,
+                              OPTConfig)
+    tok = _word_tokenizer()
+    qtok = _word_tokenizer()
+    vc = InstructBlipVisionConfig(hidden_size=32, intermediate_size=64,
+                                  num_hidden_layers=2,
+                                  num_attention_heads=4, image_size=28,
+                                  patch_size=7)
+    qc = Blip2QFormerConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=1, num_attention_heads=4,
+                            encoder_hidden_size=32, vocab_size=len(tok))
+    lc = OPTConfig(hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+                   num_attention_heads=4, vocab_size=len(tok),
+                   word_embed_proj_dim=32)
+    cfg = InstructBlipConfig(vision_config=vc.to_dict(),
+                             qformer_config=qc.to_dict(),
+                             text_config=lc.to_dict(), num_query_tokens=4,
+                             image_token_index=tok.convert_tokens_to_ids(
+                                 "<image>"))
+    torch.manual_seed(1)
+    model = InstructBlipForConditionalGeneration(cfg).eval()
+    proc = InstructBlipProcessor(
+        image_processor=BlipImageProcessor(size={"height": 28,
+                                                 "width": 28}),
+        tokenizer=tok, qformer_tokenizer=qtok, num_query_tokens=4)
+    d = tmp_path / "iblip_snap"
+    model.save_pretrained(d)
+    proc.save_pretrained(d)
+
+    lmm = build_lmm_by_name("instructblip", pretrained=str(d))
+    img = _img()
+    got = lmm.generate_until([Instance(
+        "generate_until", {}, 0, "t",
+        ("<image>\ndescribe the image", {"max_new_tokens": 3}),
+        [img])])[0]
+
+    inputs = proc(text="describe the image", images=img,
+                  return_tensors="pt")
+    with torch.no_grad():
+        ids = model.generate(**inputs, do_sample=False, max_new_tokens=3)
+    want = proc.batch_decode(ids, skip_special_tokens=True)[0].strip()
+    assert got == want
+
+
+def test_qwen_vl_query_format_and_generate():
+    """The from_list_format protocol without the 9B checkpoint: a fake
+    tokenizer/model pair records what the adapter hands over."""
+    from law_of_vision_representation_in_mllms_tpu.eval.hf_adapters import (
+        QwenVLLMM)
+    calls = {}
+
+    class FakeTok:
+        def from_list_format(self, entries):
+            calls["entries"] = entries
+            parts = []
+            for e in entries:
+                if "image" in e:
+                    parts.append(f"<img>{e['image']}</img>")
+                else:
+                    parts.append(e["text"])
+            return "".join(parts)
+
+        def __call__(self, text, return_tensors=None):
+            ids = [ord(c) % 50 for c in text][:16]
+            if return_tensors == "pt":
+                return {"input_ids": torch.tensor([ids])}
+            return {"input_ids": ids}
+
+    class FakeModel:
+        def chat(self, tok, query=None, history=None):
+            calls["query"] = query
+            return "a cat.", None
+
+    lmm = QwenVLLMM(model=FakeModel(), tokenizer=FakeTok())
+    out = lmm.generate_until([Instance(
+        "generate_until", {}, 0, "t",
+        ("<image>\nwhat is this?", {"until": ["."]}), [_img()])])
+    assert out == ["a cat"]                      # stop-string truncation
+    assert calls["entries"][0]["image"].endswith("v0.png")
+    assert calls["entries"][-1]["text"] == "what is this?"
+    assert calls["query"].startswith("<img>")
+
+
+def test_named_adapters_registered():
+    from law_of_vision_representation_in_mllms_tpu.eval import hf_adapters
+    from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
+        LMM_REGISTRY)
+    assert LMM_REGISTRY["llava_hf"] is hf_adapters.LlavaHFLMM
+    assert LMM_REGISTRY["instructblip"] is hf_adapters.InstructBlipLMM
+    assert LMM_REGISTRY["qwen_vl"] is hf_adapters.QwenVLLMM
