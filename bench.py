@@ -1,26 +1,44 @@
 """Per-chip vision-tower feature-extraction throughput benchmark.
 
-Measures the flagship representation (CLIP-L/14-336, the reference's default
-`--vision_tower openai/clip-vit-large-patch14-336`) running the LLaVA feature
-path: ViT trunk to hidden_states[-2], CLS dropped — i.e. exactly what
-training/eval executes per image (`llava/model/multimodal_encoder/
-clip_encoder.py:29-48`) — in bf16 on one TPU chip.
+Headline metric: the flagship representation (CLIP-L/14-336, the
+reference's default `--vision_tower openai/clip-vit-large-patch14-336`)
+running the LLaVA feature path: ViT trunk to hidden_states[-2], CLS
+dropped — i.e. exactly what training/eval executes per image
+(`llava/model/multimodal_encoder/clip_encoder.py:29-48`) — in bf16 on one
+TPU chip.
 
-The reference publishes no throughput numbers (BASELINE.json "published": {});
-`vs_baseline` is measured against an estimated A100 PyTorch eager baseline of
-300 images/sec for HF CLIPVisionModel-336 at batch 64 bf16 (driver target:
->=2x per chip).
+The reference publishes no throughput numbers (BASELINE.json
+"published": {}); `vs_baseline` is measured against an estimated A100
+PyTorch eager baseline of 300 images/sec for HF CLIPVisionModel-336 at
+batch 64 bf16 (driver target: >=2x per chip; the v5e-1 roofline analysis
+in BASELINE.md bounds one chip at ~400 img/s practical).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The single JSON line additionally carries `extra`: XLA-cost-analysis
+TFLOP/s + MFU for the headline, and the SD1.5@768 diffusion featurizer
+(the reference's heaviest tower family) with its own A100-eager basis —
+so the driver-visible BENCH covers more than CLIP (VERDICT r2 #5).
 """
 
 import json
 import time
 
 A100_TORCH_BASELINE_IMG_S = 300.0
+V5E_PEAK_TFLOPS = 197.0
+A100_EAGER_TFLOPS = 0.40 * 312.0     # same basis as benchmarks/run_all.py
 
 
-def main():
+def _cost_flops(jitted, *args):
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def bench_clip(extra):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,14 +72,81 @@ def main():
     for i in range(iters):
         out = fn(variables, px * (1.01 + 0.003 * i))
     _ = float(jnp.sum(out))
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / iters
 
-    img_s = batch * iters / dt
+    flops = _cost_flops(fn, variables, px)
+    if flops:
+        extra["clip_tflops_s"] = round(flops / dt / 1e12, 1)
+        extra["clip_mfu"] = round(flops / dt / 1e12 / V5E_PEAK_TFLOPS, 3)
+    return batch / dt
+
+
+def bench_sd15(extra):
+    """SD1.5@768 featurize (VAE encode + UNet up-0 harvest, b8) — the
+    diffusion-family representative (`dift_sd.py:224-276` workload)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        BF16_TOWER_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.models import (
+        featurizer as F)
+    from law_of_vision_representation_in_mllms_tpu.models import unet as UN
+    from law_of_vision_representation_in_mllms_tpu.models import vae as VA
+
+    prec = BF16_TOWER_PRECISION
+    cfg = F.FEATURIZER_PRESETS["runwayml/stable-diffusion-v1-5"]()
+    batch = 8
+    rng = np.random.RandomState(4)
+    px = jnp.asarray(rng.rand(batch, cfg.img_size, cfg.img_size, 3)
+                     .astype(np.float32) * 2 - 1)
+    lat_hw = cfg.img_size // (2 ** (len(cfg.vae.block_out_channels) - 1))
+    latents = jnp.zeros((1, lat_hw, lat_hw, cfg.vae.latent_channels),
+                        jnp.bfloat16)
+    rng0 = jax.random.PRNGKey(0)
+    params = {"vae": jax.jit(VA.VAEEncoder(cfg.vae, prec).init)(
+        rng0, px[:1])["params"]}
+    mod = UN.UNetHarvest(cfg.unet, (cfg.up_ft_index,), prec)
+    ctx = jnp.zeros((1, 77, cfg.unet.cross_attention_dim), jnp.bfloat16)
+    params["backbone"] = jax.jit(mod.init)(rng0, latents, 1, ctx)["params"]
+    params["prompt_embeds"] = ctx
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    fn = jax.jit(lambda p, x: F.extract_features(
+        p, cfg, x, deterministic=True, precision=prec))
+    float(jnp.sum(fn(params, px).astype(jnp.float32)))
+    float(jnp.sum(fn(params, px * 0.99).astype(jnp.float32)))
+    iters = 4
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(params, px * (1.01 - 0.002 * i))
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / iters
+
+    img_s = batch / dt
+    extra["sd15_featurize_img_s"] = round(img_s, 2)
+    flops = _cost_flops(fn, params, px)
+    if flops:
+        extra["sd15_tflops_s"] = round(flops / dt / 1e12, 1)
+        extra["sd15_mfu"] = round(flops / dt / 1e12 / V5E_PEAK_TFLOPS, 3)
+        a100_est = A100_EAGER_TFLOPS * 1e12 / (flops / batch)
+        extra["sd15_a100_eager_est_img_s"] = round(a100_est, 1)
+        extra["sd15_vs_baseline"] = round(img_s / a100_est, 2)
+
+
+def main():
+    extra = {}
+    img_s = bench_clip(extra)
+    try:
+        bench_sd15(extra)
+    except Exception as e:              # the headline must still print
+        extra["sd15_error"] = type(e).__name__
     print(json.dumps({
         "metric": "clip_l14_336_feature_extraction",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_TORCH_BASELINE_IMG_S, 3),
+        "extra": extra,
     }))
 
 

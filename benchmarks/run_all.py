@@ -34,6 +34,42 @@ def _timed(fn, warm_args, iter_args, fetch):
     return (time.perf_counter() - t0) / len(iter_args)
 
 
+V5E_PEAK_TFLOPS = 197.0          # bf16
+# A100 torch-eager basis (same method as BASELINE.md's CLIP 300 img/s
+# estimate): torch eager inference lands at ~40% of the A100's 312 TFLOP/s
+# bf16 peak on conv/attention backbones => per-family baseline img/s =
+# 125 TFLOP/s / (FLOPs per image from XLA cost analysis).
+A100_EAGER_TFLOPS = 0.40 * 312.0
+
+
+def _cost_flops(jitted, *args):
+    """Total FLOPs of one call via XLA cost analysis (None on failure)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _perf_fields(rec, flops_per_call, dt, imgs_per_call=None):
+    """Attach tflops_s / mfu / vs_baseline to a throughput record
+    (VERDICT r2 #5: per-family accounting, not just CLIP)."""
+    if not flops_per_call:
+        return rec
+    tflops_s = flops_per_call / dt / 1e12
+    rec["tflops_s"] = round(tflops_s, 1)
+    rec["mfu"] = round(tflops_s / V5E_PEAK_TFLOPS, 3)
+    if imgs_per_call and rec.get("unit", "").startswith("images/sec"):
+        flops_per_img = flops_per_call / imgs_per_call
+        a100_est = A100_EAGER_TFLOPS * 1e12 / flops_per_img
+        rec["a100_eager_est_img_s"] = round(a100_est, 1)
+        rec["vs_baseline"] = round(rec["value"] / a100_est, 2)
+    return rec
+
+
 def bench_towers(results, quick=False):
     import jax
     import jax.numpy as jnp
@@ -65,9 +101,11 @@ def bench_towers(results, quick=False):
         dt = _timed(lambda p: fn(v, p), (px,),
                     [(px * (1.01 + 0.003 * i),) for i in range(iters)],
                     lambda o: float(jnp.sum(o)))
-        results.append({"metric": f"tower_throughput/{name}",
-                        "value": round(batch / dt, 2),
-                        "unit": "images/sec/chip"})
+        results.append(_perf_fields(
+            {"metric": f"tower_throughput/{name}",
+             "value": round(batch / dt, 2),
+             "unit": "images/sec/chip"},
+            _cost_flops(fn, v, px), dt, imgs_per_call=batch))
 
 
 def bench_diffusion(results, quick=False):
@@ -134,10 +172,12 @@ def bench_diffusion(results, quick=False):
         dt = _timed(lambda x: fn(params, x), (px,),
                     [(px * (1.01 - 0.002 * i),) for i in range(iters)],
                     lambda o: float(jnp.sum(o.astype(jnp.float32))))
-        results.append({"metric": f"diffusion_featurize/{short}",
-                        "value": round(batch / dt, 2),
-                        "unit": "images/sec/chip",
-                        "img_size": cfg.img_size})
+        results.append(_perf_fields(
+            {"metric": f"diffusion_featurize/{short}",
+             "value": round(batch / dt, 2),
+             "unit": "images/sec/chip",
+             "img_size": cfg.img_size},
+            _cost_flops(fn, params, px), dt, imgs_per_call=batch))
 
 
 def bench_a_score(results, quick=False):
@@ -327,8 +367,12 @@ def bench_train(results, quick=False):
                 [(px * (1.01 + 0.01 * i),) for i in range(iters)],
                 lambda m: float(m["loss"]))
     toks = b * (l - 1 + cfg.num_patches)   # spliced sequence length
-    results.append({"metric": "llava_1p4b_stage1_train_tok_s",
-                    "value": round(toks / dt, 1), "unit": "tokens/sec/chip"})
+    batch0 = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+              "text_mask": jnp.ones((b, l), bool), "pixel_values": [px]}
+    results.append(_perf_fields(
+        {"metric": "llava_1p4b_stage1_train_tok_s",
+         "value": round(toks / dt, 1), "unit": "tokens/sec/chip"},
+        _cost_flops(step, state, batch0), dt))
 
     # stage-2 full finetune (decoder+projector train, tower frozen) — the
     # reference's finetune.sh workload. Same shapes; bf16 AdamW moments
@@ -348,9 +392,11 @@ def bench_train(results, quick=False):
     dt2 = _timed(one2, (px,),
                  [(px * (1.02 + 0.01 * i),) for i in range(iters)],
                  lambda m: float(m["loss"]))
-    results.append({"metric": "llava_1p4b_stage2_train_tok_s",
-                    "value": round(toks / dt2, 1),
-                    "unit": "tokens/sec/chip"})
+    results.append(_perf_fields(
+        {"metric": "llava_1p4b_stage2_train_tok_s",
+         "value": round(toks / dt2, 1),
+         "unit": "tokens/sec/chip"},
+        _cost_flops(step2, state2, batch0), dt2))
 
 
 def bench_decode_7b(results, quick=False):

@@ -82,6 +82,20 @@ def main(argv=None):
                         "for --set model.gen_backend=...; all three are "
                         "greedy-equivalent)")
 
+    p = sub.add_parser("sam-masks",
+                       help="GeoAware foreground masks via box-prompted "
+                            "SAM (preprocess_mask_sam.py equivalent)")
+    p.add_argument("--snapshot", required=True,
+                   help="local HF facebook/sam-vit-{base,large,huge} "
+                        "snapshot dir")
+    p.add_argument("--images", required=True,
+                   help="JPEGImages root (ImageAnnotation sibling "
+                        "holds the bbox jsons)")
+    p.add_argument("--anno-size", type=int, default=960)
+    p.add_argument("--spair", action="store_true",
+                   help="annotations use SPair 'bndbox' corners")
+    p.add_argument("--limit", type=int)
+
     p = sub.add_parser("generate",
                        help="one-shot inference: image + prompt -> answer "
                             "(run_llava.py equivalent)")
@@ -483,6 +497,26 @@ def _cmd_merge_results(args):
     return 0
 
 
+def _cmd_sam_masks(args):
+    """`C_score/preprocess_mask_sam.py` as a CLI over the TPU-native SAM:
+    the HF snapshot is ported in-memory (host-side torch load), then each
+    image's annotation box prompts one jitted segment call."""
+    import jax.numpy as jnp
+    import jax
+    from transformers import SamConfig as HFSamConfig
+    from .io.hf_port import port_sam, sam_config_from_hf
+    from .io.port_cli import load_torch_state_dict
+    from .pipeline.sam_masks import run_sam_masks
+    hf_cfg = HFSamConfig.from_pretrained(args.snapshot)
+    cfg = sam_config_from_hf(hf_cfg)
+    sd = load_torch_state_dict(args.snapshot)
+    params = jax.tree.map(jnp.asarray, port_sam(sd, cfg))
+    n = run_sam_masks(params, cfg, args.images, anno_size=args.anno_size,
+                      spair=args.spair, limit=args.limit)
+    print(f"wrote masks for {n} images", file=sys.stderr)
+    return 0
+
+
 def _cmd_generate(args):
     """One-shot inference (`llava/eval/run_llava.py:1-100` eval_model):
     template-rendered prompt + one image through the production adapter;
@@ -560,6 +594,7 @@ DISPATCH = {
     "eval": _cmd_eval,
     "serve": _cmd_serve,
     "generate": _cmd_generate,
+    "sam-masks": _cmd_sam_masks,
     "apply-delta": _cmd_apply_delta,
     "make-delta": _cmd_make_delta,
     "consolidate": _cmd_consolidate,

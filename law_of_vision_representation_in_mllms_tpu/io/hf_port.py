@@ -213,3 +213,141 @@ def port_clip_vision_pooled(state_dict, cfg) -> Dict:
     params["post_ln"] = _ln(sd, "vision_model.post_layernorm")
     params["visual_projection"] = _t(sd, "visual_projection.weight").T
     return params
+
+
+def sam_config_from_hf(hf_cfg) -> "SamConfig":
+    """Build a models.sam.SamConfig from a transformers SamConfig."""
+    from ..models.sam import SamConfig, SamVisionCfg
+    v = hf_cfg.vision_config
+    return SamConfig(
+        vision=SamVisionCfg(
+            image_size=v.image_size, patch_size=v.patch_size,
+            hidden_size=v.hidden_size, num_layers=v.num_hidden_layers,
+            num_heads=v.num_attention_heads, mlp_dim=v.mlp_dim,
+            out_chans=v.output_channels, window_size=v.window_size,
+            global_attn_indexes=tuple(v.global_attn_indexes),
+            layer_norm_eps=v.layer_norm_eps),
+        prompt_hidden=hf_cfg.prompt_encoder_config.hidden_size,
+        num_pos_feats=v.num_pos_feats,
+        decoder_heads=hf_cfg.mask_decoder_config.num_attention_heads,
+        decoder_layers=hf_cfg.mask_decoder_config.num_hidden_layers,
+        decoder_mlp_dim=hf_cfg.mask_decoder_config.mlp_dim,
+        iou_head_hidden=hf_cfg.mask_decoder_config.iou_head_hidden_dim,
+        iou_head_depth=hf_cfg.mask_decoder_config.iou_head_depth,
+        num_multimask_outputs=hf_cfg.mask_decoder_config
+        .num_multimask_outputs,
+        input_image_size=hf_cfg.prompt_encoder_config.image_size)
+
+
+def port_sam(state_dict, cfg) -> Dict:
+    """transformers.SamModel -> models.sam params (golden: tests/test_sam).
+
+    Name map per `modeling_sam.py`: vision_encoder.* (rel-pos windowed
+    ViT + neck), prompt_encoder.* (fourier PE + corner/point embeddings),
+    mask_decoder.* (two-way transformer + upscale + hypernetwork MLPs).
+    """
+    sd = state_dict
+    v = cfg.vision
+    p = v.patch_size
+
+    def lin(prefix):
+        out = {"w": _t(sd, prefix + ".weight").T}
+        if prefix + ".bias" in sd:
+            out["b"] = _t(sd, prefix + ".bias")
+        return out
+
+    def ln(prefix):
+        return {"w": _t(sd, prefix + ".weight"),
+                "b": _t(sd, prefix + ".bias")}
+
+    vision = {
+        # conv [C,3,P,P] -> (kh,kw,c)-flattened matmul kernel
+        "patch_w": _t(sd, "vision_encoder.patch_embed.projection.weight"
+                      ).transpose(2, 3, 1, 0).reshape(p * p * 3,
+                                                      v.hidden_size),
+        "patch_b": _t(sd, "vision_encoder.patch_embed.projection.bias"),
+        "pos_embed": _t(sd, "vision_encoder.pos_embed"),
+        "neck_conv1": _t(sd, "vision_encoder.neck.conv1.weight"
+                         )[:, :, 0, 0].T,
+        "neck_ln1": ln("vision_encoder.neck.layer_norm1"),
+        "neck_conv2": _t(sd, "vision_encoder.neck.conv2.weight"
+                         ).transpose(2, 3, 1, 0),
+        "neck_ln2": ln("vision_encoder.neck.layer_norm2"),
+        "layers": [],
+    }
+    for i in range(v.num_layers):
+        pre = f"vision_encoder.layers.{i}"
+        vision["layers"].append({
+            "ln1": ln(pre + ".layer_norm1"),
+            "ln2": ln(pre + ".layer_norm2"),
+            "attn": {
+                "qkv": lin(pre + ".attn.qkv"),
+                "proj": lin(pre + ".attn.proj"),
+                "rel_pos_h": _t(sd, pre + ".attn.rel_pos_h"),
+                "rel_pos_w": _t(sd, pre + ".attn.rel_pos_w"),
+            },
+            "mlp1": lin(pre + ".mlp.lin1"),
+            "mlp2": lin(pre + ".mlp.lin2"),
+        })
+
+    prompt = {
+        "point_embed": np.stack(
+            [_t(sd, f"prompt_encoder.point_embed.{i}.weight")[0]
+             for i in range(4)]),
+        "not_a_point": _t(sd, "prompt_encoder.not_a_point_embed.weight")[0],
+        "no_mask": _t(sd, "prompt_encoder.no_mask_embed.weight")[0],
+    }
+
+    def sam_attn(prefix):
+        return {"q": lin(prefix + ".q_proj"), "k": lin(prefix + ".k_proj"),
+                "v": lin(prefix + ".v_proj"),
+                "out": lin(prefix + ".out_proj")}
+
+    def ffw(prefix, depth):
+        return {"in": lin(prefix + ".proj_in"),
+                "mid": [lin(f"{prefix}.layers.{j}")
+                        for j in range(depth - 2)],
+                "out": lin(prefix + ".proj_out")}
+
+    n_mask_tokens = cfg.num_multimask_outputs + 1
+    decoder = {
+        "iou_token": _t(sd, "mask_decoder.iou_token.weight")[0],
+        "mask_tokens": _t(sd, "mask_decoder.mask_tokens.weight"),
+        "layers": [],
+        "final_t2i": sam_attn(
+            "mask_decoder.transformer.final_attn_token_to_image"),
+        "final_ln": ln("mask_decoder.transformer.layer_norm_final_attn"),
+        # ConvTranspose2d [in, out, kh, kw] -> HWOI for
+        # lax.conv_transpose(transpose_kernel=True) with HWIO numbers
+        "up1_w": _t(sd, "mask_decoder.upscale_conv1.weight"
+                    ).transpose(2, 3, 1, 0),
+        "up1_b": _t(sd, "mask_decoder.upscale_conv1.bias"),
+        "up_ln": ln("mask_decoder.upscale_layer_norm"),
+        "up2_w": _t(sd, "mask_decoder.upscale_conv2.weight"
+                    ).transpose(2, 3, 1, 0),
+        "up2_b": _t(sd, "mask_decoder.upscale_conv2.bias"),
+        "hyper": [ffw(f"mask_decoder.output_hypernetworks_mlps.{i}", 3)
+                  for i in range(n_mask_tokens)],
+        "iou_head": ffw("mask_decoder.iou_prediction_head",
+                        cfg.iou_head_depth),
+    }
+    for i in range(cfg.decoder_layers):
+        pre = f"mask_decoder.transformer.layers.{i}"
+        decoder["layers"].append({
+            "self_attn": sam_attn(pre + ".self_attn"),
+            "t2i": sam_attn(pre + ".cross_attn_token_to_image"),
+            "i2t": sam_attn(pre + ".cross_attn_image_to_token"),
+            "ln1": ln(pre + ".layer_norm1"),
+            "ln2": ln(pre + ".layer_norm2"),
+            "ln3": ln(pre + ".layer_norm3"),
+            "ln4": ln(pre + ".layer_norm4"),
+            "mlp1": lin(pre + ".mlp.lin1"),
+            "mlp2": lin(pre + ".mlp.lin2"),
+        })
+
+    return {
+        "pe": _t(sd, "shared_image_embedding.positional_embedding"),
+        "vision": vision,
+        "prompt": prompt,
+        "decoder": decoder,
+    }
