@@ -13,6 +13,13 @@ PyTorch eager baseline of 300 images/sec for HF CLIPVisionModel-336 at
 batch 64 bf16 (driver target: >=2x per chip; the v5e-1 roofline analysis
 in BASELINE.md bounds one chip at ~400 img/s practical).
 
+The headline runs the no-max fused-exp softmax attention
+(`attn_impl="xla_expclamp"`, round-3: +11% over exact-XLA attention by
+keeping the pre-exp logits out of HBM) and GATES itself on an
+equivalence check against the exact-softmax path on the same workload
+(`extra.expclamp_max_rel_dev`); the exact path's throughput is reported
+alongside (`extra.clip_exact_softmax_img_s`).
+
 The single JSON line additionally carries `extra`: XLA-cost-analysis
 TFLOP/s + MFU for the headline, and the SD1.5@768 diffusion featurizer
 (the reference's heaviest tower family) with its own A100-eager basis —
@@ -39,6 +46,7 @@ def _cost_flops(jitted, *args):
 
 
 def bench_clip(extra):
+    import dataclasses
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,8 +58,16 @@ def bench_clip(extra):
     # full-bf16 incl. attention softmax — the reference towers run fp16
     prec = BF16_TOWER_PRECISION
     cfg = VIT_PRESETS["openai/clip-vit-large-patch14-336"]()
-    tower = ViTTower(cfg, select_layer=-2, select_feature="patch",
+    # HEADLINE path: the no-max fused-exp softmax (attn_impl
+    # "xla_expclamp"), the fastest measured production configuration
+    # (+11% over exact-XLA attention; ops/attention.mha_expnomax
+    # documents the exactness condition and this bench VERIFIES
+    # equivalence against the exact path on its own workload below).
+    tower = ViTTower(dataclasses.replace(cfg, attn_impl="xla_expclamp"),
+                     select_layer=-2, select_feature="patch",
                      precision=prec)
+    tower_exact = ViTTower(cfg, select_layer=-2, select_feature="patch",
+                           precision=prec)
 
     batch = 64
     rng = np.random.RandomState(0)
@@ -61,18 +77,33 @@ def bench_clip(extra):
     variables = jax.tree.map(lambda x: x.astype(jnp.bfloat16), variables)
 
     fn = jax.jit(lambda v, p: tower.apply(v, p))
+    fn_exact = jax.jit(lambda v, p: tower_exact.apply(v, p))
     # Through the axon relay, execution is deferred until data is fetched
     # (block_until_ready is not sufficient) — force a scalar fetch each call
     # and vary inputs so nothing is dispatch-cached.
     float(jnp.sum(fn(variables, px)))              # compile + warm
     float(jnp.sum(fn(variables, px * 1.5)))        # warm relay path
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(variables, px * (1.01 + 0.003 * i))
-    _ = float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / iters
+    # equivalence gate: the headline path must match the exact-softmax
+    # path on this workload (both bf16; differences are bf16 rounding)
+    a = np.asarray(fn(variables, px), np.float32)
+    b = np.asarray(fn_exact(variables, px), np.float32)
+    denom = max(1e-6, float(np.std(b)))
+    rel_dev = float(np.max(np.abs(a - b))) / denom
+    extra["expclamp_max_rel_dev"] = round(rel_dev, 4)
+    assert rel_dev < 0.05, f"expclamp deviates from exact path: {rel_dev}"
+
+    def timed(f):
+        t0 = time.perf_counter()
+        iters = 10
+        for i in range(iters):
+            out = f(variables, px * (1.01 + 0.003 * i))
+        _ = float(jnp.sum(out))
+        return (time.perf_counter() - t0) / iters
+
+    dt = timed(fn)
+    float(jnp.sum(fn_exact(variables, px * 1.3)))  # warm exact
+    extra["clip_exact_softmax_img_s"] = round(batch / timed(fn_exact), 2)
 
     flops = _cost_flops(fn, variables, px)
     if flops:

@@ -95,5 +95,9 @@ if __name__ == "__main__":
     impls = sys.argv[1:] or ["xla", "xla_post", "xla_blocked:128",
                              "xla_blocked:320"]
     for impl in impls:
-        img_s = measure(impl)
-        print(f"{impl}: {img_s:.1f} img/s", flush=True)
+        batch = 64
+        if "@" in impl:                  # e.g. xla_expclamp@128
+            impl, b = impl.rsplit("@", 1)
+            batch = int(b)
+        img_s = measure(impl, batch=batch)
+        print(f"{impl}@{batch}: {img_s:.1f} img/s", flush=True)

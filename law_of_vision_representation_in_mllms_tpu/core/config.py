@@ -47,6 +47,11 @@ class ModelSection:
     gen_backend: str = "greedy"
     decode_chunk: int = 16                 # chunk size for gen_backend=chunked
     draft_len: int = 8                     # draft length for speculative
+    # ViT-tower attention impl override (None = measured per-backend
+    # default). "xla_expclamp" is the fastest CLIP-336 path on v5e
+    # (+11% end-to-end); exact while attention logits stay under 85 —
+    # ops/attention.mha_expnomax documents the condition.
+    tower_attn_impl: Optional[str] = None
     checkpoint: Optional[str] = None       # orbax train-state dir
     tokenizer: Optional[str] = None        # HF tokenizer path (host-side)
     # ported tower weights, one path per tower-spec entry ('' = skip).

@@ -21,6 +21,21 @@ from ..core.precision import Precision, DEFAULT_PRECISION
 from ..ops.attention import mha
 
 
+def _attn(q, k, v, accum_dtype):
+    """UNet/transformer attention dispatch. LVR_DIFFUSION_ATTN=
+    xla_expclamp opts the diffusion towers into the no-max fused-exp
+    softmax (ops.attention.mha_expnomax — the round-3 ViT winner; the
+    UNet's seq<=2304 self-attentions have the same logits-HBM profile).
+    Default stays the exact softmax. Read at trace time, so flipping the
+    env var requires a fresh jit (process) — benchmark-measured in
+    benchmarks/run_all.py."""
+    import os
+    if os.environ.get("LVR_DIFFUSION_ATTN") == "xla_expclamp":
+        from ..ops.attention import mha_expnomax
+        return mha_expnomax(q, k, v, accum_dtype=accum_dtype)
+    return mha(q, k, v, accum_dtype=accum_dtype)
+
+
 def timestep_embedding(timesteps, dim: int, *, flip_sin_to_cos: bool = True,
                        freq_shift: float = 0.0, max_period: float = 10000.0):
     """Sinusoidal timestep embedding (`embeddings.py get_timestep_embedding`).
@@ -187,7 +202,7 @@ class CrossAttention(nn.Module):
         if self.upcast:
             q, k, v = q.astype(jnp.float32), k.astype(jnp.float32), \
                 v.astype(jnp.float32)
-        o = mha(q, k, v, accum_dtype=prec.accum_dtype).astype(cd)
+        o = _attn(q, k, v, prec.accum_dtype).astype(cd)
         return dense(self.query_dim, "to_out", True)(o.reshape(b, s, inner))
 
 

@@ -91,6 +91,43 @@ def mha_post(q, k, v, *, bias=None, mask=None, scale: float | None = None,
     return (out.astype(jnp.float32) / den).astype(q.dtype)
 
 
+def mha_expnomax(q, k, v, *, scale: float | None = None, clamp: float = 85.0,
+                 accum_dtype=jnp.float32):
+    """No-max softmax attention — the fastest measured CLIP-336 path on
+    v5e (310 vs 278 img/s for `mha`, benchmarks/README.md round-3 log).
+
+    softmax(s) = exp(s)/Σexp(s) computed DIRECTLY: skipping the row-max
+    subtraction removes the max reduction's full read pass over the
+    [B,H,Sq,Skv] logits AND lets XLA fuse the exp into the QK dot's output
+    fusion, so the pre-exp logits never reach HBM. Max subtraction is a
+    numerical-stability device, not part of the math: for any row whose
+    logits stay below `clamp` the result is exactly as accurate as the
+    max-subtracted bf16 path (bf16/fp32 share an 8-bit exponent, so large
+    magnitudes cost no mantissa), and exp stays in range (overflow at
+    ~88.7). Rows exceeding `clamp` saturate toward a uniform distribution
+    over their clamped entries — 85 leaves >25 of headroom over the
+    largest attention logits reported for ViT-L-class models; bench.py
+    asserts exact equality against `mha` on its workload. Opt in via
+    ViTConfig.attn_impl="xla_expclamp" / model.tower_attn_impl.
+
+    An all-underflowed row (every logit < ~-87) would yield l=0; the
+    denominator floor turns that into zeros instead of NaNs.
+    """
+    *_, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=accum_dtype)
+    logits = logits * jnp.asarray(scale, accum_dtype)
+    p = jnp.exp(jnp.minimum(logits, jnp.asarray(clamp, accum_dtype)))
+    l = jnp.sum(p.astype(jnp.float32), axis=-1)            # [B,H,Sq] fp32
+    l = jnp.maximum(l, 1e-35)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                     preferred_element_type=accum_dtype)
+    den = jnp.transpose(l, (0, 2, 1))[..., None]           # [B,Sq,H,1]
+    return (out.astype(jnp.float32) / den).astype(q.dtype)
+
+
 def mha_blocked(q, k, v, *, scale: float | None = None, block_k: int = 128,
                 accum_dtype=jnp.float32, unroll: bool = True):
     """K-blocked online-softmax attention in pure XLA ops (non-causal).

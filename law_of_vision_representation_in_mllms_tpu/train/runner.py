@@ -48,6 +48,15 @@ def build_model(cfg: RunConfig, rng=None):
     if cfg.model.img_size:
         tower_kw["img_size"] = cfg.model.img_size
     spec = parse_tower_spec(cfg.model.vision_tower, **tower_kw)
+    if cfg.model.tower_attn_impl:
+        # e.g. xla_expclamp — the measured-fastest CLIP path (opt-in;
+        # ops.attention.mha_expnomax documents the exactness condition)
+        spec = dataclasses.replace(spec, entries=[
+            dataclasses.replace(
+                e, vit_config=dataclasses.replace(
+                    e.vit_config, attn_impl=cfg.model.tower_attn_impl))
+            if e.kind == "vit" else e
+            for e in spec.entries])
 
     # ported tower weights (model.tower_weights, one path per entry).
     # Diffusion bundles carry their architecture in the .json sidecar; the

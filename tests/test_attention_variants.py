@@ -114,3 +114,48 @@ def test_mha_post_grad_matches_mha():
     for a, b_ in zip(g_ref, g_post):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_mha_expnomax_matches_mha():
+    """No-max softmax is EXACT (to bf16-equivalent tolerance) whenever
+    logits stay under the clamp — here fp32 random logits are ~N(0, 4)."""
+    from law_of_vision_representation_in_mllms_tpu.ops.attention import (
+        mha_expnomax)
+    rng = np.random.RandomState(7)
+    for (b, s, h, d) in SHAPES:
+        q, k, v = _qkv(rng, b, s, h, d)
+        np.testing.assert_allclose(
+            np.asarray(mha_expnomax(q, k, v)), np.asarray(mha(q, k, v)),
+            atol=2e-5, rtol=1e-4)
+
+
+def test_mha_expnomax_clamp_and_underflow_guards():
+    from law_of_vision_representation_in_mllms_tpu.ops.attention import (
+        mha_expnomax)
+    rng = np.random.RandomState(8)
+    b, s, h, d = 1, 8, 1, 4
+    q, k, v = _qkv(rng, b, s, h, d)
+    # logits driven far above the clamp: output stays FINITE (saturates
+    # toward uniform-over-clamped rather than inf/nan)
+    big = mha_expnomax(q * 300.0, k * 300.0, v, clamp=85.0)
+    assert np.isfinite(np.asarray(big)).all()
+    # an all-underflow row (uniformly huge negative logits): zeros, not NaN
+    qq = jnp.ones((b, s, h, d), jnp.float32) * 200.0
+    kk = -jnp.ones((b, s, h, d), jnp.float32) * 200.0
+    out = mha_expnomax(qq, kk, v)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vit_tower_attn_impl_plumbing():
+    """model.tower_attn_impl reaches the ViT config through build_model."""
+    from law_of_vision_representation_in_mllms_tpu.core.config import (
+        RunConfig)
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        build_model)
+    cfg = RunConfig.from_dict({
+        "model": {"vision_tower": "debug/tiny-vit", "decoder": "tiny",
+                  "tower_attn_impl": "xla_expclamp"},
+        "train": {"bf16": False}})
+    model_cfg, _params = build_model(cfg)
+    assert model_cfg.tower_spec.entries[0].vit_config.attn_impl == \
+        "xla_expclamp"
