@@ -172,12 +172,27 @@ def bench_diffusion(results, quick=False):
         dt = _timed(lambda x: fn(params, x), (px,),
                     [(px * (1.01 - 0.002 * i),) for i in range(iters)],
                     lambda o: float(jnp.sum(o.astype(jnp.float32))))
-        results.append(_perf_fields(
+        rec = _perf_fields(
             {"metric": f"diffusion_featurize/{short}",
              "value": round(batch / dt, 2),
              "unit": "images/sec/chip",
              "img_size": cfg.img_size},
-            _cost_flops(fn, params, px), dt, imgs_per_call=batch))
+            _cost_flops(fn, params, px), dt, imgs_per_call=batch)
+        if "stable-diffusion-v1-5" in name:
+            # round-3 ViT winner applied to the UNet attentions
+            # (diffusion_blocks._attn): measure the opt-in path too
+            os.environ["LVR_DIFFUSION_ATTN"] = "xla_expclamp"
+            try:
+                fn2 = jax.jit(lambda p, x: F.extract_features(
+                    p, cfg, x, deterministic=True, precision=prec))
+                dt2 = _timed(
+                    lambda x: fn2(params, x), (px,),
+                    [(px * (1.02 - 0.002 * i),) for i in range(iters)],
+                    lambda o: float(jnp.sum(o.astype(jnp.float32))))
+                rec["expclamp_img_s"] = round(batch / dt2, 2)
+            finally:
+                del os.environ["LVR_DIFFUSION_ATTN"]
+        results.append(rec)
 
 
 def bench_a_score(results, quick=False):
