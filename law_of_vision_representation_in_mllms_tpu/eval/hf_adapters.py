@@ -239,7 +239,153 @@ class QwenVLLMM(LMM):
         return out
 
 
+class MiniCPMVLMM(LMM):
+    """`lmms_eval/models/minicpm_v.py:182-215` parity: '<image>' stripped,
+    single image via the checkpoint's `model.chat(image=..., msgs=[user],
+    context=None, tokenizer=..., sampling=False)` remote-code API."""
+
+    def __init__(self, pretrained: str | None = None,
+                 max_new_tokens: int = 1024, model=None, tokenizer=None,
+                 **_):
+        if model is not None:
+            self.model, self.tokenizer = model, tokenizer
+        else:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                pretrained, trust_remote_code=True)
+            self.model = AutoModel.from_pretrained(
+                pretrained, torch_dtype=torch.float32,
+                trust_remote_code=True).eval()
+        self.max_new_tokens = max_new_tokens
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        out = []
+        for r in requests:
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            context = r.args[0].replace(IMAGE_TOKEN, "").strip()
+            response, _ctx, _ = self.model.chat(
+                image=r.visual[0] if r.visual else None,
+                msgs=[{"role": "user", "content": context}],
+                context=None, tokenizer=self.tokenizer, sampling=False,
+                temperature=0,
+                max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                              self.max_new_tokens))
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in response:
+                    response = response.split(stop)[0]
+            out.append(response.strip())
+        return out
+
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        raise NotImplementedError(
+            "minicpm_v exposes only the chat API (the reference adapter "
+            "has the same limitation, `minicpm_v.py:120-140`)")
+
+
+class Phi3VLMM(HFVision2SeqLMM):
+    """`lmms_eval/models/phi3v.py:180-230` parity: '<image>' becomes
+    '<|image_1|>' (prepended when absent), chat template applied, one
+    image per prompt through the remote-code processor."""
+
+    def __init__(self, pretrained: str, max_new_tokens: int = 1024, **_):
+        import torch
+        from transformers import AutoModelForCausalLM, AutoProcessor
+        self.processor = AutoProcessor.from_pretrained(
+            pretrained, trust_remote_code=True)
+        self.model = AutoModelForCausalLM.from_pretrained(
+            pretrained, torch_dtype=torch.float32,
+            trust_remote_code=True).eval()
+        self.max_new_tokens = max_new_tokens
+
+    def _format(self, context: str) -> str:
+        if IMAGE_TOKEN in context:
+            query = context.replace(IMAGE_TOKEN, "<|image_1|>")
+        else:
+            query = f"<|image_1|>\n{context}"
+        tok = getattr(self.processor, "tokenizer", self.processor)
+        return tok.apply_chat_template(
+            [{"role": "user", "content": query}], tokenize=False,
+            add_generation_prompt=True)
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        import torch
+        out = []
+        for r in requests:
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            inputs = self.processor(
+                text=self._format(r.args[0]),
+                images=[r.visual[0]] if r.visual else None,
+                return_tensors="pt")
+            with torch.no_grad():
+                ids = self.model.generate(
+                    **inputs, do_sample=False,
+                    max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                                  self.max_new_tokens))
+            ans = self.processor.batch_decode(
+                ids[:, inputs["input_ids"].shape[1]:],
+                skip_special_tokens=True)[0].strip()
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in ans:
+                    ans = ans.split(stop)[0]
+            out.append(ans.strip())
+        return out
+
+
+class XComposer2LMM(LMM):
+    """`lmms_eval/models/xcomposer2_4KHD.py:142-200` parity: the
+    [UNUSED_TOKEN_146]user/assistant wrapper, then the checkpoint's own
+    chat API (its remote code owns the HD patch transform the reference
+    re-implements inline)."""
+
+    TMPL = ("[UNUSED_TOKEN_146]user\n{q}[UNUSED_TOKEN_145]\n"
+            "[UNUSED_TOKEN_146]assistant\n")
+
+    def __init__(self, pretrained: str | None = None,
+                 max_new_tokens: int = 1024, model=None, tokenizer=None,
+                 **_):
+        if model is not None:
+            self.model, self.tokenizer = model, tokenizer
+        else:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                pretrained, trust_remote_code=True)
+            self.model = AutoModel.from_pretrained(
+                pretrained, torch_dtype=torch.float32,
+                trust_remote_code=True).eval()
+        self.max_new_tokens = max_new_tokens
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        out = []
+        for r in requests:
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            context = r.args[0].replace(IMAGE_TOKEN, "").strip()
+            if "[UNUSED_TOKEN_146]" not in context:
+                context = self.TMPL.format(q=context)
+            response, _ = self.model.chat(
+                self.tokenizer, query=context,
+                image=r.visual[0] if r.visual else None,
+                do_sample=False,
+                max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                              self.max_new_tokens))
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in response:
+                    response = response.split(stop)[0]
+            out.append(response.strip())
+        return out
+
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        raise NotImplementedError(
+            "xcomposer2 exposes only the chat API (the reference adapter "
+            "scores generate-only tasks)")
+
+
 # named registrations override the generic aliases
 LMM_REGISTRY["llava_hf"] = LlavaHFLMM
 LMM_REGISTRY["instructblip"] = InstructBlipLMM
 LMM_REGISTRY["qwen_vl"] = QwenVLLMM
+LMM_REGISTRY["minicpm_v"] = MiniCPMVLMM
+LMM_REGISTRY["phi3v"] = Phi3VLMM
+LMM_REGISTRY["xcomposer2_4khd"] = XComposer2LMM
+LMM_REGISTRY["xcomposer2"] = XComposer2LMM

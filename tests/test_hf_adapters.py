@@ -206,3 +206,83 @@ def test_named_adapters_registered():
     assert LMM_REGISTRY["llava_hf"] is hf_adapters.LlavaHFLMM
     assert LMM_REGISTRY["instructblip"] is hf_adapters.InstructBlipLMM
     assert LMM_REGISTRY["qwen_vl"] is hf_adapters.QwenVLLMM
+
+
+def test_minicpm_v_protocol():
+    from law_of_vision_representation_in_mllms_tpu.eval.hf_adapters import (
+        MiniCPMVLMM)
+    calls = {}
+
+    class FakeModel:
+        def chat(self, image=None, msgs=None, context=None, tokenizer=None,
+                 sampling=None, temperature=None, max_new_tokens=None):
+            calls.update(msgs=msgs, sampling=sampling, image=image,
+                         max_new_tokens=max_new_tokens)
+            return "a dog!", context, None
+
+    lmm = MiniCPMVLMM(model=FakeModel(), tokenizer=object())
+    out = lmm.generate_until([Instance(
+        "generate_until", {}, 0, "t",
+        ("<image>\nwhat animal?", {"until": ["!"],
+                                   "max_new_tokens": 7}), [_img()])])
+    assert out == ["a dog"]
+    assert calls["msgs"] == [{"role": "user", "content": "what animal?"}]
+    assert calls["sampling"] is False and calls["max_new_tokens"] == 7
+    assert calls["image"] is not None
+    with pytest.raises(NotImplementedError):
+        lmm.loglikelihood([])
+
+
+def test_xcomposer2_protocol():
+    from law_of_vision_representation_in_mllms_tpu.eval.hf_adapters import (
+        XComposer2LMM)
+    calls = {}
+
+    class FakeModel:
+        def chat(self, tok, query=None, image=None, do_sample=None,
+                 max_new_tokens=None):
+            calls.update(query=query, do_sample=do_sample)
+            return "blue.", None
+
+    lmm = XComposer2LMM(model=FakeModel(), tokenizer=object())
+    out = lmm.generate_until([Instance(
+        "generate_until", {}, 0, "t", ("what color?", {}), [_img()])])
+    assert out == ["blue."]
+    assert calls["query"].startswith("[UNUSED_TOKEN_146]user\nwhat color?")
+    assert calls["query"].endswith("[UNUSED_TOKEN_146]assistant\n")
+    assert calls["do_sample"] is False
+
+
+def test_phi3v_format():
+    """Prompt shaping without the remote-code checkpoint: the format
+    method is the adapter's protocol surface."""
+    from law_of_vision_representation_in_mllms_tpu.eval.hf_adapters import (
+        Phi3VLMM)
+
+    class FakeTok:
+        def apply_chat_template(self, messages, tokenize=False,
+                                add_generation_prompt=True):
+            assert messages[0]["role"] == "user"
+            return f"<|user|>{messages[0]['content']}<|assistant|>"
+
+    lmm = Phi3VLMM.__new__(Phi3VLMM)
+
+    class P:
+        tokenizer = FakeTok()
+    lmm.processor = P()
+    assert lmm._format("<image>\nwhat?") == \
+        "<|user|><|image_1|>\nwhat?<|assistant|>"
+    assert lmm._format("no tag here") == \
+        "<|user|><|image_1|>\nno tag here<|assistant|>"
+
+
+def test_all_fork_adapters_registered():
+    from law_of_vision_representation_in_mllms_tpu.eval import hf_adapters  # noqa: F401
+    from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
+        LMM_REGISTRY)
+    # the fork's full local-adapter surface (`lmms_eval/models/`)
+    for name in ("llava_hf", "instructblip", "qwen_vl", "fuyu",
+                 "idefics2", "minicpm_v", "phi3v", "xcomposer2_4khd",
+                 "gpt4v", "qwen-vl-api", "openai-api", "llava",
+                 "hf-vision2seq"):
+        assert name in LMM_REGISTRY, name
