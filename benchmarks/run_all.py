@@ -552,7 +552,8 @@ def bench_decode_7b(results, quick=False):
         results.append({
             "metric": "vicuna7b_decode_chunked_tok_s", "value": None,
             "unit": "tokens/sec", "chunk": chunk,
-            "note": f"chunked scan failed to compile: {type(e).__name__}"})
+            "note": ("chunked scan failed to compile: "
+                     f"{type(e).__name__}: {str(e)[:300]}")})
 
 
 def bench_speculative(results, quick=False):
