@@ -441,8 +441,7 @@ def bench_decode_7b(results, quick=False):
     rng = np.random.RandomState(3)
     ids = jnp.asarray(rng.randint(1, 32000, size=(b, l)).astype(np.int32))
 
-    @jax.jit
-    def prefill(p, i):
+    def _prefill(p, i):
         cache = llama.init_cache(cfg, b, t_max, jnp.bfloat16)
         pos = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
         valid = jnp.concatenate(
@@ -454,6 +453,8 @@ def bench_decode_7b(results, quick=False):
         tok = jnp.argmax(llama.logits_fn(p, h[:, -1:], prec)[:, -1],
                          -1).astype(jnp.int32)
         return cache, tok
+
+    prefill = jax.jit(_prefill)
 
     iters = 2 if quick else 4
     dt = _timed(lambda i: prefill(params, i), (ids,),
@@ -502,14 +503,20 @@ def bench_decode_7b(results, quick=False):
                 "(the in-program decode scan exceeds this env's compile "
                 "helper at 7B; param-read HBM roofline = 61 steps/s)"})
 
-    # ---- chunked decode (VERDICT r2 #2): fixed small scan per dispatch.
-    # The FULL-length scan blows the remote compile helper at 7B; a
-    # compile-budget-sized chunk amortizes the ~30 ms relay latency over
-    # `chunk` tokens. Same step math as models/decode.py's chunk scan.
+    # ---- chunked decode (VERDICT r2 #2): fixed small scan per dispatch,
+    # compiled with NEGOTIATED boundary layouts (models/layouts.py). With
+    # default layouts XLA hoists whole-tensor layout-conversion copies of
+    # the stacked wq/wk/wv (3x1 GB) plus both KV-cache halves out of the
+    # token loop and the program OOMs at compile (benchmarks/README.md
+    # round-3 log). AUTO boundary layouts drop those temps to zero; the
+    # live params are relaid out once (consuming each source buffer) and
+    # prefill is pinned to the same formats.
     chunk = int(os.environ.get("LVR_DECODE_CHUNK", "8"))
     from jax import lax
+    from jax.experimental.layout import Format, Layout
+    from law_of_vision_representation_in_mllms_tpu.models import (
+        layouts as LY)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
     def chunk_steps(p, cache, tok, t0):
         def body(carry, i):
             cache, tok = carry
@@ -530,24 +537,44 @@ def bench_decode_7b(results, quick=False):
         return cache, tok, jnp.transpose(toks)
 
     try:
-        cache, tok = prefill(params, ids)
-        cache, tok, _ = chunk_steps(params, cache, tok, t_arr)  # compile
+        p_shapes = LY.shape_spec(params)
+        cache_s = jax.eval_shape(
+            lambda: llama.init_cache(cfg, b, t_max, jnp.bfloat16))
+        sds = jax.ShapeDtypeStruct
+        chunk_c = jax.jit(
+            chunk_steps, donate_argnums=(1,),
+            in_shardings=(LY.auto_spec(p_shapes), Format(Layout.AUTO),
+                          None, None),
+            out_shardings=(Format(Layout.AUTO), None, None),
+        ).lower(p_shapes, cache_s, sds((b,), jnp.int32),
+                sds((b,), jnp.int32)).compile()
+        p_fmts = chunk_c.input_formats[0][0]
+        c_fmts = chunk_c.input_formats[0][1]
+        prefill_pinned = jax.jit(
+            _prefill, in_shardings=(p_fmts, None),
+            out_shardings=(c_fmts, None),
+        ).lower(p_shapes, sds((b, l), jnp.int32)).compile()
+        params = LY.relayout(params, p_fmts, consume=True)
+
+        cache, tok = prefill_pinned(params, ids)
+        cache, tok, _ = chunk_c(params, cache, tok, t_arr)   # warm
         int(tok[0])
-        cache, tok = prefill(params, ids)
+        cache, tok = prefill_pinned(params, ids)
         n_chunks = max(1, (n_new - 1) // chunk)
         t0c = time.perf_counter()
         for ci in range(n_chunks):
-            cache, tok, toks = chunk_steps(params, cache, tok,
-                                           t_arr + jnp.int32(ci * chunk))
+            cache, tok, toks = chunk_c(params, cache, tok,
+                                       t_arr + jnp.int32(ci * chunk))
         _ = int(tok[0])
         per_tok = (time.perf_counter() - t0c) / (n_chunks * chunk)
         results.append({
             "metric": "vicuna7b_decode_chunked_tok_s",
             "value": round(b / per_tok, 1), "unit": "tokens/sec",
             "chunk": chunk,
-            "note": f"{chunk}-step in-program scan per dispatch "
-                    "(models/decode.py chunk math); relay latency "
-                    f"amortized {chunk}x vs the host loop"})
+            "note": f"{chunk}-step in-program scan per dispatch, "
+                    "negotiated boundary layouts (wq/wk/wv relaid "
+                    "contracting-dim-minor, models/layouts.py); relay "
+                    f"latency amortized {chunk}x vs the host loop"})
     except Exception as e:  # noqa: BLE001 — record compile-budget failures
         results.append({
             "metric": "vicuna7b_decode_chunked_tok_s", "value": None,

@@ -46,6 +46,13 @@ class ModelSection:
     #   speculative - prompt-lookup speculation (models/speculative.py)
     gen_backend: str = "greedy"
     decode_chunk: int = 16                 # chunk size for gen_backend=chunked
+    # gen_backend=chunked only: compile the decode programs with
+    # negotiated boundary layouts and relay the params out once into
+    # XLA's preferred formats (models/layouts.py). REQUIRED at 7B on a
+    # 16 GB chip — default layouts make XLA hoist 3 GB of weight
+    # layout-conversion copies out of the token loop and the chunk
+    # program OOMs at compile (benchmarks/README.md round-3 log).
+    negotiate_layouts: bool = False
     draft_len: int = 8                     # draft length for speculative
     # ViT-tower attention impl override (None = measured per-backend
     # default). "xla_expclamp" is the fastest CLIP-336 path on v5e

@@ -43,7 +43,8 @@ class LlavaLMM(LMM):
                  precision: Precision = DEFAULT_PRECISION,
                  diffusion_apply=None, batch_size: int = 8,
                  pad_square: bool = False, gen_backend: str = "greedy",
-                 decode_chunk: int = 16, draft_len: int = 8):
+                 decode_chunk: int = 16, draft_len: int = 8,
+                 negotiate_layouts: bool = False):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -65,6 +66,7 @@ class LlavaLMM(LMM):
         self.gen_backend = gen_backend
         self.decode_chunk = decode_chunk
         self.draft_len = draft_len
+        self.negotiate_layouts = negotiate_layouts
         self._chunked_dec = None
         for e in cfg.tower_spec.entries:
             if e.kind == "feature":
@@ -129,12 +131,18 @@ class LlavaLMM(LMM):
                         eos_id=self.tok.eos_token_id,
                         precision=self.precision,
                         chunk=self.decode_chunk,
-                        diffusion_apply=self.diffusion_apply)
+                        diffusion_apply=self.diffusion_apply,
+                        negotiate_layouts=self.negotiate_layouts)
                 dec = self._chunked_dec
 
                 def fn(params, ids, mask, pixels):
-                    return dec.generate(ids, mask, pixels,
-                                        max_new_tokens=max_new)
+                    out = dec.generate(ids, mask, pixels,
+                                       max_new_tokens=max_new)
+                    if dec.params is not self.params:
+                        # negotiated relayout consumed the old buffers;
+                        # every other path must use the relaid tree
+                        self.params = dec.params
+                    return out
                 self._gen_fns[key] = fn          # host loop — not jitted
             elif self.gen_backend == "speculative":
                 def fn(params, ids, mask, pixels):

@@ -47,7 +47,8 @@ def build_lmm(cfg: RunConfig) -> LlavaLMM:
                     pad_square=cfg.data.image_aspect_ratio == "pad",
                     gen_backend=cfg.model.gen_backend,
                     decode_chunk=cfg.model.decode_chunk,
-                    draft_len=cfg.model.draft_len)
+                    draft_len=cfg.model.draft_len,
+                    negotiate_layouts=cfg.model.negotiate_layouts)
 
 
 def run_evaluation(cfg: RunConfig, tasks: List[str], *,

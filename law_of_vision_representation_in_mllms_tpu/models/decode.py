@@ -34,6 +34,7 @@ import numpy as np
 from jax import lax
 
 from ..core.precision import Precision, DEFAULT_PRECISION
+from . import layouts as LY
 from . import llama as L
 from . import llava as M
 from .splice import IGNORE_INDEX, splice_plan, splice_embeds
@@ -50,7 +51,15 @@ class ChunkedGreedyDecoder:
     def __init__(self, params, cfg: M.LlavaConfig, *, eos_id: int,
                  precision: Precision = DEFAULT_PRECISION,
                  chunk: int = 16, diffusion_apply=None,
-                 use_flash: Optional[bool] = None):
+                 use_flash: Optional[bool] = None,
+                 negotiate_layouts: bool = False):
+        """With ``negotiate_layouts=True`` the chunk program is compiled
+        with AUTO boundary layouts and the params are relaid out ONCE
+        into XLA's negotiated formats (consuming the source buffers —
+        REQUIRED at 7B, where in-program layout-conversion copies of the
+        stacked attention weights otherwise OOM the chip; see
+        models/layouts.py). Callers sharing the param tree must re-read
+        ``self.params`` after the first generate() call."""
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
@@ -60,6 +69,9 @@ class ChunkedGreedyDecoder:
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
+        self.negotiate_layouts = negotiate_layouts
+        self._param_formats = None
+        self._relaid = False
         self._fns: Dict[Tuple[int, int, int], Tuple] = {}
 
     # ------------------------------------------------------------------
@@ -121,8 +133,43 @@ class ChunkedGreedyDecoder:
             all_done = jnp.all(done | (tok == eos_id))
             return cache, tok, done, pos, jnp.transpose(toks), all_done
 
-        return (jax.jit(prefill),
-                jax.jit(decode_chunk, donate_argnums=(1,)))
+        if not self.negotiate_layouts:
+            return (jax.jit(prefill),
+                    jax.jit(decode_chunk, donate_argnums=(1,)))
+
+        # AOT with explicit boundary layouts (models/layouts.py): AUTO on
+        # the first build, pinned to the negotiated formats thereafter so
+        # every shape's programs agree on the one live param layout.
+        from jax.experimental.layout import Format, Layout
+        p_shapes = LY.shape_spec(self.params)
+        cache_s = jax.eval_shape(
+            lambda: L.init_cache(cfg.decoder, b, l_out + gen_cap,
+                                 prec.compute_dtype))
+        sds = jax.ShapeDtypeStruct
+        tok_s, pos_s = sds((b,), jnp.int32), sds((b,), jnp.int32)
+        done_s, pmask_s = sds((b,), jnp.bool_), sds((b, l_out), jnp.bool_)
+        t0_s = sds((), jnp.int32)
+        p_spec = (self._param_formats if self._param_formats is not None
+                  else LY.auto_spec(p_shapes))
+        chunk_c = jax.jit(
+            decode_chunk, donate_argnums=(1,),
+            in_shardings=(p_spec, Format(Layout.AUTO),
+                          None, None, None, None, None),
+            out_shardings=(Format(Layout.AUTO),
+                           None, None, None, None, None),
+        ).lower(p_shapes, cache_s, tok_s, done_s, pos_s, pmask_s,
+                t0_s).compile()
+        p_fmts = chunk_c.input_formats[0][0]
+        c_fmts = chunk_c.input_formats[0][1]
+        self._param_formats = p_fmts
+        ids_s, mask_s = sds((b, l), jnp.int32), sds((b, l), jnp.bool_)
+        px_s = sds(self._px_shape, self._px_dtype)
+        pre_c = jax.jit(
+            prefill,
+            in_shardings=(p_fmts, None, None, None),
+            out_shardings=(c_fmts, None, None, None),
+        ).lower(p_shapes, ids_s, mask_s, px_s).compile()
+        return pre_c, chunk_c
 
     def _get(self, b: int, l: int, gen_cap: int):
         key = (b, l, gen_cap)
@@ -139,7 +186,18 @@ class ChunkedGreedyDecoder:
         b, l = input_ids.shape
         n_chunks = -(-max_new_tokens // self.chunk)
         gen_cap = n_chunks * self.chunk
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        text_mask = jnp.asarray(text_mask, bool)
+        pixel_values = jnp.asarray(pixel_values)
+        self._px_shape = pixel_values.shape
+        self._px_dtype = pixel_values.dtype
         prefill, decode_chunk = self._get(b, l, gen_cap)
+        if self.negotiate_layouts and not self._relaid:
+            # one-time: move the live params into the negotiated layouts,
+            # consuming the source buffers (peak HBM grows by one leaf)
+            self.params = LY.relayout(self.params, self._param_formats,
+                                      consume=True)
+            self._relaid = True
         cache, tok, n_valid, prompt_mask = prefill(
             self.params, input_ids, text_mask, pixel_values)
         done = jnp.zeros((b,), bool)
@@ -148,7 +206,7 @@ class ChunkedGreedyDecoder:
         for c in range(n_chunks):
             cache, tok, done, pos, toks, all_done = decode_chunk(
                 self.params, cache, tok, done, pos, prompt_mask,
-                jnp.int32(c * self.chunk))
+                jnp.full((), c * self.chunk, jnp.int32))
             pieces.append(toks)
             if bool(all_done):               # scalar fetch; forces execution
                 break

@@ -74,6 +74,28 @@ def test_chunked_early_exit_pads_eos():
     np.testing.assert_array_equal(got, want)
 
 
+def test_chunked_negotiated_layouts_match_greedy():
+    """negotiate_layouts=True (the 7B OOM fix, models/layouts.py): AOT
+    AUTO-layout chunk program + prefill pinned to the negotiated formats
+    + one-time param relayout must be token-identical to the plain path,
+    across chunk boundaries and a second call (params already relaid)."""
+    cfg, params = _tiny_llava(4)
+    rng = np.random.RandomState(5)
+    batch = _tiny_batch(cfg, rng, b=2, l=6)
+    max_new = 10
+    want = _greedy(params, cfg, batch, max_new, eos_id=0)
+    dec = ChunkedGreedyDecoder(params, cfg, eos_id=0,
+                               precision=FP32_PRECISION, chunk=4,
+                               negotiate_layouts=True)
+    got = dec.generate(batch["input_ids"], batch["text_mask"],
+                       batch["pixel_values"], max_new_tokens=max_new)
+    np.testing.assert_array_equal(got, want)
+    assert dec._param_formats is not None and dec._relaid
+    got2 = dec.generate(batch["input_ids"], batch["text_mask"],
+                        batch["pixel_values"], max_new_tokens=max_new)
+    np.testing.assert_array_equal(got2, want)
+
+
 def test_chunked_program_reuse():
     """Same shapes -> no rebuild; the jitted fns are cached per decoder."""
     cfg, params = _tiny_llava(1)

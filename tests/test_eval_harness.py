@@ -1129,6 +1129,15 @@ def test_gen_backends_identical_outputs():
     assert outs["chunked"] == outs["greedy"]
     assert outs["speculative"] == outs["greedy"]
 
+    # chunked + negotiated boundary layouts (the 7B OOM fix): identical
+    # too, and the adapter re-points its params at the relaid tree
+    lmm = LlavaLMM(params, cfg, tok, get_template("v1"),
+                   precision=FP32_PRECISION, batch_size=2,
+                   gen_backend="chunked", decode_chunk=4,
+                   negotiate_layouts=True)
+    assert lmm.generate_until(reqs) == outs["greedy"]
+    assert lmm.params is lmm._chunked_dec.params
+
 
 def test_gen_backend_unknown_rejected():
     import pytest as _pytest
