@@ -262,6 +262,12 @@ class ViTBlock(nn.Module):
             # see ops.attention.mha_expnomax for the safety analysis
             from ..ops.attention import mha_expnomax
             attn = mha_expnomax(q, k, v, accum_dtype=prec.accum_dtype)
+        elif impl == "xla_expclamp_fused" and not self.causal:
+            # expclamp + denominator fused into the P·V dot (ones column
+            # on V): exp'd logits are read once, not twice
+            from ..ops.attention import mha_expnomax_fused
+            attn = mha_expnomax_fused(q, k, v,
+                                      accum_dtype=prec.accum_dtype)
         elif impl == "xla_blocked" and not self.causal:
             from ..ops.attention import mha_blocked
             attn = mha_blocked(q, k, v, accum_dtype=prec.accum_dtype)

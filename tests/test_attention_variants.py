@@ -92,7 +92,8 @@ def test_vit_attn_impl_variants():
     t_xla = ViTTower(cfg, -2, "patch", FP32_PRECISION)
     params = t_xla.init(jax.random.PRNGKey(0), px)["params"]
     want = t_xla.apply({"params": params}, px)
-    for impl in ("xla_post", "xla_blocked"):
+    for impl in ("xla_post", "xla_blocked", "xla_expclamp",
+                 "xla_expclamp_fused"):
         t = ViTTower(dataclasses.replace(cfg, attn_impl=impl), -2,
                      "patch", FP32_PRECISION)
         got = t.apply({"params": params}, px)
@@ -143,6 +144,28 @@ def test_mha_expnomax_clamp_and_underflow_guards():
     qq = jnp.ones((b, s, h, d), jnp.float32) * 200.0
     kk = -jnp.ones((b, s, h, d), jnp.float32) * 200.0
     out = mha_expnomax(qq, kk, v)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mha_expnomax_fused_matches_mha():
+    """Denominator-in-the-dot variant (ones column on V): same math as
+    mha_expnomax — exact vs `mha` under the clamp — plus the same
+    clamp/underflow guards."""
+    from law_of_vision_representation_in_mllms_tpu.ops.attention import (
+        mha_expnomax_fused)
+    rng = np.random.RandomState(9)
+    for (b, s, h, d) in SHAPES:
+        q, k, v = _qkv(rng, b, s, h, d)
+        np.testing.assert_allclose(
+            np.asarray(mha_expnomax_fused(q, k, v)),
+            np.asarray(mha(q, k, v)), atol=2e-5, rtol=1e-4)
+    b, s, h, d = 1, 8, 1, 4
+    q, k, v = _qkv(rng, b, s, h, d)
+    big = mha_expnomax_fused(q * 300.0, k * 300.0, v, clamp=85.0)
+    assert np.isfinite(np.asarray(big)).all()
+    qq = jnp.ones((b, s, h, d), jnp.float32) * 200.0
+    kk = -jnp.ones((b, s, h, d), jnp.float32) * 200.0
+    out = mha_expnomax_fused(qq, kk, v)
     assert np.isfinite(np.asarray(out)).all()
 
 
