@@ -416,15 +416,16 @@ def bench_train(results, quick=False):
 
 def bench_decode_7b(results, quick=False):
     """Flagship-scale (vicuna-7b) decoder on ONE v5e chip: 13.4 GB bf16
-    params. Measures the 512-token flash prefill in-program, plus per-step
-    decode via a host-driven loop with a donated KV cache.
+    params. Measures the 512-token flash prefill in-program, per-step
+    decode via a host-driven loop (donated KV cache), and chunked decode
+    with negotiated boundary layouts.
 
-    ENVIRONMENT CAVEAT (recorded in the metric note): compiling a
-    scan-over-tokens decode at 7B exceeds this environment's remote
-    compile helper (the identical 1.4B program compiles; prefill and
-    single-step programs compile at 7B) — so the per-step number includes
-    the axon relay's per-dispatch latency and is a LOWER bound on decode
-    throughput. Run explicitly (`--only decode7b`)."""
+    The per-step host-loop number includes the axon relay's ~30 ms
+    per-dispatch latency and is a LOWER bound. The chunked path
+    (LVR_DECODE_CHUNK, default 8) amortizes that latency over the chunk;
+    it requires the negotiated-layout compile — with default layouts the
+    chunk program OOMs at 7B (benchmarks/README.md round-3 log). Run
+    explicitly (`--only decode7b`)."""
     import jax
     import jax.numpy as jnp
     from law_of_vision_representation_in_mllms_tpu.core.precision import (
@@ -436,7 +437,12 @@ def bench_decode_7b(results, quick=False):
     params = jax.jit(
         lambda k: llama.init_params(k, cfg, jnp.bfloat16))(
             jax.random.PRNGKey(0))
-    b, l, n_new = 2, 512, 33
+    # batch 2 is the historical record; the decode step reads all 13.4 GB
+    # of weights once per step regardless of batch, so tokens/sec scales
+    # nearly linearly in b until the cache/activation term bites —
+    # LVR_DECODE_B=8 measures that point
+    b = int(os.environ.get("LVR_DECODE_B", "2"))
+    l, n_new = 512, 33
     t_max = l + n_new
     rng = np.random.RandomState(3)
     ids = jnp.asarray(rng.randint(1, 32000, size=(b, l)).astype(np.int32))
@@ -461,7 +467,7 @@ def bench_decode_7b(results, quick=False):
                 [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
                 lambda o: int(o[1][0]))
     tflops = 2 * 6.74e9 * b * l / dt / 1e12
-    results.append({"metric": "vicuna7b_prefill512_b2_ms",
+    results.append({"metric": f"vicuna7b_prefill512_b{b}_ms",
                     "value": round(dt * 1000, 1), "unit": "ms",
                     "tflops_s": round(tflops, 1)})
 
@@ -497,11 +503,12 @@ def bench_decode_7b(results, quick=False):
     _ = int(tok[0])
     per_step = (time.perf_counter() - t0) / steps
     results.append({
-        "metric": "vicuna7b_decode_step_hostloop_tok_s",
+        "metric": "vicuna7b_decode_step_hostloop_tok_s"
+                  + ("" if b == 2 else f"_b{b}"),
         "value": round(b / per_step, 1), "unit": "tokens/sec",
         "note": "LOWER bound: includes axon relay per-dispatch latency "
-                "(the in-program decode scan exceeds this env's compile "
-                "helper at 7B; param-read HBM roofline = 61 steps/s)"})
+                "(param-read HBM roofline = 61 steps/s); superseded by "
+                "the negotiated-layout chunked path below"})
 
     # ---- chunked decode (VERDICT r2 #2): fixed small scan per dispatch,
     # compiled with NEGOTIATED boundary layouts (models/layouts.py). With
@@ -541,15 +548,21 @@ def bench_decode_7b(results, quick=False):
         cache_s = jax.eval_shape(
             lambda: llama.init_cache(cfg, b, t_max, jnp.bfloat16))
         sds = jax.ShapeDtypeStruct
+        # LVR_CHUNK_CACHE_AUTO=0 pins the KV cache to its default layout
+        # (only the params negotiate): XLA then hoists the 545 MB cache
+        # conversions inside the program (they fit; the 3 GB weight
+        # copies were the OOM) — measured because the AUTO cache layout
+        # (0,2,3,1,4) may pessimize the per-step update/read.
+        cache_auto = os.environ.get("LVR_CHUNK_CACHE_AUTO", "1") == "1"
+        c_spec = Format(Layout.AUTO) if cache_auto else None
         chunk_c = jax.jit(
             chunk_steps, donate_argnums=(1,),
-            in_shardings=(LY.auto_spec(p_shapes), Format(Layout.AUTO),
-                          None, None),
-            out_shardings=(Format(Layout.AUTO), None, None),
+            in_shardings=(LY.auto_spec(p_shapes), c_spec, None, None),
+            out_shardings=(c_spec, None, None),
         ).lower(p_shapes, cache_s, sds((b,), jnp.int32),
                 sds((b,), jnp.int32)).compile()
         p_fmts = chunk_c.input_formats[0][0]
-        c_fmts = chunk_c.input_formats[0][1]
+        c_fmts = chunk_c.input_formats[0][1] if cache_auto else None
         prefill_pinned = jax.jit(
             _prefill, in_shardings=(p_fmts, None),
             out_shardings=(c_fmts, None),
@@ -568,16 +581,19 @@ def bench_decode_7b(results, quick=False):
         _ = int(tok[0])
         per_tok = (time.perf_counter() - t0c) / (n_chunks * chunk)
         results.append({
-            "metric": "vicuna7b_decode_chunked_tok_s",
+            "metric": "vicuna7b_decode_chunked_tok_s"
+                      + ("" if b == 2 else f"_b{b}"),
             "value": round(b / per_tok, 1), "unit": "tokens/sec",
             "chunk": chunk,
+            "cache_layout": "auto" if cache_auto else "default",
             "note": f"{chunk}-step in-program scan per dispatch, "
                     "negotiated boundary layouts (wq/wk/wv relaid "
                     "contracting-dim-minor, models/layouts.py); relay "
                     f"latency amortized {chunk}x vs the host loop"})
     except Exception as e:  # noqa: BLE001 — record compile-budget failures
         results.append({
-            "metric": "vicuna7b_decode_chunked_tok_s", "value": None,
+            "metric": "vicuna7b_decode_chunked_tok_s"
+                      + ("" if b == 2 else f"_b{b}"), "value": None,
             "unit": "tokens/sec", "chunk": chunk,
             "note": ("chunked scan failed to compile: "
                      f"{type(e).__name__}: {str(e)[:300]}")})
