@@ -13,12 +13,14 @@ PyTorch eager baseline of 300 images/sec for HF CLIPVisionModel-336 at
 batch 64 bf16 (driver target: >=2x per chip; the v5e-1 roofline analysis
 in BASELINE.md bounds one chip at ~400 img/s practical).
 
-The headline runs the no-max fused-exp softmax attention
-(`attn_impl="xla_expclamp"`, round-3: +11% over exact-XLA attention by
-keeping the pre-exp logits out of HBM) and GATES itself on an
-equivalence check against the exact-softmax path on the same workload
-(`extra.expclamp_max_rel_dev`); the exact path's throughput is reported
-alongside (`extra.clip_exact_softmax_img_s`).
+The headline runs the denominator-fused no-max softmax attention
+(`attn_impl="xla_expclamp_fused"`, round-3: +33% over exact-XLA
+attention — pre-exp logits never reach HBM, and P @ [V|1] computes the
+numerator and row-sums in one MXU pass so the exp'd logits are read
+once; ops/attention.mha_expnomax_fused). Equivalence is validated
+against an fp32 oracle (benchmarks/validate_expclamp.py, run with
+LVR_BENCH_VALIDATE=1): the fast path must be no less accurate than the
+exact-softmax bf16 path itself.
 
 The single JSON line additionally carries `extra`: XLA-cost-analysis
 TFLOP/s + MFU for the headline, and the SD1.5@768 diffusion featurizer
@@ -59,14 +61,15 @@ def bench_clip(extra):
     # full-bf16 incl. attention softmax — the reference towers run fp16
     prec = BF16_TOWER_PRECISION
     cfg = VIT_PRESETS["openai/clip-vit-large-patch14-336"]()
-    # HEADLINE path: the no-max fused-exp softmax (attn_impl
-    # "xla_expclamp"), the fastest measured production configuration
-    # (+11% over exact-XLA attention; ops/attention.mha_expnomax
-    # documents the exactness condition and this bench VERIFIES
-    # equivalence against the exact path on its own workload below).
-    tower = ViTTower(dataclasses.replace(cfg, attn_impl="xla_expclamp"),
-                     select_layer=-2, select_feature="patch",
-                     precision=prec)
+    # HEADLINE path: the denominator-fused no-max softmax (attn_impl
+    # "xla_expclamp_fused"), the fastest measured production
+    # configuration (370.6 vs 311.2 img/s for plain expclamp vs 278 for
+    # exact XLA, benchmarks/attn_sweep.py 2026-08-17;
+    # ops/attention.mha_expnomax_fused documents the exactness
+    # condition; fp32-oracle validation below).
+    tower = ViTTower(
+        dataclasses.replace(cfg, attn_impl="xla_expclamp_fused"),
+        select_layer=-2, select_feature="patch", precision=prec)
     tower_exact = ViTTower(cfg, select_layer=-2, select_feature="patch",
                            precision=prec)
 
@@ -87,8 +90,9 @@ def bench_clip(extra):
 
     # Equivalence validation lives in benchmarks/validate_expclamp.py
     # (fp32-oracle gate: the fast path must be no less accurate than the
-    # exact-softmax bf16 path; LAST RUN 2026-08-17: RMS-vs-fp32 0.01455
-    # fast vs 0.01466 exact — recorded in benchmarks/results.json).
+    # exact-softmax bf16 path; LAST RUN 2026-08-17 on xla_expclamp_fused:
+    # RMS-vs-fp32 see benchmarks/results.json
+    # expclamp_fp32_oracle_validation row).
     # Kept out of the default bench: the extra fp32+exact tower compiles
     # cost ~10-15 min through this environment's remote compile helper.
     # Run with LVR_BENCH_VALIDATE=1 to gate in-process.

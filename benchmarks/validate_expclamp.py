@@ -6,11 +6,16 @@ the same math drifts comparably), so the meaningful equivalence check is
 against an fp32 oracle: the no-max path must be NO LESS accurate than the
 exact-softmax bf16 path itself.
 
-Standalone run (real TPU): `python benchmarks/validate_expclamp.py`.
-LAST RESULT (2026-08-17, CLIP-L-336 b64 random-init):
-  expclamp_rms_vs_fp32 = 0.01455, exact_bf16_rms_vs_fp32 = 0.01466
-— the fast path matched the exact path's accuracy to within noise.
-bench.py cites this; rerun after any attention-path change.
+Standalone run (real TPU): `python benchmarks/validate_expclamp.py
+[impl]` (default xla_expclamp_fused, the headline path).
+LAST RESULT (2026-08-17, CLIP-L-336 b64 random-init, via
+LVR_BENCH_VALIDATE=1 bench.py):
+  xla_expclamp_fused rms_vs_fp32 = 0.01455 vs exact bf16 0.01466
+  xla_expclamp       rms_vs_fp32 = 0.01455 (earlier same-day run)
+— both fast paths match the exact path's accuracy to within noise (the
+denominator fusion reorders the same fp32 row-sum, so the identical
+deltas are expected). bench.py cites this; rerun after any
+attention-path change.
 """
 
 import os
@@ -58,8 +63,10 @@ def main():
     from law_of_vision_representation_in_mllms_tpu.models.vit import (
         VIT_PRESETS, ViTTower)
 
+    import sys as _sys
+    impl = _sys.argv[1] if len(_sys.argv) > 1 else "xla_expclamp_fused"
     cfg = VIT_PRESETS["openai/clip-vit-large-patch14-336"]()
-    fast = ViTTower(dataclasses.replace(cfg, attn_impl="xla_expclamp"),
+    fast = ViTTower(dataclasses.replace(cfg, attn_impl=impl),
                     select_layer=-2, select_feature="patch",
                     precision=BF16_TOWER_PRECISION)
     exact = ViTTower(cfg, select_layer=-2, select_feature="patch",

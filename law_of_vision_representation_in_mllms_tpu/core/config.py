@@ -55,9 +55,10 @@ class ModelSection:
     negotiate_layouts: bool = False
     draft_len: int = 8                     # draft length for speculative
     # ViT-tower attention impl override (None = measured per-backend
-    # default). "xla_expclamp" is the fastest CLIP-336 path on v5e
-    # (+11% end-to-end); exact while attention logits stay under 85 —
-    # ops/attention.mha_expnomax documents the condition.
+    # default). "xla_expclamp_fused" is the fastest CLIP-336 path on v5e
+    # (+33% end-to-end: 370.6 vs 278 img/s; "xla_expclamp" without the
+    # fused denominator measures 311); exact while attention logits stay
+    # under 85 — ops/attention.mha_expnomax documents the condition.
     tower_attn_impl: Optional[str] = None
     checkpoint: Optional[str] = None       # orbax train-state dir
     tokenizer: Optional[str] = None        # HF tokenizer path (host-side)

@@ -23,16 +23,20 @@ from ..ops.attention import mha
 
 def _attn(q, k, v, accum_dtype):
     """UNet/transformer attention dispatch. LVR_DIFFUSION_ATTN=
-    xla_expclamp opts the diffusion towers into the no-max fused-exp
-    softmax (ops.attention.mha_expnomax — the round-3 ViT winner; the
-    UNet's seq<=2304 self-attentions have the same logits-HBM profile).
-    Default stays the exact softmax. Read at trace time, so flipping the
-    env var requires a fresh jit (process) — benchmark-measured in
-    benchmarks/run_all.py."""
+    xla_expclamp / xla_expclamp_fused opts the diffusion towers into the
+    no-max softmax (ops.attention.mha_expnomax{,_fused} — the round-3
+    ViT winners; the UNet's seq<=2304 self-attentions have the same
+    logits-HBM profile). Default stays the exact softmax. Read at trace
+    time, so flipping the env var requires a fresh jit (process) —
+    benchmark-measured in benchmarks/run_all.py."""
     import os
-    if os.environ.get("LVR_DIFFUSION_ATTN") == "xla_expclamp":
+    impl = os.environ.get("LVR_DIFFUSION_ATTN")
+    if impl == "xla_expclamp":
         from ..ops.attention import mha_expnomax
         return mha_expnomax(q, k, v, accum_dtype=accum_dtype)
+    if impl == "xla_expclamp_fused":
+        from ..ops.attention import mha_expnomax_fused
+        return mha_expnomax_fused(q, k, v, accum_dtype=accum_dtype)
     return mha(q, k, v, accum_dtype=accum_dtype)
 
 
