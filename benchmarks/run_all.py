@@ -181,7 +181,8 @@ def bench_diffusion(results, quick=False):
         if "stable-diffusion-v1-5" in name:
             # round-3 ViT winner applied to the UNet attentions
             # (diffusion_blocks._attn): measure the opt-in path too
-            os.environ["LVR_DIFFUSION_ATTN"] = "xla_expclamp"
+            fast_impl = "xla_expclamp_fused"
+            os.environ["LVR_DIFFUSION_ATTN"] = fast_impl
             try:
                 fn2 = jax.jit(lambda p, x: F.extract_features(
                     p, cfg, x, deterministic=True, precision=prec))
@@ -189,7 +190,8 @@ def bench_diffusion(results, quick=False):
                     lambda x: fn2(params, x), (px,),
                     [(px * (1.02 - 0.002 * i),) for i in range(iters)],
                     lambda o: float(jnp.sum(o.astype(jnp.float32))))
-                rec["expclamp_img_s"] = round(batch / dt2, 2)
+                rec[fast_impl.removeprefix("xla_") + "_img_s"] = \
+                    round(batch / dt2, 2)
             finally:
                 del os.environ["LVR_DIFFUSION_ATTN"]
         results.append(rec)
@@ -254,6 +256,18 @@ def bench_decode(results, quick=False):
                             num_heads=16, num_kv_heads=16)
     cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
                                   decoder=dec)
+    # LVR_TOWER_ATTN=xla_expclamp_fused measures the composite with the
+    # production fast-tower opt-in (`model.tower_attn_impl`) — the same
+    # knob `lvr eval`/`lvr serve` expose.
+    tower_attn = os.environ.get("LVR_TOWER_ATTN")
+    if tower_attn:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, tower_spec=_dc.replace(
+            cfg.tower_spec, entries=[
+                _dc.replace(e, vit_config=_dc.replace(
+                    e.vit_config, attn_impl=tower_attn))
+                if e.kind == "vit" else e
+                for e in cfg.tower_spec.entries]))
     params = llava.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     b, l, new = 8, 64, 16
@@ -274,12 +288,13 @@ def bench_decode(results, quick=False):
     dt = _timed(lambda pxv: gen16(params, jnp.asarray(ids), pxv), (px,),
                 [(px * (1.01 + 0.01 * i),) for i in range(iters)],
                 lambda o: int(o[0, 0]))
-    results.append({"metric": "llava_1p4b_generate_b8_new16",
+    sfx = f"_{tower_attn}" if tower_attn else ""
+    results.append({"metric": "llava_1p4b_generate_b8_new16" + sfx,
                     "value": round(b / dt, 2), "unit": "samples/sec"})
     # NOTE: this metric amortizes the ViT forward + 640-token prefill over
     # only 16 generated tokens — it is a *short-answer eval-loop* metric,
     # not a decode-speed metric (kept for round-over-round comparability)
-    results.append({"metric": "llava_1p4b_decode_tok_s",
+    results.append({"metric": "llava_1p4b_decode_tok_s" + sfx,
                     "value": round(b * new / dt, 1), "unit": "tokens/sec"})
     # pure decode throughput: marginal cost of 48 extra tokens
     gen64 = make_gen(64)
@@ -287,7 +302,7 @@ def bench_decode(results, quick=False):
                   [(px * (1.01 + 0.01 * i),) for i in range(iters)],
                   lambda o: int(o[0, 0]))
     per_step = (dt64 - dt) / 48
-    results.append({"metric": "llava_1p4b_pure_decode_tok_s",
+    results.append({"metric": "llava_1p4b_pure_decode_tok_s" + sfx,
                     "value": round(b / per_step, 1), "unit": "tokens/sec"})
 
 

@@ -60,6 +60,10 @@ class ModelSection:
     # fused denominator measures 311); exact while attention logits stay
     # under 85 — ops/attention.mha_expnomax documents the condition.
     tower_attn_impl: Optional[str] = None
+    # Diffusion-tower (UNet/DiT/MMDiT) attention impl override (None =
+    # exact softmax). "xla_expclamp_fused" measured +14% on SD1.5@768
+    # featurize; same clamp-85 exactness condition as the ViT opt-in.
+    diffusion_attn_impl: Optional[str] = None
     checkpoint: Optional[str] = None       # orbax train-state dir
     tokenizer: Optional[str] = None        # HF tokenizer path (host-side)
     # ported tower weights, one path per tower-spec entry ('' = skip).

@@ -21,16 +21,32 @@ from ..core.precision import Precision, DEFAULT_PRECISION
 from ..ops.attention import mha
 
 
+_ATTN_IMPL_OVERRIDE: Optional[str] = None
+
+
+def set_attn_impl(impl: Optional[str]) -> None:
+    """Select the diffusion-tower attention impl (None = exact softmax).
+
+    Production entry: `model.diffusion_attn_impl` in RunConfig (the
+    runners call this before building towers); "xla_expclamp_fused"
+    measured +14% SD1.5@768 featurize (benchmarks/results.json). Read at
+    TRACE time — flip before the first jit of a diffusion tower.
+    """
+    global _ATTN_IMPL_OVERRIDE
+    _ATTN_IMPL_OVERRIDE = impl
+
+
 def _attn(q, k, v, accum_dtype):
-    """UNet/transformer attention dispatch. LVR_DIFFUSION_ATTN=
-    xla_expclamp / xla_expclamp_fused opts the diffusion towers into the
-    no-max softmax (ops.attention.mha_expnomax{,_fused} — the round-3
-    ViT winners; the UNet's seq<=2304 self-attentions have the same
-    logits-HBM profile). Default stays the exact softmax. Read at trace
-    time, so flipping the env var requires a fresh jit (process) —
-    benchmark-measured in benchmarks/run_all.py."""
+    """UNet/transformer attention dispatch. `set_attn_impl` (or the
+    LVR_DIFFUSION_ATTN env var) = xla_expclamp / xla_expclamp_fused opts
+    the diffusion towers into the no-max softmax
+    (ops.attention.mha_expnomax{,_fused} — the round-3 ViT winners; the
+    UNet's seq<=2304 self-attentions have the same logits-HBM profile).
+    Default stays the exact softmax. Read at trace time, so flipping
+    requires a fresh jit (process) — benchmark-measured in
+    benchmarks/run_all.py."""
     import os
-    impl = os.environ.get("LVR_DIFFUSION_ATTN")
+    impl = _ATTN_IMPL_OVERRIDE or os.environ.get("LVR_DIFFUSION_ATTN")
     if impl == "xla_expclamp":
         from ..ops.attention import mha_expnomax
         return mha_expnomax(q, k, v, accum_dtype=accum_dtype)

@@ -182,3 +182,32 @@ def test_vit_tower_attn_impl_plumbing():
     model_cfg, _params = build_model(cfg)
     assert model_cfg.tower_spec.entries[0].vit_config.attn_impl == \
         "xla_expclamp"
+
+
+def test_diffusion_attn_impl_config_plumbing_and_parity():
+    """model.diffusion_attn_impl selects the no-max softmax inside the
+    diffusion blocks (diffusion_blocks.set_attn_impl) and the fast path
+    matches the exact path on a tiny UNet forward."""
+    from law_of_vision_representation_in_mllms_tpu.core.config import (
+        RunConfig)
+    from law_of_vision_representation_in_mllms_tpu.models import (
+        diffusion_blocks as DB)
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        build_model)
+
+    q = jnp.asarray(np.random.RandomState(0).randn(2, 16, 2, 8), jnp.float32)
+    k = jnp.asarray(np.random.RandomState(1).randn(2, 16, 2, 8), jnp.float32)
+    v = jnp.asarray(np.random.RandomState(2).randn(2, 16, 2, 8), jnp.float32)
+    try:
+        DB.set_attn_impl(None)
+        exact = np.asarray(DB._attn(q, k, v, jnp.float32))
+        cfg = RunConfig.from_dict({
+            "model": {"vision_tower": "debug/tiny-vit", "decoder": "tiny",
+                      "diffusion_attn_impl": "xla_expclamp_fused"},
+            "train": {"bf16": False}})
+        build_model(cfg)   # plumbing: build_model must install the impl
+        assert DB._ATTN_IMPL_OVERRIDE == "xla_expclamp_fused"
+        fast = np.asarray(DB._attn(q, k, v, jnp.float32))
+    finally:
+        DB.set_attn_impl(None)
+    np.testing.assert_allclose(fast, exact, atol=2e-5, rtol=1e-4)
