@@ -88,8 +88,15 @@ def bench_towers(results, quick=False):
     batch = 64
     iters = 4 if quick else 10
     rng = np.random.RandomState(0)
+    # LVR_TOWER_ATTN measures the whole zoo with the production fast-path
+    # opt-in (`model.tower_attn_impl`); rows get a metric suffix
+    tower_attn = os.environ.get("LVR_TOWER_ATTN")
+    sfx = f"_{tower_attn}" if tower_attn else ""
     for name in names:
         cfg = VIT_PRESETS[name]()
+        if tower_attn:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, attn_impl=tower_attn)
         tower = ViTTower(cfg, select_layer=-2,
                          select_feature="cls_patch"
                          if "siglip" in name else "patch", precision=prec)
@@ -102,7 +109,7 @@ def bench_towers(results, quick=False):
                     [(px * (1.01 + 0.003 * i),) for i in range(iters)],
                     lambda o: float(jnp.sum(o)))
         results.append(_perf_fields(
-            {"metric": f"tower_throughput/{name}",
+            {"metric": f"tower_throughput/{name}{sfx}",
              "value": round(batch / dt, 2),
              "unit": "images/sec/chip"},
             _cost_flops(fn, v, px), dt, imgs_per_call=batch))
