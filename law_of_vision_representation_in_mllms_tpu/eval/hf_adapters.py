@@ -3,8 +3,7 @@
 The fork's adapter zoo (`lmms_eval/models/*.py`) drives THIRD-PARTY torch
 models; the generic `hf-vision2seq` adapter covers the mechanics, but the
 named adapters differ in prompt shaping — which moves benchmark scores.
-This module restores the per-model formats for the highest-value three
-(VERDICT r2 #7):
+This module restores the per-model formats (VERDICT r2 #7):
 
 - **llava_hf** (`lmms_eval/models/llava_hf.py:21-320`): '<image>'
   prepended when the context has none, then the tokenizer's chat template
@@ -162,6 +161,155 @@ class InstructBlipLMM(HFVision2SeqLMM):
                             (self._format(r.args[0]), r.args[1]), r.visual)
                    for r in requests]
         return super().loglikelihood(cleaned)
+
+
+class FuyuLMM(HFVision2SeqLMM):
+    """`lmms_eval/models/fuyu.py` parity. The Fuyu processor appends the
+    beginning-of-answer control token (\\x04) after the prompt, so the
+    generated continuation IS the text past the prompt ids — the
+    reference decodes the whole stream and splits on '\\x04'
+    (`fuyu.py:186-209`); slicing the output ids at the prompt length is
+    the same cut, robust to tokenizers that render \\x04 differently.
+
+    Prompt protocol (`fuyu.py:186`): the raw context with a trailing
+    newline — no chat template, no image token (pixels ride as patch
+    embeddings keyed off the processor's |SPEAKER| placeholders)."""
+
+    def __init__(self, pretrained: str | None = None,
+                 max_new_tokens: int = 256, model=None, processor=None,
+                 **kw):
+        if model is not None:
+            self.model, self.processor = model, processor
+            self.max_new_tokens = max_new_tokens
+        else:
+            super().__init__(pretrained, max_new_tokens=max_new_tokens,
+                             **kw)
+
+    @staticmethod
+    def _format(context: str) -> str:
+        # fuyu.py:186: f"{context}\n" — the model was trained with the
+        # question ending in a newline before the BOA token
+        return f"{context.replace(IMAGE_TOKEN, '').strip()}\n"
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        import torch
+        out = []
+        for r in requests:
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            inputs = self.processor(
+                text=self._format(r.args[0]),
+                images=r.visual[0] if r.visual else None,
+                return_tensors="pt")
+            with torch.no_grad():
+                ids = self.model.generate(
+                    **inputs, do_sample=False,
+                    max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                                  self.max_new_tokens))
+            # fuyu.py:208-209: split at BOA, strip spaces and newlines
+            ans = self.processor.batch_decode(
+                ids[:, inputs["input_ids"].shape[1]:],
+                skip_special_tokens=True)[0]
+            if "\x04" in ans:
+                ans = ans.split("\x04", 1)[1]
+            ans = ans.strip(" ").strip("\n")
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in ans:
+                    ans = ans.split(stop)[0]
+            out.append(ans.strip())
+        return out
+
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        """fuyu.py:221-253 protocol: context f"{ctx}\\n", joint
+        f"{ctx}\\n{cont}", score the continuation suffix. Two deliberate
+        deviations, both toward the lm-eval convention the rest of the
+        zoo follows: (1) the context length is measured WITH the image
+        stream (the reference encodes it text-only, so its slice start
+        is offset by the image-placeholder run); (2) we return the
+        summed continuation logprob, not `outputs.loss` (a mean CE whose
+        label mask indexes batch rows, `fuyu.py:239-240`)."""
+        import torch
+        out = []
+        for r in requests:
+            img = r.visual[0] if r.visual else None
+            ctx_inputs = self.processor(
+                text=self._format(r.args[0]), images=img,
+                return_tensors="pt")
+            joint = self._format(r.args[0]) + r.args[1]
+            inputs = self.processor(text=joint, images=img,
+                                    return_tensors="pt")
+            k = (inputs["input_ids"].shape[1]
+                 - ctx_inputs["input_ids"].shape[1])
+            if k <= 0:
+                out.append((0.0, True))
+                continue
+            with torch.no_grad():
+                logits = self.model(**inputs).logits
+            lp = torch.log_softmax(logits[0, -k - 1:-1].float(), dim=-1)
+            tgt = inputs["input_ids"][0, -k:]
+            token_lp = lp.gather(1, tgt[:, None])[:, 0]
+            out.append((float(token_lp.sum()),
+                        bool((lp.argmax(-1) == tgt).all())))
+        return out
+
+
+class Idefics2LMM(HFVision2SeqLMM):
+    """`lmms_eval/models/idefics2.py:171-215` parity: one {type:image}
+    content entry per visual, then the context text, rendered through the
+    processor's chat template with a generation prompt. Checkpoints ship
+    the template; `build_prompt` falls back to the rendered idefics2
+    form ('User:<image>…<end_of_utterance>\\nAssistant:') when a local
+    snapshot lacks one."""
+
+    def __init__(self, pretrained: str | None = None,
+                 max_new_tokens: int = 64, model=None, processor=None,
+                 **kw):
+        if model is not None:
+            self.model, self.processor = model, processor
+            self.max_new_tokens = max_new_tokens
+        else:
+            super().__init__(pretrained, max_new_tokens=max_new_tokens,
+                             **kw)
+
+    def build_prompt(self, context: str, n_images: int) -> str:
+        # idefics2.py:200-209: images first, context verbatim
+        content = [{"type": "image"}] * n_images
+        content.append({"type": "text", "text": context})
+        messages = [{"role": "user", "content": content}]
+        try:
+            return self.processor.apply_chat_template(
+                messages, add_generation_prompt=True)
+        except ValueError:
+            imgs = IMAGE_TOKEN * n_images
+            return f"User:{imgs}{context}<end_of_utterance>\nAssistant:"
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        import torch
+        out = []
+        for r in requests:
+            gen_kwargs = r.args[1] if len(r.args) > 1 else {}
+            visuals = list(r.visual or [])
+            prompt = self.build_prompt(r.args[0], len(visuals))
+            inputs = self.processor(
+                text=prompt, images=visuals or None, return_tensors="pt")
+            with torch.no_grad():
+                ids = self.model.generate(
+                    **inputs, do_sample=False,
+                    max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                                  self.max_new_tokens))
+            ans = self.processor.batch_decode(
+                ids[:, inputs["input_ids"].shape[1]:],
+                skip_special_tokens=True)[0].strip()
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in ans:
+                    ans = ans.split(stop)[0]
+            out.append(ans.strip())
+        return out
+
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        # idefics2.py:161-162 parity: the reference adapter does not
+        # implement loglikelihood for this model either
+        raise NotImplementedError(
+            "Loglikelihood is not implemented for Idefics2 model")
 
 
 class QwenVLLMM(LMM):
@@ -382,6 +530,8 @@ class XComposer2LMM(LMM):
 
 
 # named registrations override the generic aliases
+LMM_REGISTRY["fuyu"] = FuyuLMM
+LMM_REGISTRY["idefics2"] = Idefics2LMM
 LMM_REGISTRY["llava_hf"] = LlavaHFLMM
 LMM_REGISTRY["instructblip"] = InstructBlipLMM
 LMM_REGISTRY["qwen_vl"] = QwenVLLMM

@@ -196,14 +196,10 @@ for _name, _version in (("gpt4v", "gpt-4-vision-preview"),
         lambda _v=_version, **kw: OpenAIAPILMM(
             **{"model_version": _v, **kw}))
 
-# Reference local-model adapter names (`lmms_eval/models/*.py`) whose
-# architectures ARE registered in HF's AutoModelForVision2Seq mapping —
-# fuyu/idefics2 alias the generic adapter (pass the local snapshot via
-# pretrained=...). llava_hf, instructblip, and qwen_vl get named
-# adapters with reference prompt-format parity in `hf_adapters.py`
-# (registered on first build_lmm_by_name call, overriding these
-# aliases). The remaining custom-code checkpoints (xcomposer2,
-# minicpm_v, phi3v) need their own generate glue; they stay
-# unregistered rather than aliased to an adapter that cannot load them.
+# Reference local-model adapter names (`lmms_eval/models/*.py`): all ten
+# get named adapters with reference prompt-format parity in
+# `hf_adapters.py` (registered on first build_lmm_by_name call,
+# overriding these Auto-loading fallbacks for the vision2seq-mapped
+# architectures).
 for _name in ("llava_hf", "instructblip", "fuyu", "idefics2"):
     LMM_REGISTRY[_name] = HFVision2SeqLMM

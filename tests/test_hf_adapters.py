@@ -199,6 +199,117 @@ def test_qwen_vl_query_format_and_generate():
     assert calls["query"].startswith("<img>")
 
 
+def _tiny_fuyu():
+    from transformers import (FuyuConfig, FuyuForCausalLM,
+                              FuyuImageProcessor, FuyuProcessor)
+    # FuyuProcessor derives the image-placeholder/newline ids from
+    # encode("|SPEAKER|")[1] (the middle piece after the Whitespace
+    # pre-tokenizer splits the pipes), so SPEAKER/NEWLINE need real
+    # vocab entries; <s>/|ENDOFTEXT|/<0x04> are looked up by name
+    tok = _word_tokenizer(extra=("<s>", "|ENDOFTEXT|", "<0x04>",
+                                 "SPEAKER", "NEWLINE", "|"))
+    ip = FuyuImageProcessor(size={"height": 32, "width": 32},
+                            patch_size={"height": 8, "width": 8})
+    proc = FuyuProcessor(image_processor=ip, tokenizer=tok)
+    cfg = FuyuConfig(hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     vocab_size=len(tok) + 8, patch_size=8,
+                     image_token_id=proc.image_token_id)
+    torch.manual_seed(0)
+    return FuyuForCausalLM(cfg).eval(), proc
+
+
+def test_fuyu_adapter_golden():
+    model, proc = _tiny_fuyu()
+    lmm = build_lmm_by_name("fuyu", model=model, processor=proc)
+    img = _img()
+    ctx = "describe this image"
+    got = lmm.generate_until([Instance(
+        "generate_until", {}, 0, "t", (ctx, {"max_new_tokens": 4}),
+        [img])])[0]
+
+    # reference shaping (`fuyu.py:186`): raw context + trailing newline,
+    # answer = everything past the prompt (the processor ends the prompt
+    # with the beginning-of-answer token)
+    inputs = proc(text=f"{ctx}\n", images=img, return_tensors="pt")
+    with torch.no_grad():
+        ids = model.generate(**inputs, do_sample=False, max_new_tokens=4)
+    want = proc.batch_decode(
+        ids[:, inputs["input_ids"].shape[1]:],
+        skip_special_tokens=True)[0].strip(" ").strip("\n").strip()
+    assert got == want
+
+    # loglikelihood: continuation-suffix logprob under f"{ctx}\n{cont}"
+    score, greedy = lmm.loglikelihood([Instance(
+        "loglikelihood", {}, 0, "t", (ctx, "a red cat"), [img])])[0]
+    assert np.isfinite(score) and isinstance(greedy, bool)
+    joint = proc(text=f"{ctx}\na red cat", images=img,
+                 return_tensors="pt")
+    k = joint["input_ids"].shape[1] - inputs["input_ids"].shape[1]
+    assert k > 0
+    with torch.no_grad():
+        logits = model(**joint).logits
+    lp = torch.log_softmax(logits[0, -k - 1:-1].float(), dim=-1)
+    tgt = joint["input_ids"][0, -k:]
+    assert abs(score - float(lp.gather(1, tgt[:, None]).sum())) < 1e-4
+
+
+def _tiny_idefics2():
+    from transformers import (Idefics2Config,
+                              Idefics2ForConditionalGeneration,
+                              Idefics2ImageProcessor, Idefics2Processor)
+    tok = _word_tokenizer(extra=("<fake_token_around_image>",
+                                 "<end_of_utterance>", "User:",
+                                 "Assistant:"))
+    tok.add_special_tokens({"additional_special_tokens": [
+        "<fake_token_around_image>", "<end_of_utterance>"]})
+    ip = Idefics2ImageProcessor(do_image_splitting=False,
+                                size={"shortest_edge": 32,
+                                      "longest_edge": 32})
+    proc = Idefics2Processor(image_processor=ip, tokenizer=tok,
+                             image_seq_len=4)
+    cfg = Idefics2Config(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=32, patch_size=8),
+        perceiver_config=dict(resampler_n_latents=4, resampler_depth=1,
+                              resampler_n_heads=2, resampler_head_dim=8,
+                              num_key_value_heads=1, hidden_size=32),
+        text_config=dict(hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=4,
+                         vocab_size=len(tok) + 8),
+        image_token_id=tok.convert_tokens_to_ids("<image>"))
+    torch.manual_seed(0)
+    return Idefics2ForConditionalGeneration(cfg).eval(), proc
+
+
+def test_idefics2_adapter_golden():
+    model, proc = _tiny_idefics2()
+    lmm = build_lmm_by_name("idefics2", model=model, processor=proc)
+    img = _img()
+    ctx = "what is this"
+
+    # the tiny processor ships no chat template -> the adapter renders
+    # the reference idefics2 form itself
+    prompt = lmm.build_prompt(ctx, 1)
+    assert prompt == f"User:<image>{ctx}<end_of_utterance>\nAssistant:"
+
+    got = lmm.generate_until([Instance(
+        "generate_until", {}, 0, "t", (ctx, {"max_new_tokens": 3}),
+        [img])])[0]
+    inputs = proc(text=prompt, images=[img], return_tensors="pt")
+    with torch.no_grad():
+        ids = model.generate(**inputs, do_sample=False, max_new_tokens=3)
+    want = proc.batch_decode(ids[:, inputs["input_ids"].shape[1]:],
+                             skip_special_tokens=True)[0].strip()
+    assert got == want
+
+    # idefics2.py:161-162: loglikelihood unimplemented in the reference
+    with pytest.raises(NotImplementedError):
+        lmm.loglikelihood([])
+
+
 def test_named_adapters_registered():
     from law_of_vision_representation_in_mllms_tpu.eval import hf_adapters
     from law_of_vision_representation_in_mllms_tpu.eval.models_registry import (
@@ -206,6 +317,8 @@ def test_named_adapters_registered():
     assert LMM_REGISTRY["llava_hf"] is hf_adapters.LlavaHFLMM
     assert LMM_REGISTRY["instructblip"] is hf_adapters.InstructBlipLMM
     assert LMM_REGISTRY["qwen_vl"] is hf_adapters.QwenVLLMM
+    assert LMM_REGISTRY["fuyu"] is hf_adapters.FuyuLMM
+    assert LMM_REGISTRY["idefics2"] is hf_adapters.Idefics2LMM
 
 
 def test_minicpm_v_protocol():
