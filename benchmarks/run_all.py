@@ -85,13 +85,22 @@ def bench_towers(results, quick=False):
              "facebook/dinov2-large"]
     if quick:
         names = names[:1]
-    batch = 64
+    # LVR_TOWER_NAMES: comma-separated substring filter over the zoo;
+    # LVR_TOWER_BATCH: per-dispatch batch (batch-scaling studies for the
+    # short-sequence towers whose b64 dispatches underfill the MXU)
+    name_filter = os.environ.get("LVR_TOWER_NAMES")
+    if name_filter:
+        keys = [k.strip() for k in name_filter.split(",") if k.strip()]
+        names = [n for n in names if any(k in n for k in keys)]
+    batch = int(os.environ.get("LVR_TOWER_BATCH", "64"))
     iters = 4 if quick else 10
     rng = np.random.RandomState(0)
     # LVR_TOWER_ATTN measures the whole zoo with the production fast-path
     # opt-in (`model.tower_attn_impl`); rows get a metric suffix
     tower_attn = os.environ.get("LVR_TOWER_ATTN")
     sfx = f"_{tower_attn}" if tower_attn else ""
+    if batch != 64:
+        sfx += f"_b{batch}"
     for name in names:
         cfg = VIT_PRESETS[name]()
         if tower_attn:

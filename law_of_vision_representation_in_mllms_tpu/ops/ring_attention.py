@@ -39,16 +39,14 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
     idx = lax.axis_index(axis_name)
 
     qf = q.astype(jnp.float32) * scale
-    m = jnp.full((b, h, sl, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((b, h, sl, 1), jnp.float32)
-    acc = jnp.zeros((b, h, sl, d), jnp.float32)
     # jax >= 0.8 shard_map tracks varying-manual-axes: the scan carry must
-    # enter already marked device-varying like its outputs
-    if hasattr(lax, "pcast"):
-        m, l, acc = (lax.pcast(x, axis_name, to="varying")
-                     for x in (m, l, acc))
-    elif hasattr(lax, "pvary"):  # jax 0.8
-        m, l, acc = (lax.pvary(x, axis_name) for x in (m, l, acc))
+    # enter marked device-varying exactly like its outputs. Deriving the
+    # init from q inherits q's full varying set (e.g. {data, seq} on a
+    # 3-axis mesh), which pcast over just the ring axis would not.
+    zq = qf[:, :, :, :1].transpose(0, 2, 1, 3) * 0.0      # [B, H, Sl, 1]
+    m = zq + NEG_INF
+    l = zq
+    acc = jnp.zeros((b, h, sl, d), jnp.float32) + zq
 
     q_pos = idx * sl + jnp.arange(sl)                       # global q rows
 
@@ -81,11 +79,17 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
 
 
 def make_ring_attention(mesh, *, axis_name: str = "data",
-                        causal: bool = False):
-    """shard_map-wrapped ring attention over full [B, S, H, D] arrays."""
+                        causal: bool = False, spec=None):
+    """shard_map-wrapped ring attention over full [B, S, H, D] arrays.
+
+    ``spec`` overrides the q/k/v PartitionSpec — pass the full-mesh
+    layout (e.g. P("data", "seq", "model", None)) when the mesh carries
+    batch/TP axes besides the ring axis; collectives still ride only
+    ``axis_name``."""
     from jax.sharding import PartitionSpec as P
 
-    spec = P(None, axis_name, None, None)
+    if spec is None:
+        spec = P(None, axis_name, None, None)
     fn = functools.partial(ring_attention, axis_name=axis_name,
                            causal=causal)
     try:

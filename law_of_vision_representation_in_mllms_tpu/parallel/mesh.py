@@ -6,7 +6,11 @@ TPU-native equivalent is a single 2-D `jax.sharding.Mesh` with axes
 
 - ``data``  — batch sharding (DDP / ZeRO falls out of GSPMD param sharding),
 - ``model`` — tensor parallelism for the 7B decoder (optional; size 1 by
-  default on a v5e-8).
+  default on a v5e-8),
+- ``seq``   — optional context parallelism (``n_seq > 1``): decoder
+  activations shard over the sequence dimension and attention runs the
+  ring kernel (`ops/ring_attention.py`), K/V blocks rotating over ICI.
+  Long-context headroom beyond the reference's 2048 cap (SURVEY §5).
 
 XLA emits all collectives (psum / all-gather / reduce-scatter) over ICI; there
 is no hand-written communication backend.
@@ -20,14 +24,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              devices=None) -> Mesh:
-    """Build a (data, model) mesh over the given (default: all) devices."""
+              devices=None, n_seq: int = 1) -> Mesh:
+    """Build a (data, model) — or (data, seq, model) when ``n_seq > 1`` —
+    mesh over the given (default: all) devices. ``seq`` sits between data
+    and model so ring hops (seq) and TP collectives (model, innermost =
+    most ICI-adjacent) both stay tight."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    if n_data * n_model > len(devices):
+        n_data = len(devices) // (n_model * n_seq)
+    if n_data * n_model * n_seq > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_model} > {len(devices)} devices")
+            f"mesh {n_data}x{n_seq}x{n_model} > {len(devices)} devices")
+    if n_seq > 1:
+        arr = np.array(devices[:n_data * n_seq * n_model]).reshape(
+            n_data, n_seq, n_model)
+        return Mesh(arr, axis_names=("data", "seq", "model"))
     arr = np.array(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
 
