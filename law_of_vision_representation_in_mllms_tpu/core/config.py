@@ -113,6 +113,10 @@ class DataSection:
 class ParallelSection:
     n_data: Optional[int] = None
     n_model: int = 1
+    # context parallelism: shard the decoder sequence `seq` ways and run
+    # ring attention over the mesh's seq axis (ops/ring_attention.py) —
+    # long-context headroom the reference lacks (2048-token cap)
+    seq: int = 1
     # ZeRO level (deepspeed `scripts/zero{2,3}.json` equivalents):
     # 0 = TP-only/replicated, 2 = shard optimizer state on the data axis,
     # 3 = shard params + optimizer state (FSDP).

@@ -177,7 +177,7 @@ def _attention(q, k, v, mask, accum_dtype=jnp.float32):
 
 def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
            prec: Precision, use_flash: bool = False, lora=None,
-           lora_scaling: float = 1.0):
+           lora_scaling: float = 1.0, ring=None, ring_mask=None):
     """One decoder block.
 
     cache: optional (ck_all, cv_all, layer_idx) where ck/cv are the FULL
@@ -219,7 +219,12 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
         k_all, v_all = k, v
         new_cache = None
 
-    if use_flash:
+    if ring is not None:
+        # Context-parallel path (no cache): sequence sharded over the CP
+        # mesh axis, K/V rotating over ICI (`ops/ring_attention.py`).
+        # Causality + key padding handled inside the ring.
+        attn = ring(q, k, v, ring_mask)
+    elif use_flash:
         # Pallas flash over the LOCAL k/v (valid for prefill at
         # cache_index 0 / no-cache passes with right padding — the caller
         # guarantees it). Differentiable: custom-VJP backward kernels.
@@ -244,7 +249,8 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
             attn_mask=None, cache=None, cache_index=None,
             precision: Precision = DEFAULT_PRECISION,
             use_flash: bool = False, lora=None,
-            lora_scaling: float = 1.0, remat: bool = False):
+            lora_scaling: float = 1.0, remat: bool = False,
+            cp=None):
     """Run the trunk.
 
     Args:
@@ -254,6 +260,10 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
         (no cache) or the cache length. Combined with causality.
       cache: optional dict with "k","v" [L, B, Tmax, KV, Dh] and the new
         entries are written at cache_index.
+      cp: optional `ops.ring_attention.ContextParallel` — run attention
+        sequence-parallel over cp.seq_axis (ring K/V rotation; no-cache
+        passes only). Like the flash path, causality is over array order
+        (right-padded batches); the [S, S] mask never materializes.
     Returns (hidden [B,S,D], new_cache or None).
     """
     b, s, d = embeds.shape
@@ -261,7 +271,20 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
     h = embeds.astype(cd)
     cos, sin = rope_tables(cfg, positions)
 
-    if cache is None:
+    ring = ring_mask = None
+    if cp is not None and cache is None:
+        from ..ops.ring_attention import make_cp_attention
+        n_seq = cp.mesh.shape[cp.seq_axis]
+        if s % n_seq:
+            raise ValueError(f"seq len {s} not divisible by CP axis "
+                             f"'{cp.seq_axis}' ({n_seq})")
+        ring = make_cp_attention(cp, causal=True)
+        ring_mask = (attn_mask.astype(jnp.bool_) if attn_mask is not None
+                     else jnp.ones((b, s), jnp.bool_))
+
+    if ring is not None:
+        mask = None                      # ring handles causality + padding
+    elif cache is None:
         q_pos = positions
         k_pos = positions
         causal = k_pos[:, None, :] <= q_pos[:, :, None]        # [B,S,T]
@@ -275,15 +298,16 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
         q_slot = cache_index + jnp.arange(s)                    # [S]
         causal = k_slot[:, None, :] <= q_slot[None, :, None]    # [1,S,T]
         causal = jnp.broadcast_to(causal, (b, s, t))
-    mask = causal[:, None, :, :]
-    if attn_mask is not None:
-        mask = mask & attn_mask[:, None, None, :]
+    if ring is None:
+        mask = causal[:, None, :, :]
+        if attn_mask is not None:
+            mask = mask & attn_mask[:, None, None, :]
 
     # Pallas flash attention applies to right-padded prefill-style passes
     # over local k/v (training + inference; custom-VJP backward)
-    flash_ok = use_flash and s > 1 and (cache is None or
-                                        (isinstance(cache_index, int)
-                                         and cache_index == 0))
+    flash_ok = (ring is None and use_flash and s > 1
+                and (cache is None or (isinstance(cache_index, int)
+                                       and cache_index == 0)))
 
     lora_xs = lora if lora is not None else {}
     if cache is None:
@@ -292,7 +316,8 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
             lp, ll = xs
             h, _ = _layer(cfg, h, lp, cos, sin, mask, None, None, precision,
                           use_flash=flash_ok, lora=ll,
-                          lora_scaling=lora_scaling)
+                          lora_scaling=lora_scaling, ring=ring,
+                          ring_mask=ring_mask)
             return h, ()
         if remat:
             # gradient checkpointing per block (reference:

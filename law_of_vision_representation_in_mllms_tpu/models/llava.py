@@ -235,14 +235,16 @@ def dump_image_embeds(params, cfg: LlavaConfig, pixel_values,
 def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
             precision: Precision = DEFAULT_PRECISION,
             diffusion_apply=None, remat: bool = False,
-            use_flash: bool = False, lora_scaling: float = 1.0):
+            use_flash: bool = False, lora_scaling: float = 1.0,
+            cp=None):
     """Training loss.
 
     batch: input_ids [B,L] (with -200 image slots), labels [B,L],
     text_mask [B,L] bool, pixel_values: list of NHWC arrays per tower.
     If params contain a "lora" subtree (models/lora.py), the decoder runs
     with the rank-r adapters applied (the reference's peft-LoRA finetune,
-    `train.py:945-985`).
+    `train.py:945-985`). cp: optional ContextParallel — decoder attention
+    runs sequence-parallel (ring) over cp.seq_axis.
     """
     plan = splice_plan(batch["input_ids"], batch["labels"],
                        batch["text_mask"], cfg.num_patches)
@@ -250,12 +252,25 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
                         diffusion_apply)
     txt = L.embed_tokens(params["decoder"], batch["input_ids"], precision)
     embeds = splice_embeds(plan, txt, img)
-    h, _ = L.forward(params["decoder"], cfg.decoder, embeds, plan.positions,
-                     attn_mask=plan.attn_mask, precision=precision,
+    positions, attn_mask, labels = plan.positions, plan.attn_mask, plan.labels
+    if cp is not None:
+        # the spliced length (max_length + num_patches - 1) is arbitrary;
+        # right-pad to a seq-axis multiple (padded keys masked out, padded
+        # labels ignored) so the ring shards evenly
+        pad = (-embeds.shape[1]) % cp.mesh.shape[cp.seq_axis]
+        if pad:
+            embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+            positions = jnp.pad(positions, ((0, 0), (0, pad)))
+            attn_mask = jnp.pad(attn_mask, ((0, 0), (0, pad)))
+            labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                             constant_values=IGNORE_INDEX)
+    h, _ = L.forward(params["decoder"], cfg.decoder, embeds, positions,
+                     attn_mask=attn_mask, precision=precision,
                      remat=remat, use_flash=use_flash,
-                     lora=params.get("lora"), lora_scaling=lora_scaling)
+                     lora=params.get("lora"), lora_scaling=lora_scaling,
+                     cp=cp)
     logits = L.logits_fn(params["decoder"], h, precision)
-    return L.causal_lm_loss(logits, plan.labels)
+    return L.causal_lm_loss(logits, labels)
 
 
 def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,

@@ -144,7 +144,15 @@ def run_training(cfg: RunConfig) -> int:
                                == "pad", max_length=cfg.train.max_length)
 
     mesh = make_mesh(n_data=cfg.parallel.n_data,
-                     n_model=cfg.parallel.n_model)
+                     n_model=cfg.parallel.n_model,
+                     n_seq=cfg.parallel.seq)
+    cp = None
+    if cfg.parallel.seq > 1:
+        # spliced sequences pad to a seq-axis multiple inside loss_fn, so
+        # any max_length works
+        from ..ops.ring_attention import ContextParallel
+        cp = ContextParallel(
+            mesh, head_axis="model" if cfg.parallel.n_model > 1 else None)
     n_data = mesh.shape["data"]
     if cfg.train.batch_size % n_data:
         raise ValueError(f"batch_size {cfg.train.batch_size} must divide "
@@ -201,7 +209,8 @@ def run_training(cfg: RunConfig) -> int:
                                       diffusion_apply, opt_to_device=opt_dev,
                                       opt_to_host=opt_host,
                                       params_to_device=p_dev,
-                                      params_to_host=p_host, mesh=mesh))
+                                      params_to_host=p_host, mesh=mesh,
+                                      cp=cp))
 
     logger = MetricsLogger(cfg.train.output_dir, "train",
                            every=cfg.train.logging_steps)

@@ -180,7 +180,8 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
                     opt, precision: Precision = DEFAULT_PRECISION,
                     diffusion_apply=None, opt_to_device=None,
                     opt_to_host=None, params_to_device=None,
-                    params_to_host=None, mesh: Mesh | None = None):
+                    params_to_host=None, mesh: Mesh | None = None,
+                    cp=None):
     """Returns step(state, batch) -> (state, metrics); jit/pjit-ready.
 
     opt_to_device/opt_to_host: optional sharding trees for host-offloaded
@@ -204,7 +205,7 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
         return llava.loss_fn(params, model_cfg, batch, precision,
                              diffusion_apply, remat=train_cfg.remat,
                              use_flash=train_cfg.use_flash,
-                             lora_scaling=train_cfg.lora_scaling)
+                             lora_scaling=train_cfg.lora_scaling, cp=cp)
 
     def grad_fn(params, batch):
         a = train_cfg.grad_accum
