@@ -32,20 +32,11 @@ import json
 import os
 import time
 
+# single source for the cost-analysis helper and roofline constants
+from benchmarks.run_all import (_cost_flops, A100_EAGER_TFLOPS,
+                                V5E_PEAK_TFLOPS)
+
 A100_TORCH_BASELINE_IMG_S = 300.0
-V5E_PEAK_TFLOPS = 197.0
-A100_EAGER_TFLOPS = 0.40 * 312.0     # same basis as benchmarks/run_all.py
-
-
-def _cost_flops(jitted, *args):
-    try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
-    except Exception:
-        return None
 
 
 def bench_clip(extra):

@@ -541,10 +541,14 @@ def bench_decode_7b(results, quick=False):
 
     cache, tok = prefill(params, ids)
     t_arr = jnp.full((b,), l, jnp.int32)
-    cache, tok = one_step(params, cache, tok, t_arr)    # compile + warm
+    steps = 8 if quick else min(24, n_new - 1)
+    # compile + warm at an offset OUTSIDE the measured 0..steps-1 range:
+    # after the re-prefill the cache/tok values repeat, so a warm at
+    # t_arr+0 would make the first measured dispatch byte-identical and
+    # the axon relay would serve it from cache (CLAUDE.md bench rule)
+    cache, tok = one_step(params, cache, tok, t_arr + jnp.int32(steps))
     int(tok[0])
     cache, tok = prefill(params, ids)
-    steps = 8 if quick else min(24, n_new - 1)
     t0 = time.perf_counter()
     for i in range(steps):
         cache, tok = one_step(params, cache, tok,
@@ -619,10 +623,14 @@ def bench_decode_7b(results, quick=False):
         params = LY.relayout(params, p_fmts, consume=True)
 
         cache, tok = prefill_pinned(params, ids)
-        cache, tok, _ = chunk_c(params, cache, tok, t_arr)   # warm
+        n_chunks = max(1, (n_new - 1) // chunk)
+        # warm at an offset outside the measured {0, chunk, 2*chunk, ...}
+        # set: after the re-prefill the cache/tok values repeat, so a warm
+        # at t_arr+0 would make the measured ci=0 dispatch byte-identical
+        # and the axon relay would serve it from cache (CLAUDE.md rule)
+        cache, tok, _ = chunk_c(params, cache, tok, t_arr + jnp.int32(1))
         int(tok[0])
         cache, tok = prefill_pinned(params, ids)
-        n_chunks = max(1, (n_new - 1) // chunk)
         t0c = time.perf_counter()
         for ci in range(n_chunks):
             cache, tok, toks = chunk_c(params, cache, tok,

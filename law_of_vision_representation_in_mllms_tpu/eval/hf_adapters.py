@@ -75,8 +75,12 @@ class LlavaHFLMM(HFVision2SeqLMM):
         for r in requests:
             n = len(r.visual or [])
             text = self._chat(self._format(r.args[0], n))
+            # ALL visuals go to the processor — _format emits one
+            # '<image>' per visual and modern processors assert the
+            # placeholder/image counts match (llava_hf.py:283 flattens
+            # the full visual list)
             inputs = self.processor(
-                text=text, images=r.visual[0] if n else None,
+                text=text, images=list(r.visual) if n else None,
                 return_tensors="pt")
             gen_kwargs = r.args[1] if len(r.args) > 1 else {}
             with torch.no_grad():
@@ -98,17 +102,22 @@ class LlavaHFLMM(HFVision2SeqLMM):
         joint = template(ctx, continuation); continuation tokens are the
         joint encoding's suffix past the context encoding."""
         import torch
-        tok = getattr(self.processor, "tokenizer", self.processor)
         out = []
         for r in requests:
             n = len(r.visual or [])
             ctx = self._format(r.args[0], n)
             prompt = self._chat(ctx)
             joint = self._chat(ctx, continuation=r.args[1])
-            ctx_ids = tok(prompt)["input_ids"]
+            images = list(r.visual) if n else None
+            # BOTH encodings go through the processor (llava_hf.py:205-207):
+            # it expands each '<image>' into num_patches image-token ids, so
+            # a raw-tokenizer context length would overshoot the
+            # continuation slice by (num_patches-1) per image
+            ctx_ids = self.processor(
+                text=prompt, images=images,
+                return_tensors="pt")["input_ids"][0].tolist()
             inputs = self.processor(
-                text=joint, images=r.visual[0] if n else None,
-                return_tensors="pt")
+                text=joint, images=images, return_tensors="pt")
             full_ids = inputs["input_ids"][0].tolist()
             k = len(full_ids) - len(ctx_ids)
             if k <= 0:
@@ -347,13 +356,33 @@ class QwenVLLMM(LMM):
         return query
 
     def generate_until(self, requests: List[Instance]) -> List[str]:
+        """qwen_vl.py:252-283: tokenized from_list_format query through
+        model.generate — greedy at temperature 0, gen_kwargs'
+        max_new_tokens honored (default 1024), eod as eos/pad."""
+        import torch
         out = []
         for r in requests:
             gen_kwargs = r.args[1] if len(r.args) > 1 else {}
             questions = self.tokenizer.from_list_format(
                 self.build_query(r.args[0], r.visual))
-            ans, _ = self.model.chat(
-                self.tokenizer, query=questions, history=None)
+            inputs = self.tokenizer(questions, return_tensors="pt")
+            temperature = gen_kwargs.get("temperature", 0)
+            eod = getattr(self.tokenizer, "eod_id", None)
+            pad = getattr(self.tokenizer, "pad_token_id", None)
+            with torch.no_grad():
+                ids = self.model.generate(
+                    inputs["input_ids"],
+                    attention_mask=inputs.get("attention_mask"),
+                    eos_token_id=eod,
+                    pad_token_id=pad if pad is not None else eod,
+                    do_sample=temperature > 0,
+                    temperature=temperature if temperature > 0 else None,
+                    num_beams=gen_kwargs.get("num_beams", 1),
+                    max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                                  self.max_new_tokens))
+            ans = self.tokenizer.decode(
+                ids[0, inputs["input_ids"].shape[1]:],
+                skip_special_tokens=True)
             for stop in gen_kwargs.get("until", []) or []:
                 if stop and stop in ans:
                     ans = ans.split(stop)[0]
@@ -446,8 +475,12 @@ class Phi3VLMM(HFVision2SeqLMM):
             trust_remote_code=True).eval()
         self.max_new_tokens = max_new_tokens
 
-    def _format(self, context: str) -> str:
-        if IMAGE_TOKEN in context:
+    def _format(self, context: str, has_image: bool = True) -> str:
+        if not has_image:
+            # text-only request: an unmatched '<|image_1|>' placeholder
+            # with images=None makes the remote-code processor raise
+            query = context.replace(IMAGE_TOKEN, "").strip()
+        elif IMAGE_TOKEN in context:
             query = context.replace(IMAGE_TOKEN, "<|image_1|>")
         else:
             query = f"<|image_1|>\n{context}"
@@ -462,7 +495,7 @@ class Phi3VLMM(HFVision2SeqLMM):
         for r in requests:
             gen_kwargs = r.args[1] if len(r.args) > 1 else {}
             inputs = self.processor(
-                text=self._format(r.args[0]),
+                text=self._format(r.args[0], has_image=bool(r.visual)),
                 images=[r.visual[0]] if r.visual else None,
                 return_tensors="pt")
             with torch.no_grad():

@@ -204,6 +204,15 @@ def _mmupd_augmented(doc, upd_type: str, question_type: str,
     gt_option = free[0]
     s += f"{gt_option}. {gt_text}\n"
     valid.append(gt_option)
+    if upd_type == "iasd" and question_type == "inst" and gt_option == "E":
+        # `mmupd_evals.py:208-214`: the none-option would collide with the
+        # fixed 'F. None of the above', so the none text moves to G and
+        # all of E/F/G score as correct
+        s += "F. None of the above\n"
+        valid.append("F")
+        s += f"G. {none_txt}\n"
+        valid.append("G")
+        return s, valid, [gt_option, "F", "G"]
     none_option = chr(ord(gt_option) + 1)
     s += f"{none_option}. {none_txt}\n"
     valid.append(none_option)

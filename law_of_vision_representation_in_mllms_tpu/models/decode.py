@@ -163,7 +163,7 @@ class ChunkedGreedyDecoder:
         c_fmts = chunk_c.input_formats[0][1]
         self._param_formats = p_fmts
         ids_s, mask_s = sds((b, l), jnp.int32), sds((b, l), jnp.bool_)
-        px_s = sds(self._px_shape, self._px_dtype)
+        px_s = list(self._px_spec)
         pre_c = jax.jit(
             prefill,
             in_shardings=(p_fmts, None, None, None),
@@ -188,9 +188,13 @@ class ChunkedGreedyDecoder:
         gen_cap = n_chunks * self.chunk
         input_ids = jnp.asarray(input_ids, jnp.int32)
         text_mask = jnp.asarray(text_mask, bool)
-        pixel_values = jnp.asarray(pixel_values)
-        self._px_shape = pixel_values.shape
-        self._px_dtype = pixel_values.dtype
+        # per-tower pixel LIST, same contract as generate_greedy — towers
+        # may differ in resolution, so never stack into one array
+        if not isinstance(pixel_values, (list, tuple)):
+            pixel_values = [pixel_values]
+        pixel_values = [jnp.asarray(p) for p in pixel_values]
+        self._px_spec = [jax.ShapeDtypeStruct(p.shape, p.dtype)
+                         for p in pixel_values]
         prefill, decode_chunk = self._get(b, l, gen_cap)
         if self.negotiate_layouts and not self._relaid:
             # one-time: move the live params into the negotiated layouts,

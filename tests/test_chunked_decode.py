@@ -114,3 +114,43 @@ def test_chunked_program_reuse():
     want2 = _greedy(params, cfg, b2, 8, eos_id=0)
     np.testing.assert_array_equal(g1, want1)
     np.testing.assert_array_equal(g2, want2)
+
+
+def test_chunked_multitower_mixed_resolution():
+    """Two MoF towers at DIFFERENT resolutions: the decoder must keep the
+    per-tower pixel LIST intact (stacking into one array raises on
+    inhomogeneous shapes — generate_greedy's contract is a list)."""
+    import jax
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerEntry, TowerSpec)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import ViTConfig
+
+    def vit(sz):
+        return ViTConfig(image_size=sz, patch_size=7, hidden_size=16,
+                         num_layers=2, num_heads=2, intermediate_size=32,
+                         use_class_token=True, use_pre_layernorm=True,
+                         patch_bias=False)
+
+    entries = [TowerEntry(name=f"tiny{s}", kind="vit", vit_config=vit(s),
+                          vit_family="clip", hidden_size=16,
+                          num_patches=vit(s).num_patches)
+               for s in (14, 28)]
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=entries, join="mof"),
+        decoder=L.tiny(vocab_size=64, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64),
+        projector_type="mlp2x_gelu")
+    params = M.init_params(jax.random.PRNGKey(3), cfg, FP32_PRECISION)
+    rng = np.random.RandomState(4)
+    batch = _tiny_batch(cfg, rng, b=2, l=6)
+    batch["pixel_values"] = [
+        jnp.asarray(rng.randn(2, 14, 14, 3).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 28, 28, 3).astype(np.float32))]
+    max_new = 6
+    want = _greedy(params, cfg, batch, max_new, eos_id=0)
+    dec = ChunkedGreedyDecoder(params, cfg, eos_id=0,
+                               precision=FP32_PRECISION, chunk=4)
+    got = dec.generate(batch["input_ids"], batch["text_mask"],
+                       batch["pixel_values"], max_new_tokens=max_new)
+    np.testing.assert_array_equal(got, want)

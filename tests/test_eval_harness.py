@@ -734,6 +734,27 @@ def test_websrc_and_screenspot_tasks(tmp_path):
     assert res["screenspot_rec_test"]["value"] == 1.0
 
 
+def test_mmupd_augmented_iasd_option_e():
+    """`mmupd_evals.py:208-223`: masked iasd 'inst' docs whose re-injected
+    ground truth lands at E get 'F. None of the above' + the none text at
+    G (answer E/F/G) — NOT a duplicated F."""
+    from law_of_vision_representation_in_mllms_tpu.eval.tasks.extra_tasks \
+        import _mmupd_augmented
+    doc = {"A": "a", "B": "b", "C": "c", "D": "d",
+           "masked_answer": "the truth", "answer": "E"}
+    s, valid, answer = _mmupd_augmented(doc, "iasd", "inst", "iasd")
+    assert answer == ["E", "F", "G"]
+    assert "E. the truth\n" in s
+    assert "F. None of the above\n" in s
+    assert s.count("F.") == 1
+    assert "G. " in s and valid[-2:] == ["F", "G"]
+    # non-E inst case keeps the gt+1 none-option mapping (C->D, D->E)
+    doc2 = {"A": "a", "B": "b", "masked_answer": "t", "answer": "C"}
+    s2, _, answer2 = _mmupd_augmented(doc2, "iasd", "inst", "iasd")
+    assert answer2 == ["C", "D", "F"]
+    assert "C. t\n" in s2 and "F. None of the above\n" in s2
+
+
 def test_cmmmu_mmupd_mathverse_tasks(tmp_path):
     from law_of_vision_representation_in_mllms_tpu.eval.tasks.extra_tasks \
         import mmupd_dual_accuracy

@@ -98,10 +98,12 @@ def test_llava_hf_adapter_golden(tmp_path):
     score, greedy = lmm.loglikelihood([Instance(
         "loglikelihood", {}, 0, "t", (ctx, " a cat"), [img])])[0]
     assert np.isfinite(score) and isinstance(greedy, bool)
-    tok = proc.tokenizer
     prompt = f"{VICUNA_SYSTEM} USER: <image>\n{ctx} ASSISTANT:"
     joint = f"{prompt} a cat</s>"
-    ctx_len = len(tok(prompt)["input_ids"])
+    # llava_hf.py:205-207: BOTH encodings go through the processor so the
+    # expanded image-token ids cancel out of the continuation slice
+    ctx_len = proc(text=prompt, images=img,
+                   return_tensors="pt")["input_ids"].shape[1]
     inputs = proc(text=joint, images=img, return_tensors="pt")
     k = inputs["input_ids"].shape[1] - ctx_len
     with torch.no_grad():
@@ -168,6 +170,9 @@ def test_qwen_vl_query_format_and_generate():
     calls = {}
 
     class FakeTok:
+        eod_id = 151643
+        pad_token_id = None
+
         def from_list_format(self, entries):
             calls["entries"] = entries
             parts = []
@@ -179,24 +184,38 @@ def test_qwen_vl_query_format_and_generate():
             return "".join(parts)
 
         def __call__(self, text, return_tensors=None):
+            calls["query"] = text
             ids = [ord(c) % 50 for c in text][:16]
             if return_tensors == "pt":
-                return {"input_ids": torch.tensor([ids])}
+                return {"input_ids": torch.tensor([ids]),
+                        "attention_mask": torch.ones((1, len(ids)),
+                                                     dtype=torch.long)}
             return {"input_ids": ids}
 
+        def decode(self, ids, skip_special_tokens=True):
+            calls["decoded"] = [int(i) for i in ids]
+            return "a cat."
+
     class FakeModel:
-        def chat(self, tok, query=None, history=None):
-            calls["query"] = query
-            return "a cat.", None
+        def generate(self, input_ids, attention_mask=None, **kw):
+            calls["gen_kwargs"] = kw
+            return torch.cat([input_ids, torch.tensor([[1, 2, 3]])], dim=1)
 
     lmm = QwenVLLMM(model=FakeModel(), tokenizer=FakeTok())
     out = lmm.generate_until([Instance(
         "generate_until", {}, 0, "t",
-        ("<image>\nwhat is this?", {"until": ["."]}), [_img()])])
+        ("<image>\nwhat is this?", {"until": ["."],
+                                    "max_new_tokens": 7}), [_img()])])
     assert out == ["a cat"]                      # stop-string truncation
     assert calls["entries"][0]["image"].endswith("v0.png")
     assert calls["entries"][-1]["text"] == "what is this?"
     assert calls["query"].startswith("<img>")
+    # qwen_vl.py:260-280 parity: greedy at temperature 0, per-request
+    # token cap, eod as eos AND pad fallback
+    kw = calls["gen_kwargs"]
+    assert kw["max_new_tokens"] == 7 and kw["do_sample"] is False
+    assert kw["eos_token_id"] == 151643 and kw["pad_token_id"] == 151643
+    assert calls["decoded"] == [1, 2, 3]         # continuation slice only
 
 
 def _tiny_fuyu():
