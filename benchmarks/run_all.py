@@ -194,9 +194,10 @@ def bench_diffusion(results, quick=False):
              "unit": "images/sec/chip",
              "img_size": cfg.img_size},
             _cost_flops(fn, params, px), dt, imgs_per_call=batch)
-        if "stable-diffusion-v1-5" in name:
-            # round-3 ViT winner applied to the UNet attentions
-            # (diffusion_blocks._attn): measure the opt-in path too
+        if os.environ.get("LVR_DIFFUSION_FAST", "1") == "1":
+            # round-3 ViT winner applied to the diffusion attentions
+            # (diffusion_blocks._attn — reaches UNet AND DiT/MMDiT):
+            # measure the opt-in path for every family
             fast_impl = "xla_expclamp_fused"
             os.environ["LVR_DIFFUSION_ATTN"] = fast_impl
             try:

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..core.precision import Precision, DEFAULT_PRECISION
 from .diffusion_blocks import timestep_embedding, TimestepEmbedMLP
-from ..ops.attention import mha
+from .diffusion_blocks import _attn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,7 +111,9 @@ class SelfAttentionBias(nn.Module):
         q = dense("to_q")(x).reshape(b, s, self.heads, hd)
         k = dense("to_k")(x).reshape(b, s, self.heads, hd)
         v = dense("to_v")(x).reshape(b, s, self.heads, hd)
-        o = mha(q, k, v, accum_dtype=prec.accum_dtype)
+        # routed through the diffusion attention dispatch so
+        # model.diffusion_attn_impl reaches DiT/MMDiT too
+        o = _attn(q, k, v, prec.accum_dtype)
         return dense("to_out")(o.reshape(b, s, self.dim))
 
 

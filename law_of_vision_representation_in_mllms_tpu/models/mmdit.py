@@ -24,7 +24,7 @@ import numpy as np
 from ..core.precision import Precision, DEFAULT_PRECISION
 from .diffusion_blocks import timestep_embedding, TimestepEmbedMLP
 from .dit import AdaLNZero, FFGeluTanh
-from ..ops.attention import mha
+from .diffusion_blocks import _attn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,7 +92,9 @@ class JointBlock(nn.Module):
         q = q.reshape(b, s + t, cfg.num_heads, hd)
         k = k.reshape(b, s + t, cfg.num_heads, hd)
         v = v.reshape(b, s + t, cfg.num_heads, hd)
-        o = mha(q, k, v, accum_dtype=prec.accum_dtype)
+        # routed through the diffusion attention dispatch so
+        # model.diffusion_attn_impl reaches DiT/MMDiT too
+        o = _attn(q, k, v, prec.accum_dtype)
         o = o.reshape(b, s + t, d)
         attn_x, attn_c = o[:, :s], o[:, s:]
 

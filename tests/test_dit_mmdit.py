@@ -152,3 +152,28 @@ def test_flow_match_add_noise_golden():
         jnp.asarray(lat), jnp.asarray(noise),
         jnp.full((2, 1, 1, 1), 1.0)))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_dit_fast_attn_impl_equivalent():
+    """`model.diffusion_attn_impl` now reaches DiT/MMDiT (the dispatch in
+    diffusion_blocks._attn): the fused no-max softmax must match the
+    exact path at fp32 on the DiT forward."""
+    import jax
+    from law_of_vision_representation_in_mllms_tpu.models import (
+        diffusion_blocks as DB)
+
+    cfg = D.DiTConfig(in_channels=4, hidden_size=16, num_layers=3,
+                      num_heads=2, sample_size=8)
+    rng = np.random.RandomState(5)
+    lat = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    mod = D.DiTHarvest(cfg, (-1,), FP32_PRECISION)
+    params = mod.init(jax.random.PRNGKey(0), lat, 1)
+    try:
+        DB.set_attn_impl(None)
+        ref = mod.apply(params, lat, 1)[-1]
+        DB.set_attn_impl("xla_expclamp_fused")
+        got = mod.apply(params, lat, 1)[-1]
+    finally:
+        DB.set_attn_impl(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
