@@ -197,20 +197,27 @@ def bench_diffusion(results, quick=False):
         if os.environ.get("LVR_DIFFUSION_FAST", "1") == "1":
             # round-3 ViT winner applied to the diffusion attentions
             # (diffusion_blocks._attn — reaches UNet AND DiT/MMDiT):
-            # measure the opt-in path for every family
-            fast_impl = "xla_expclamp_fused"
-            os.environ["LVR_DIFFUSION_ATTN"] = fast_impl
-            try:
-                fn2 = jax.jit(lambda p, x: F.extract_features(
-                    p, cfg, x, deterministic=True, precision=prec))
-                dt2 = _timed(
-                    lambda x: fn2(params, x), (px,),
-                    [(px * (1.02 - 0.002 * i),) for i in range(iters)],
-                    lambda o: float(jnp.sum(o.astype(jnp.float32))))
-                rec[fast_impl.removeprefix("xla_") + "_img_s"] = \
-                    round(batch / dt2, 2)
-            finally:
-                del os.environ["LVR_DIFFUSION_ATTN"]
+            # measure the opt-in path for every family. Families with a
+            # >=4096-token self-attention (SD1.5@768's 96x96 blocks) also
+            # measure "auto" (Pallas flash above the seq threshold —
+            # [B,H,S,S] logits never hit HBM there).
+            impls = ["xla_expclamp_fused"]
+            if (cfg.img_size // 8) ** 2 >= 4096:
+                impls.append("auto")
+            for j, fast_impl in enumerate(impls):
+                os.environ["LVR_DIFFUSION_ATTN"] = fast_impl
+                try:
+                    fn2 = jax.jit(lambda p, x: F.extract_features(
+                        p, cfg, x, deterministic=True, precision=prec))
+                    dt2 = _timed(
+                        lambda x: fn2(params, x), (px,),
+                        [(px * (1.02 + 0.01 * j - 0.002 * i),)
+                         for i in range(iters)],
+                        lambda o: float(jnp.sum(o.astype(jnp.float32))))
+                    rec[fast_impl.removeprefix("xla_") + "_img_s"] = \
+                        round(batch / dt2, 2)
+                finally:
+                    del os.environ["LVR_DIFFUSION_ATTN"]
         results.append(rec)
 
 

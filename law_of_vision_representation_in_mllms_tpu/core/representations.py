@@ -79,6 +79,15 @@ def render_config(rep_name: str, stage: int = 1, *,
     if rep.bundle_kinds:
         model["tower_weights"] = [
             f"ports/{k}_bundle.npz" for k in rep.bundle_kinds]
+        # measured production winner for the UNet/DiT/MMDiT attentions
+        # (benchmarks/results.json diffusion_featurize/* fast rows;
+        # fp32-oracle exactness in benchmarks/validate_expclamp.py)
+        model["diffusion_attn_impl"] = "xla_expclamp_fused"
+    else:
+        # measured production winner for every ViT tower (round-3
+        # headline: 367 img/s CLIP-336 vs 278 exact; same bf16 accuracy
+        # vs the fp32 oracle — benchmarks/README.md kernel policy)
+        model["tower_attn_impl"] = "xla_expclamp_fused"
     train: Dict = {
         "stage": stage,
         "learning_rate": 1e-3 if stage == 1 else 2e-5,

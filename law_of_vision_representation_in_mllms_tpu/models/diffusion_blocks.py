@@ -36,23 +36,41 @@ def set_attn_impl(impl: Optional[str]) -> None:
     _ATTN_IMPL_OVERRIDE = impl
 
 
+# seq length at/above which "auto" routes to the Pallas flash kernel:
+# at SD1.5@768 the 96x96 self-attentions (seq 9216) write [B,H,S,S]
+# logits = ~1.3 GB/image/layer of HBM traffic under any XLA softmax;
+# flash never materializes them. Short sequences stay on the fused
+# no-max softmax (the measured ViT winner — Pallas loses there).
+_AUTO_FLASH_MIN_SEQ = 4096
+
+
 def _attn(q, k, v, accum_dtype):
     """UNet/transformer attention dispatch. `set_attn_impl` (or the
-    LVR_DIFFUSION_ATTN env var) = xla_expclamp / xla_expclamp_fused opts
-    the diffusion towers into the no-max softmax
-    (ops.attention.mha_expnomax{,_fused} — the round-3 ViT winners; the
-    UNet's seq<=2304 self-attentions have the same logits-HBM profile).
-    Default stays the exact softmax. Read at trace time, so flipping
-    requires a fresh jit (process) — benchmark-measured in
-    benchmarks/run_all.py."""
+    LVR_DIFFUSION_ATTN env var) selects:
+
+    - None (default): exact softmax (ops.attention.mha).
+    - "xla_expclamp" / "xla_expclamp_fused": the no-max softmax
+      (ops.attention.mha_expnomax{,_fused} — the round-3 ViT winners;
+      the UNet's seq<=2304 self-attentions share the logits-HBM profile).
+    - "flash": ops.flash_attention.flash_mha for every attention.
+    - "auto": flash for self-attentions with seq >= 4096 (SD1.5@768's
+      96x96 blocks), fused no-max softmax below.
+
+    Read at trace time, so flipping requires a fresh jit (process) —
+    benchmark-measured in benchmarks/run_all.py."""
     import os
     impl = _ATTN_IMPL_OVERRIDE or os.environ.get("LVR_DIFFUSION_ATTN")
     if impl == "xla_expclamp":
         from ..ops.attention import mha_expnomax
         return mha_expnomax(q, k, v, accum_dtype=accum_dtype)
+    if impl == "auto" and q.shape[1] < _AUTO_FLASH_MIN_SEQ:
+        impl = "xla_expclamp_fused"
     if impl == "xla_expclamp_fused":
         from ..ops.attention import mha_expnomax_fused
         return mha_expnomax_fused(q, k, v, accum_dtype=accum_dtype)
+    if impl in ("flash", "auto"):
+        from ..ops.flash_attention import flash_mha
+        return flash_mha(q, k, v).astype(q.dtype)
     return mha(q, k, v, accum_dtype=accum_dtype)
 
 

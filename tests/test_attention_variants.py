@@ -211,3 +211,40 @@ def test_diffusion_attn_impl_config_plumbing_and_parity():
     finally:
         DB.set_attn_impl(None)
     np.testing.assert_allclose(fast, exact, atol=2e-5, rtol=1e-4)
+
+
+def test_diffusion_attn_flash_and_auto_parity(monkeypatch):
+    """"flash" routes every diffusion attention through the Pallas flash
+    kernel; "auto" picks flash at/above _AUTO_FLASH_MIN_SEQ (SD1.5@768's
+    seq-9216 self-attentions) and the fused no-max softmax below. Both
+    must match the exact softmax (cross-attention shapes included —
+    UNet kv is the 77-token prompt)."""
+    from law_of_vision_representation_in_mllms_tpu.models import (
+        diffusion_blocks as DB)
+
+    rng = np.random.RandomState(3)
+    cases = [
+        ("self", (2, 160, 2, 8), (2, 160, 2, 8)),
+        ("cross", (2, 160, 2, 8), (2, 13, 2, 8)),
+    ]
+    for _, qs, ks in cases:
+        q = jnp.asarray(rng.randn(*qs), jnp.float32)
+        k = jnp.asarray(rng.randn(*ks), jnp.float32)
+        v = jnp.asarray(rng.randn(*ks), jnp.float32)
+        try:
+            DB.set_attn_impl(None)
+            exact = np.asarray(DB._attn(q, k, v, jnp.float32))
+            DB.set_attn_impl("flash")
+            flash = np.asarray(DB._attn(q, k, v, jnp.float32))
+            # auto, short branch (seq < threshold -> fused no-max)
+            DB.set_attn_impl("auto")
+            auto_short = np.asarray(DB._attn(q, k, v, jnp.float32))
+            # auto, long branch (force the flash side of the split)
+            monkeypatch.setattr(DB, "_AUTO_FLASH_MIN_SEQ", 64)
+            auto_long = np.asarray(DB._attn(q, k, v, jnp.float32))
+            monkeypatch.setattr(DB, "_AUTO_FLASH_MIN_SEQ", 4096)
+        finally:
+            DB.set_attn_impl(None)
+        np.testing.assert_allclose(flash, exact, atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(auto_short, exact, atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(auto_long, flash, atol=1e-6)

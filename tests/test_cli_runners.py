@@ -147,6 +147,11 @@ def test_make_config_all_13_reps(capsys):
                 assert spec.join == "concat" and len(spec.entries) == 2
             assert cfg.train.stage == stage
             assert cfg.parallel.zero == 2
+            # production configs default to the measured fast attention
+            if REPRESENTATIONS[name].bundle_kinds:
+                assert cfg.model.diffusion_attn_impl == "xla_expclamp_fused"
+            else:
+                assert cfg.model.tower_attn_impl == "xla_expclamp_fused"
     rc = cli_main(["make-config", "list"])
     assert rc == 0
     assert "SD3" in capsys.readouterr().out
