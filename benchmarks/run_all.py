@@ -202,7 +202,16 @@ def bench_diffusion(results, quick=False):
             # measure "auto" (Pallas flash above the seq threshold —
             # [B,H,S,S] logits never hit HBM there).
             impls = ["xla_expclamp_fused"]
-            if (cfg.img_size // 8) ** 2 >= 4096:
+            if cfg.family in ("sd", "imsd", "sdxl"):
+                # max self-attention seq = latent res at the first UNet
+                # level that HAS attention (SDXL's level 0 is attn-free)
+                lvl0 = next(i for i, h in enumerate(cfg.unet.num_heads)
+                            if h is not None)
+                max_seq = (lat_hw // (2 ** lvl0)) ** 2
+            else:  # dit/sd3 patchify 2x2 -> seq 1024 at 512px
+                pc = cfg.dit if cfg.family == "dit" else cfg.mmdit
+                max_seq = (lat_hw // pc.patch_size) ** 2
+            if max_seq >= 4096:
                 impls.append("auto")
             for j, fast_impl in enumerate(impls):
                 os.environ["LVR_DIFFUSION_ATTN"] = fast_impl
@@ -394,6 +403,18 @@ def bench_train(results, quick=False):
                             num_heads=16, num_kv_heads=16)
     cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
                                   decoder=dec)
+    # LVR_TOWER_ATTN=xla_expclamp_fused measures the training step with
+    # the production fast-tower config (make-config default; the frozen
+    # tower fwd is ~12% of stage-1 step FLOPs)
+    tower_attn = os.environ.get("LVR_TOWER_ATTN")
+    if tower_attn:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, tower_spec=_dc.replace(
+            cfg.tower_spec, entries=[
+                _dc.replace(e, vit_config=_dc.replace(
+                    e.vit_config, attn_impl=tower_attn))
+                if e.kind == "vit" else e
+                for e in cfg.tower_spec.entries]))
     params = llava.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     tcfg = TrainConfig(stage=1, learning_rate=1e-3, total_steps=100,
