@@ -197,3 +197,33 @@ def test_timestep_embedding_golden():
                                  downscale_freq_shift=0.0).numpy()
     got = np.asarray(timestep_embedding(jnp.asarray(ts.numpy()), 32))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_unet_auto_flash_impl_parity(monkeypatch):
+    """`diffusion_attn_impl="auto"` routes long self-attentions through the
+    Pallas flash kernel inside the real UNet forward (threshold lowered so
+    the tiny shapes take the flash branch, incl. the 5-token cross-attn
+    kv); must match the exact-softmax forward."""
+    from law_of_vision_representation_in_mllms_tpu.models import (
+        diffusion_blocks as DB)
+
+    cfg = U.UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                       cross_attention_dim=16, num_heads=(2, None),
+                       transformer_depth=(1, 0), norm_groups=4)
+    up_ft = (0, 1)
+    model = U.UNetHarvest(cfg, up_ft, FP32_PRECISION)
+    rng = np.random.RandomState(7)
+    sample = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(2, 5, 16).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), sample, 1, ctx)
+    try:
+        DB.set_attn_impl(None)
+        ref = model.apply(params, sample, 1, ctx)
+        monkeypatch.setattr(DB, "_AUTO_FLASH_MIN_SEQ", 1)
+        DB.set_attn_impl("auto")
+        got = model.apply(params, sample, 1, ctx)
+    finally:
+        DB.set_attn_impl(None)
+    for i in up_ft:
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref[i]),
+                                   atol=2e-5, rtol=1e-4)
