@@ -179,4 +179,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # The axon tunnel recovers from a killed TPU job in ~5 minutes,
+        # during which backend init fails with UNAVAILABLE (observed
+        # 2026-08-17: a whole bench run lost to one wedged window). A
+        # fresh process is required to retry — jax caches the failed
+        # backend — so re-exec ourselves a bounded number of times.
+        tries = int(os.environ.get("LVR_BENCH_RETRY", "0"))
+        if "UNAVAILABLE" not in str(e) or tries >= 4:
+            raise
+        import sys
+        print(f"backend unavailable (retry {tries + 1}/4 in 120s): {e}",
+              file=sys.stderr, flush=True)
+        time.sleep(120)
+        os.environ["LVR_BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
