@@ -117,6 +117,13 @@ class ParallelSection:
     # ring attention over the mesh's seq axis (ops/ring_attention.py) —
     # long-context headroom the reference lacks (2048-token cap)
     seq: int = 1
+    # pipeline parallelism: GPipe-schedule the decoder trunk over
+    # `pipeline` stages (parallel/pipeline.py); layer stack shards on the
+    # mesh's stage axis. Composes with data/tensor parallelism and
+    # zero<=2; exclusive with seq>1 and LoRA.
+    pipeline: int = 1
+    # GPipe microbatch count (bubble = (S-1)/(M+S-1)); None -> one/stage
+    pp_microbatches: Optional[int] = None
     # ZeRO level (deepspeed `scripts/zero{2,3}.json` equivalents):
     # 0 = TP-only/replicated, 2 = shard optimizer state on the data axis,
     # 3 = shard params + optimizer state (FSDP).

@@ -236,7 +236,7 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
             precision: Precision = DEFAULT_PRECISION,
             diffusion_apply=None, remat: bool = False,
             use_flash: bool = False, lora_scaling: float = 1.0,
-            cp=None):
+            cp=None, pp=None):
     """Training loss.
 
     batch: input_ids [B,L] (with -200 image slots), labels [B,L],
@@ -244,8 +244,13 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
     If params contain a "lora" subtree (models/lora.py), the decoder runs
     with the rank-r adapters applied (the reference's peft-LoRA finetune,
     `train.py:945-985`). cp: optional ContextParallel — decoder attention
-    runs sequence-parallel (ring) over cp.seq_axis.
+    runs sequence-parallel (ring) over cp.seq_axis. pp: optional
+    PipelineParallel — the decoder trunk runs GPipe-scheduled over the
+    mesh's stage axis (parallel/pipeline.py; exclusive with cp/LoRA).
     """
+    if pp is not None and (cp is not None or "lora" in params):
+        raise ValueError("pipeline parallelism composes with data/tensor "
+                         "parallelism, not with cp or LoRA (v1)")
     plan = splice_plan(batch["input_ids"], batch["labels"],
                        batch["text_mask"], cfg.num_patches)
     img = encode_images(params, cfg, batch["pixel_values"], precision,
@@ -264,11 +269,18 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
             attn_mask = jnp.pad(attn_mask, ((0, 0), (0, pad)))
             labels = jnp.pad(labels, ((0, 0), (0, pad)),
                              constant_values=IGNORE_INDEX)
-    h, _ = L.forward(params["decoder"], cfg.decoder, embeds, positions,
-                     attn_mask=attn_mask, precision=precision,
-                     remat=remat, use_flash=use_flash,
-                     lora=params.get("lora"), lora_scaling=lora_scaling,
-                     cp=cp)
+    if pp is not None:
+        from ..parallel.pipeline import forward_pipelined
+        h = forward_pipelined(params["decoder"], cfg.decoder, embeds,
+                              positions, attn_mask=attn_mask, pp=pp,
+                              precision=precision, use_flash=use_flash,
+                              remat=remat)
+    else:
+        h, _ = L.forward(params["decoder"], cfg.decoder, embeds, positions,
+                         attn_mask=attn_mask, precision=precision,
+                         remat=remat, use_flash=use_flash,
+                         lora=params.get("lora"),
+                         lora_scaling=lora_scaling, cp=cp)
     logits = L.logits_fn(params["decoder"], h, precision)
     return L.causal_lm_loss(logits, labels)
 

@@ -24,23 +24,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              devices=None, n_seq: int = 1) -> Mesh:
-    """Build a (data, model) — or (data, seq, model) when ``n_seq > 1`` —
-    mesh over the given (default: all) devices. ``seq`` sits between data
-    and model so ring hops (seq) and TP collectives (model, innermost =
-    most ICI-adjacent) both stay tight."""
+              devices=None, n_seq: int = 1, n_stage: int = 1) -> Mesh:
+    """Build a (data[, stage][, seq], model) mesh over the given (default:
+    all) devices; the optional axes appear only when their size > 1.
+    Ordering: ``model`` innermost (per-layer TP collectives are the most
+    frequent — keep them most ICI-adjacent), then ``seq`` (ring hops),
+    ``stage`` (one neighbour permute per pipeline tick,
+    `parallel/pipeline.py`), with ``data`` (gradient psum once per step)
+    outermost."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // (n_model * n_seq)
-    if n_data * n_model * n_seq > len(devices):
+        n_data = len(devices) // (n_model * n_seq * n_stage)
+    dims = [("data", n_data), ("stage", n_stage), ("seq", n_seq),
+            ("model", n_model)]
+    dims = [(name, n) for name, n in dims
+            if n > 1 or name in ("data", "model")]
+    total = int(np.prod([n for _, n in dims]))
+    if total > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_seq}x{n_model} > {len(devices)} devices")
-    if n_seq > 1:
-        arr = np.array(devices[:n_data * n_seq * n_model]).reshape(
-            n_data, n_seq, n_model)
-        return Mesh(arr, axis_names=("data", "seq", "model"))
-    arr = np.array(devices[:n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(arr, axis_names=("data", "model"))
+            f"mesh {'x'.join(str(n) for _, n in dims)} > "
+            f"{len(devices)} devices")
+    arr = np.array(devices[:total]).reshape([n for _, n in dims])
+    return Mesh(arr, axis_names=tuple(name for name, _ in dims))
 
 
 def local_mesh() -> Mesh:

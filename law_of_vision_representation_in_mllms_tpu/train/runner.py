@@ -145,14 +145,28 @@ def run_training(cfg: RunConfig) -> int:
 
     mesh = make_mesh(n_data=cfg.parallel.n_data,
                      n_model=cfg.parallel.n_model,
-                     n_seq=cfg.parallel.seq)
-    cp = None
+                     n_seq=cfg.parallel.seq,
+                     n_stage=cfg.parallel.pipeline)
+    cp = pp = None
     if cfg.parallel.seq > 1:
         # spliced sequences pad to a seq-axis multiple inside loss_fn, so
         # any max_length works
         from ..ops.ring_attention import ContextParallel
         cp = ContextParallel(
             mesh, head_axis="model" if cfg.parallel.n_model > 1 else None)
+    if cfg.parallel.pipeline > 1:
+        from ..parallel.pipeline import PipelineParallel
+        pp = PipelineParallel(mesh,
+                              microbatches=cfg.parallel.pp_microbatches)
+        if model_cfg.decoder.num_layers % pp.n_stages:
+            raise ValueError(
+                f"decoder layers {model_cfg.decoder.num_layers} must "
+                f"divide over {pp.n_stages} pipeline stages")
+        if cfg.train.batch_size % (pp.n_micro *
+                                   max(1, cfg.train.grad_accum)):
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} must divide into "
+                f"{pp.n_micro} pipeline microbatches (x grad_accum)")
     n_data = mesh.shape["data"]
     if cfg.train.batch_size % n_data:
         raise ValueError(f"batch_size {cfg.train.batch_size} must divide "
@@ -193,10 +207,12 @@ def run_training(cfg: RunConfig) -> int:
             init_sharded_train_state(
                 params, tcfg, model_cfg, mesh, zero=cfg.parallel.zero,
                 offload_opt_state=cfg.parallel.offload_opt_state,
-                offload_params=cfg.parallel.offload_params)
+                offload_params=cfg.parallel.offload_params,
+                pipeline=pp is not None)
     else:
         params = jax.device_put(
-            params, param_shardings(params, model_cfg, mesh))
+            params, param_shardings(params, model_cfg, mesh,
+                                    pipeline=pp is not None))
         state, opt = init_train_state(params, tcfg)
         opt_dev = opt_host = p_dev = p_host = None
 
@@ -210,7 +226,7 @@ def run_training(cfg: RunConfig) -> int:
                                       opt_to_host=opt_host,
                                       params_to_device=p_dev,
                                       params_to_host=p_host, mesh=mesh,
-                                      cp=cp))
+                                      cp=cp, pp=pp))
 
     logger = MetricsLogger(cfg.train.output_dir, "train",
                            every=cfg.train.logging_steps)

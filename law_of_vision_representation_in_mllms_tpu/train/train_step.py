@@ -96,14 +96,24 @@ def make_optimizer(params, cfg: TrainConfig):
 
 
 def param_partition_tree(params, model_cfg: llava.LlavaConfig, mesh: Mesh,
-                         *, zero: int = 0, min_size: int | None = None):
+                         *, zero: int = 0, min_size: int | None = None,
+                         pipeline: bool = False):
     """PartitionSpec tree: decoder gets Megatron TP specs; `zero>=3`
     additionally shards every large leaf (towers, projector, decoder) on the
-    data axis — the ZeRO-3 / FSDP placement (`scripts/zero3.json:16-28`)."""
+    data axis — the ZeRO-3 / FSDP placement (`scripts/zero3.json:16-28`).
+    `pipeline=True` shards the stacked-layer leading axis on the mesh's
+    stage axis (parallel/pipeline.py) instead."""
     from ..parallel import fsdp
     if min_size is None:
         min_size = fsdp.MIN_SIZE_TO_SHARD
     dec_specs = llama.param_partition_specs(model_cfg.decoder)
+    if pipeline:
+        if zero >= 3:
+            raise ValueError("pipeline parallelism composes with zero<=2 "
+                             "(stage-sharded layers; re-sharding them on "
+                             "the data axis is not supported)")
+        from ..parallel.pipeline import pp_layer_specs
+        dec_specs["layers"] = pp_layer_specs(dec_specs)
     specs = jax.tree.map(lambda leaf: P(*([None] * jnp.ndim(leaf))), params)
     specs["decoder"] = jax.tree.map(
         lambda leaf, s: s, params["decoder"], dec_specs)
@@ -114,12 +124,13 @@ def param_partition_tree(params, model_cfg: llava.LlavaConfig, mesh: Mesh,
 
 
 def param_shardings(params, model_cfg: llava.LlavaConfig, mesh: Mesh,
-                    *, zero: int = 0, min_size: int | None = None):
+                    *, zero: int = 0, min_size: int | None = None,
+                    pipeline: bool = False):
     """NamedSharding tree for the params (see `param_partition_tree`)."""
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),
         param_partition_tree(params, model_cfg, mesh, zero=zero,
-                             min_size=min_size),
+                             min_size=min_size, pipeline=pipeline),
         is_leaf=lambda x: isinstance(x, P))
 
 
@@ -134,7 +145,8 @@ def init_sharded_train_state(params, train_cfg: TrainConfig,
                              zero: int = 2,
                              offload_opt_state: bool = False,
                              offload_params: bool = False,
-                             min_size: int | None = None):
+                             min_size: int | None = None,
+                             pipeline: bool = False):
     """ZeRO init: the optimizer state is BORN sharded (jit with
     out_shardings), never materialized replicated — at 7B the replicated
     moments alone would be 54 GB/chip.
@@ -148,7 +160,7 @@ def init_sharded_train_state(params, train_cfg: TrainConfig,
     if min_size is None:
         min_size = fsdp.MIN_SIZE_TO_SHARD
     p_specs = param_partition_tree(params, model_cfg, mesh, zero=zero,
-                                   min_size=min_size)
+                                   min_size=min_size, pipeline=pipeline)
     p_shard = jax.tree.map(lambda s: NamedSharding(mesh, s), p_specs,
                            is_leaf=lambda x: isinstance(x, P))
     params = jax.device_put(params, p_shard)
@@ -181,7 +193,7 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
                     diffusion_apply=None, opt_to_device=None,
                     opt_to_host=None, params_to_device=None,
                     params_to_host=None, mesh: Mesh | None = None,
-                    cp=None):
+                    cp=None, pp=None):
     """Returns step(state, batch) -> (state, metrics); jit/pjit-ready.
 
     opt_to_device/opt_to_host: optional sharding trees for host-offloaded
@@ -205,7 +217,8 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
         return llava.loss_fn(params, model_cfg, batch, precision,
                              diffusion_apply, remat=train_cfg.remat,
                              use_flash=train_cfg.use_flash,
-                             lora_scaling=train_cfg.lora_scaling, cp=cp)
+                             lora_scaling=train_cfg.lora_scaling, cp=cp,
+                             pp=pp)
 
     def grad_fn(params, batch):
         a = train_cfg.grad_accum

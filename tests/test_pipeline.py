@@ -1,258 +1,166 @@
-"""Pipeline drivers: feature extraction -> C score end-to-end on a synthetic
-SPair tree; A-score runner over dumped embeddings; checkpoint round-trips."""
+"""Pipeline-parallel trunk (parallel/pipeline.py): exact parity of the
+GPipe-scheduled forward/backward against the plain scan trunk, and the
+full sharded train step on a (data, stage, model) mesh.
 
-import json
-import os
+The reference has no pipeline parallelism (SURVEY §2.9) — these tests pin
+the TPU-native extension's correctness instead of a behavior-parity
+oracle: the pipelined math must be EXACTLY the unpipelined math.
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from law_of_vision_representation_in_mllms_tpu.core.precision import (
     FP32_PRECISION)
-from law_of_vision_representation_in_mllms_tpu.io.checkpoint import (
-    save_projector, load_projector, save_train_state, latest_checkpoint,
-    restore_train_state)
-from law_of_vision_representation_in_mllms_tpu.models.vit import ViTConfig
-from law_of_vision_representation_in_mllms_tpu.models.projector import (
-    init_projector)
-from law_of_vision_representation_in_mllms_tpu.pipeline import (
-    extract_tower_features, make_vit_extractor, compute_a_scores,
-    run_c_score)
-from law_of_vision_representation_in_mllms_tpu.data.image_processing import (
-    ImageProcessorConfig)
-from tests.test_spair import _make_synthetic_spair
+from law_of_vision_representation_in_mllms_tpu.models import llama as L
+from law_of_vision_representation_in_mllms_tpu.models import llava as M
+from law_of_vision_representation_in_mllms_tpu.parallel.pipeline import (
+    PipelineParallel, forward_pipelined)
+from law_of_vision_representation_in_mllms_tpu.parallel.mesh import make_mesh
+from law_of_vision_representation_in_mllms_tpu.train import (
+    TrainConfig, make_train_step, init_train_state)
+from law_of_vision_representation_in_mllms_tpu.train.train_step import (
+    param_shardings, shard_batch_specs)
+
+from test_train_step import _tiny, _batch
 
 
-def test_extract_and_c_score_end_to_end(tmp_path):
-    from law_of_vision_representation_in_mllms_tpu.models.vit import ViTTower
-    root = str(tmp_path / "SPair-71k")
-    _make_synthetic_spair(root, n_pairs=3)
-    # create the actual jpgs referenced by the pairs
-    from PIL import Image
-    img_dir = f"{root}/JPEGImages/cat"
-    names = set()
-    for p in range(3):
-        for idx in (2 * p, 2 * p + 1):
-            names.add(f"img{idx}.jpg")
-    for n in names:
-        Image.new("RGB", (64, 48), (10 * len(n), 80, 30)).save(
-            f"{img_dir}/{n}")
-
-    cfg = ViTConfig(image_size=28, patch_size=7, hidden_size=32,
-                    num_layers=2, num_heads=4, intermediate_size=64)
-    tower = ViTTower(cfg, select_layer=-1, select_feature="patch",
-                     precision=FP32_PRECISION)
-    params = tower.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 28, 28, 3)))["params"]
-    fn = jax.jit(lambda px: tower.apply({"params": params}, px))
-
-    proc = ImageProcessorConfig("clip", size=28, crop=28)
-    feat_dir = str(tmp_path / "features")
-    paths = sorted(f"{img_dir}/{n}" for n in names)
-    written = extract_tower_features(fn, paths, proc, feat_dir,
-                                     batch_size=4)
-    assert len(written) == len(names)
-    f0 = np.load(written[0])
-    assert f0.shape == (cfg.num_patches, cfg.hidden_size)
-
-    res = run_c_score(root, feat_dir, suffix="", num_patches=cfg.grid,
-                      anno_size=64, categories=["cat"])
-    assert len(res["per_img"]) == 3
-    assert 0.0 <= res["per_img"][0] <= 1.0
-    assert "geo" in res
-
-
-def test_extract_process_sharding(tmp_path):
-    from PIL import Image
-    imgs = []
-    for i in range(5):
-        p = str(tmp_path / f"i{i}.jpg")
-        Image.new("RGB", (32, 32), (i * 40, 10, 10)).save(p)
-        imgs.append(p)
-    proc = ImageProcessorConfig("diff", size=16, crop=16)
-    fn = lambda px: px.reshape(px.shape[0], -1, 3)  # trivial featurizer
-    out = str(tmp_path / "out")
-    w0 = extract_tower_features(fn, imgs, proc, out, batch_size=2,
-                                process_index=0, process_count=2)
-    w1 = extract_tower_features(fn, imgs, proc, out, batch_size=2,
-                                process_index=1, process_count=2)
-    assert len(w0) + len(w1) == 5
-    assert not set(w0) & set(w1)
-
-
-def test_a_score_runner(tmp_path):
+def _trunk_inputs(b=4, s=16, layers=4):
+    cfg = L.tiny(num_layers=layers)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
-    base = str(tmp_path)
-    for rep in ("clip336", "clip224", "dino"):
-        os.makedirs(f"{base}/{rep}")
-        for i in range(1, 6):
-            np.save(f"{base}/{rep}/tensor_{i}.npy",
-                    rng.randn(7 + i, 16).astype(np.float32))
-    scores = compute_a_scores(base, ["dino", "clip336"], n_images=5)
-    assert 0 <= scores["dino"] <= 1
-    # a rep scored against itself as target uses identical tensors for the
-    # 336 anchor -> its max-cos there is exactly 1
-    assert scores["clip336"] > scores["dino"]
+    embeds = jnp.asarray(rng.randn(b, s, cfg.hidden_size).astype(np.float32))
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    attn_mask = jnp.asarray(rng.rand(b, s) > 0.2)
+    return cfg, params, embeds, positions, attn_mask
 
 
-def test_checkpoint_roundtrip(tmp_path):
-    proj = init_projector(jax.random.PRNGKey(0), "mlp2x_gelu", 16, 32)
-    d = str(tmp_path / "stage1")
-    save_projector(d, proj, config={"mm_projector_type": "mlp2x_gelu"})
-    back = load_projector(d)
-    for a, b in zip(jax.tree.leaves(proj), jax.tree.leaves(back)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
-
-    state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}
-    ck = str(tmp_path / "ckpts")
-    save_train_state(ck, state, 7)
-    save_train_state(ck, jax.tree.map(lambda x: x * 2, state), 9)
-    latest = latest_checkpoint(ck)
-    assert latest.endswith("checkpoint-9")
-    got = restore_train_state(latest, jax.tree.map(np.zeros_like, state))
-    np.testing.assert_allclose(np.asarray(got["params"]["w"]),
-                               np.arange(4.0) * 2)
+def _mesh_ds(n_data=2, n_stage=2):
+    devs = np.array(jax.devices()[:n_data * n_stage])
+    return Mesh(devs.reshape(n_data, n_stage), ("data", "stage"))
 
 
-def test_load_pretrained_resolution(tmp_path):
-    """load_pretrained resolves projector-only and LoRA artifacts."""
-    import jax
-    import jax.numpy as jnp
-    from law_of_vision_representation_in_mllms_tpu.io.checkpoint import (
-        load_pretrained)
-    from law_of_vision_representation_in_mllms_tpu.io.param_io import (
-        save_params)
-    from law_of_vision_representation_in_mllms_tpu.models import llama as L
-    from law_of_vision_representation_in_mllms_tpu.models.lora import (
-        LoraConfig, init_lora)
+def test_forward_parity_vs_scan_trunk():
+    cfg, params, embeds, positions, attn_mask = _trunk_inputs()
+    # both paths end with the final RMSNorm — outputs compare directly
+    ref, _ = jax.jit(lambda p, e: L.forward(
+        p, cfg, e, positions, attn_mask=attn_mask,
+        precision=FP32_PRECISION))(params, embeds)
 
-    dec_cfg = L.tiny(vocab_size=32, hidden_size=16, num_layers=2,
-                     num_heads=2, num_kv_heads=2, intermediate_size=32)
-    base = {"decoder": L.init_params(jax.random.PRNGKey(0), dec_cfg),
-            "projector": init_projector(jax.random.PRNGKey(1),
-                                        "mlp2x_gelu", 8, 16),
-            "towers": []}
-
-    d = str(tmp_path / "ckpt")
-    # projector-only artifact
-    proj2 = init_projector(jax.random.PRNGKey(2), "mlp2x_gelu", 8, 16)
-    save_projector(d, proj2)
-    out = load_pretrained(d, base)
-    np.testing.assert_allclose(
-        np.asarray(out["projector"]["layers"][0]["kernel"]),
-        np.asarray(proj2["layers"][0]["kernel"]))
-
-    # LoRA artifact merges into the decoder
-    lcfg = LoraConfig(rank=2, alpha=4.0)
-    lora = init_lora(jax.random.PRNGKey(3), dec_cfg, lcfg)
-    lora = jax.tree.map(
-        lambda x: x + 0.1 if x.ndim == 3 else x, lora)  # nonzero B
-    save_params(os.path.join(d, "lora.npz"), lora)
-    out2 = load_pretrained(d, base, lora_cfg=lcfg)
-    assert np.abs(np.asarray(out2["decoder"]["layers"]["wq"])
-                  - np.asarray(base["decoder"]["layers"]["wq"])).max() > 0
+    mesh = _mesh_ds()
+    for m in (2, 4):                      # M == S and M > S schedules
+        pp = PipelineParallel(mesh, microbatches=m)
+        with mesh:
+            got = jax.jit(lambda p, e: forward_pipelined(
+                p, cfg, e, positions, attn_mask=attn_mask, pp=pp,
+                precision=FP32_PRECISION))(params, embeds)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
 
 
-def test_checkpoint_retention(tmp_path):
-    """save_total_limit prunes old step checkpoints (HF Trainer parity)."""
-    from law_of_vision_representation_in_mllms_tpu.io.checkpoint import (
-        save_train_state, latest_checkpoint)
-    state = {"params": {"w": jnp.ones((4,))},
-             "step": jnp.zeros((), jnp.int32)}
-    for s in (10, 20, 30, 40):
-        save_train_state(str(tmp_path), state, s, keep=2)
-    kept = sorted(d for d in os.listdir(tmp_path)
-                  if d.startswith("checkpoint-"))
-    assert kept == ["checkpoint-30", "checkpoint-40"]
-    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-40")
+def test_grad_parity_and_remat():
+    cfg, params, embeds, positions, attn_mask = _trunk_inputs()
+
+    def loss_ref(p):
+        h, _ = L.forward(p, cfg, embeds, positions, attn_mask=attn_mask,
+                         precision=FP32_PRECISION)
+        return jnp.mean(h.astype(jnp.float32) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    mesh = _mesh_ds()
+    pp = PipelineParallel(mesh, microbatches=4)
+    for remat in (False, True):
+        def loss_pp(p):
+            h = forward_pipelined(p, cfg, embeds, positions,
+                                  attn_mask=attn_mask, pp=pp,
+                                  precision=FP32_PRECISION, remat=remat)
+            return jnp.mean(h.astype(jnp.float32) ** 2)
+
+        with mesh:
+            g_pp = jax.jit(jax.grad(loss_pp))(params)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-5, rtol=1e-4)
 
 
-def test_c_score_ap10k_dataset(tmp_path):
-    """AP-10k reaches the C-score CLI path (`utils_dataset.py:151-207`
-    dispatch) — synthetic fixture, per-img PCK in range."""
+def test_sharded_train_step_pp_matches_single_device():
+    """2 optimizer steps on a dp2 x pp2 x tp2 mesh == unsharded steps."""
+    cfg, params = _tiny(heads=4, kv=4, hidden=32)
+    tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=50)
+    batch = _batch(np.random.RandomState(3))
+
+    # single-device reference trajectory
+    state, opt = init_train_state(
+        jax.tree.map(jnp.copy, params), tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+    ref_losses = []
+    for _ in range(2):
+        state, m = step(state, batch)
+        ref_losses.append(float(m["loss"]))
+
+    mesh = make_mesh(n_data=2, n_model=2, n_stage=2)
+    assert set(mesh.axis_names) == {"data", "stage", "model"}
+    pp = PipelineParallel(mesh, microbatches=2)
+    sharded = jax.device_put(
+        params, param_shardings(params, cfg, mesh, pipeline=True))
+    state2, opt2 = init_train_state(sharded, tcfg)
+    with mesh:
+        step2 = jax.jit(make_train_step(cfg, tcfg, opt2, FP32_PRECISION,
+                                        mesh=mesh, pp=pp))
+        batch2 = jax.device_put(batch, shard_batch_specs(batch, mesh))
+        pp_losses = []
+        for _ in range(2):
+            state2, m2 = step2(state2, batch2)
+            pp_losses.append(float(m2["loss"]))
+    np.testing.assert_allclose(pp_losses, ref_losses, atol=1e-5, rtol=1e-5)
+
+
+def test_pp_train_runner_trajectory_matches(tmp_path):
+    """`parallel.pipeline: 2` through run_training: the pipelined loss
+    trajectory matches the pipeline=1 run (same seeds, fp32)."""
     import json
-    from law_of_vision_representation_in_mllms_tpu.pipeline import (
-        run_c_score)
+    import os
+    from law_of_vision_representation_in_mllms_tpu.core.config import (
+        RunConfig)
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        run_training)
+    from tests.test_cli_runners import _tiny_train_config
 
-    root = str(tmp_path / "ap10k")
-    os.makedirs(f"{root}/PairAnnotation/test", exist_ok=True)
-    os.makedirs(f"{root}/ImageAnnotation/dog", exist_ok=True)
-    rng = np.random.RandomState(0)
-    n_kp = 5
-    for p in range(3):
-        sides = {}
-        for side, idx in (("src", 2 * p), ("trg", 2 * p + 1)):
-            w, h = int(rng.randint(60, 100)), int(rng.randint(60, 100))
-            kp = []
-            for _ in range(n_kp):
-                kp += [float(rng.randint(0, w)), float(rng.randint(0, h)),
-                       2.0]
-            anno = {"keypoints": kp, "width": w, "height": h,
-                    "bbox": [2, 2, w - 4, h - 4]}
-            apath = f"{root}/ImageAnnotation/dog/img{idx}.json"
-            with open(apath, "w") as f:
-                json.dump(anno, f)
-            sides[side] = apath
-        with open(f"{root}/PairAnnotation/test/{p:06d}:dog.json",
-                  "w") as f:
-            json.dump({"src_json_path": sides["src"],
-                       "trg_json_path": sides["trg"]}, f)
-
-    feat_dir = str(tmp_path / "feats")
-    os.makedirs(feat_dir)
-    for idx in range(6):
-        np.save(f"{feat_dir}/img{idx}.npy",
-                rng.randn(16, 8).astype(np.float32))
-
-    res = run_c_score(root, feat_dir, num_patches=4, anno_size=64,
-                      categories=["dog"], dataset="ap10k", subsample=None)
-    assert 0.0 <= res["per_img"][0] <= 1.0
-    assert "geo" not in res          # geo masks are SPair-only
+    base = _tiny_train_config(tmp_path)
+    losses = {}
+    for stages in (1, 2):
+        d = json.loads(json.dumps(base))
+        d["parallel"]["pipeline"] = stages
+        d["train"]["output_dir"] = str(tmp_path / f"out{stages}")
+        assert run_training(RunConfig.from_dict(d)) == 0
+        lines = open(os.path.join(
+            d["train"]["output_dir"], "train.jsonl")).read().strip()
+        losses[stages] = [json.loads(ln)["loss"]
+                          for ln in lines.split("\n")]
+    assert all(np.isfinite(l) for l in losses[2]), losses[2]
+    np.testing.assert_allclose(losses[2], losses[1], rtol=2e-4)
 
 
-def test_projector_torch_export_roundtrip(tmp_path):
-    """Stage-1 interop: our mm_projector.bin export loads through the
-    torch-port path bit-exactly, for both mlp2x_gelu and bare linear."""
-    import torch
-    from law_of_vision_representation_in_mllms_tpu.io.checkpoint import (
-        load_projector_from_torch)
-    from law_of_vision_representation_in_mllms_tpu.models.projector import (
-        export_projector_torch_sd, init_projector)
-
-    for ptype in ("mlp2x_gelu", "linear"):
-        proj = init_projector(jax.random.PRNGKey(0), ptype, 16, 24)
-        d = tmp_path / ptype
-        save_projector(str(d), proj, proj_type=ptype)
-        bin_path = d / "mm_projector.bin"
-        assert bin_path.exists()
-        back = load_projector_from_torch(str(bin_path))
-        assert len(back["layers"]) == len(proj["layers"])
-        for a, b in zip(proj["layers"], back["layers"]):
-            np.testing.assert_allclose(np.asarray(a["kernel"], np.float32),
-                                       b["kernel"], atol=1e-7)
-            np.testing.assert_allclose(np.asarray(a["bias"], np.float32),
-                                       b["bias"], atol=1e-7)
-        # the exported layout matches the reference key naming
-        sd = torch.load(bin_path, map_location="cpu")
-        if ptype == "linear":
-            assert set(sd) == {"model.mm_projector.weight",
-                               "model.mm_projector.bias"}
-        else:
-            assert "model.mm_projector.2.weight" in sd
-
-
-def test_projector_mof_save_load_roundtrip(tmp_path):
-    """MoF stage-1 saves a LIST of per-tower projectors."""
-    from law_of_vision_representation_in_mllms_tpu.models.projector import (
-        init_projector)
-    projs = [init_projector(jax.random.PRNGKey(i), "mlp2x_gelu", 8, 12)
-             for i in range(2)]
-    d = str(tmp_path / "mof")
-    save_projector(d, projs)
-    back = load_projector(d)
-    assert isinstance(back, list) and len(back) == 2
-    for orig, got in zip(projs, back):
-        for a, b in zip(orig["layers"], got["layers"]):
-            np.testing.assert_array_equal(np.asarray(a["kernel"]),
-                                          b["kernel"])
+def test_pp_rejects_bad_compositions():
+    cfg, params, embeds, positions, attn_mask = _trunk_inputs(layers=3)
+    mesh = _mesh_ds()
+    pp = PipelineParallel(mesh)
+    # layers not divisible by stages
+    try:
+        forward_pipelined(params, cfg, embeds, positions,
+                          attn_mask=attn_mask, pp=pp,
+                          precision=FP32_PRECISION)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "divisible" in str(e)
+    # loss_fn guard: pp + lora
+    cfg2, params2 = _tiny()
+    params2["lora"] = {}
+    try:
+        M.loss_fn(params2, cfg2, _batch(np.random.RandomState(0)),
+                  FP32_PRECISION, pp=pp)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "LoRA" in str(e)
