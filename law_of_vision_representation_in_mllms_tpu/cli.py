@@ -81,6 +81,19 @@ def main(argv=None):
                    help="decode backend for the llava model (shorthand "
                         "for --set model.gen_backend=...; all three are "
                         "greedy-equivalent)")
+    p.add_argument("--inflight", action="store_true",
+                   help="continuous batching: requests join/leave a "
+                        "running slot pool between decode chunks "
+                        "(models/inflight.py; llava adapter only)")
+    p.add_argument("--slots", type=int, default=4,
+                   help="--inflight: concurrent decode slots")
+    p.add_argument("--prompt-cap", type=int, default=256,
+                   help="--inflight: max prompt tokens per request")
+    p.add_argument("--gen-cap", type=int, default=256,
+                   help="--inflight: max generated tokens per request")
+    p.add_argument("--decode-chunk-serve", type=int, default=4,
+                   help="--inflight: decode steps per dispatch (admission "
+                        "latency <= one chunk)")
 
     p = sub.add_parser("sam-masks",
                        help="GeoAware foreground masks via box-prompted "
@@ -577,7 +590,14 @@ def _cmd_serve(args):
     srv = run_server(cfg, model=args.model, model_args=margs or None,
                      host=args.host, port=args.port,
                      max_batch=args.max_batch,
-                     batch_window_ms=args.batch_window_ms)
+                     batch_window_ms=args.batch_window_ms,
+                     inflight=args.inflight,
+                     inflight_kwargs={
+                         "n_slots": args.slots,
+                         "prompt_cap": args.prompt_cap,
+                         "gen_cap": args.gen_cap,
+                         "chunk": args.decode_chunk_serve,
+                     } if args.inflight else None)
     print(f"serving {args.model} on http://{args.host}:{srv.port}/v1",
           file=sys.stderr)
     srv.serve_forever()

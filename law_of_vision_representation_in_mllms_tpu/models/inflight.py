@@ -1,0 +1,334 @@
+"""Continuous (in-flight) batching decode engine for serving.
+
+The reference serves through sglang (`lmms_eval/models/llava_sglang.py`),
+whose core scheduling idea is continuous batching: requests join and leave
+a running decode batch between steps instead of waiting for a whole wave
+to finish. `lvr serve`'s default `_BatchWorker` is wave-based (one
+`generate_until` per co-arrival window); this engine is the TPU-native
+continuous scheduler:
+
+- A fixed pool of ``n_slots`` decode slots shares ONE global KV cache
+  ``[L, n_slots, t_max, KV, Dh]`` — fixed shapes, so every program
+  compiles once.
+- Admission = a b=1 prefill (prompt bucketed to a power of two) whose
+  local cache is spliced into the slot's rows with a donated
+  `dynamic_update_slice` (no steady-state copies of the global cache).
+- Decoding = ONE program advancing ALL slots `chunk` tokens: the
+  per-slot step is the same embed → `llama.forward(cache)` → argmax used
+  everywhere else, `jax.vmap`-ed over the slot axis so every slot keeps
+  its OWN cache position / RoPE position / validity mask (a fresh request
+  decodes token 3 while its neighbour decodes token 90). Weights
+  broadcast; the vmapped b=1 einsums batch back onto the MXU.
+- Between chunks the host harvests tokens, retires slots on EOS or their
+  per-request token budget, and admits queued requests into freed slots
+  — requests never wait for the batch, only for a free slot.
+
+Inactive slots ride along as masked garbage (fixed shapes are the TPU
+contract); their K/V rows are overwritten at the next admission and are
+never read unmasked. Greedy-equivalence per request is asserted against
+`llava.generate_greedy` in tests/test_inflight.py, including staggered
+admissions.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.precision import Precision, DEFAULT_PRECISION
+from . import llama as L
+from . import llava as M
+from .splice import IGNORE_INDEX, splice_plan, splice_embeds
+
+
+def _bucket(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class _Request:
+    __slots__ = ("ids", "mask", "pixels", "max_new", "tokens", "event",
+                 "error")
+
+    def __init__(self, ids, mask, pixels, max_new):
+        self.ids = ids
+        self.mask = mask
+        self.pixels = pixels
+        self.max_new = max_new
+        self.tokens: List[int] = []
+        self.event = threading.Event()
+        self.error: Optional[Exception] = None
+
+    def result(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self.event.wait(timeout):
+            raise TimeoutError("inflight request timed out")
+        if self.error is not None:
+            raise self.error
+        return np.asarray(self.tokens, np.int32)
+
+
+class InflightEngine:
+    """Slot-pool continuous-batching engine over one model's params."""
+
+    def __init__(self, params, cfg: M.LlavaConfig, *, eos_id: int,
+                 n_slots: int = 4, prompt_cap: int = 256,
+                 gen_cap: int = 256, chunk: int = 4,
+                 precision: Precision = DEFAULT_PRECISION,
+                 diffusion_apply=None, use_flash: Optional[bool] = None):
+        self.params = params
+        self.cfg = cfg
+        self.eos_id = eos_id
+        self.n_slots = n_slots
+        self.prompt_cap = prompt_cap
+        self.gen_cap = gen_cap
+        self.chunk = chunk
+        self.precision = precision
+        self.diffusion_apply = diffusion_apply
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
+        self.use_flash = use_flash
+        # prompt slots cover the LONGEST bucket's spliced length; shorter
+        # prompts mask the tail (prompt_row False there)
+        self.l_out_max = prompt_cap + cfg.num_patches - 1
+        self.t_max = self.l_out_max + gen_cap
+
+        self.cache = L.init_cache(cfg.decoder, n_slots, self.t_max,
+                                  precision.compute_dtype)
+        self._prefill_fns: Dict[int, callable] = {}
+        self._step_fn = None
+        self._install_fn = None
+
+        # host-side slot state
+        self._slot_req: List[Optional[_Request]] = [None] * n_slots
+        self._tok = np.full((n_slots,), eos_id, np.int32)
+        self._pos = np.zeros((n_slots,), np.int32)
+        self._t = np.zeros((n_slots,), np.int32)
+        self._prompt_rows = np.zeros((n_slots, self.l_out_max), bool)
+        self._active = np.zeros((n_slots,), bool)
+
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = False
+        self.dispatches = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # ---------------- compiled programs ----------------
+
+    def _prefill(self, l: int):
+        """b=1 prefill for prompt bucket `l`: local full-length cache +
+        first token + spliced validity row."""
+        if l in self._prefill_fns:
+            return self._prefill_fns[l]
+        cfg, prec = self.cfg, self.precision
+        diffusion_apply = self.diffusion_apply
+        t_max, use_flash = self.t_max, self.use_flash
+
+        def fn(params, ids, mask, pixels):
+            plan = splice_plan(ids, jnp.full_like(ids, IGNORE_INDEX), mask,
+                               cfg.num_patches)
+            img = M.encode_images(params, cfg, pixels, prec,
+                                  diffusion_apply)
+            txt = L.embed_tokens(params["decoder"], ids, prec)
+            embeds = splice_embeds(plan, txt, img)
+            cache = L.init_cache(cfg.decoder, 1, t_max, prec.compute_dtype)
+            l_out = embeds.shape[1]
+            slot_valid = jnp.concatenate(
+                [plan.attn_mask,
+                 jnp.zeros((1, t_max - l_out), bool)], axis=1)
+            h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
+                                 plan.positions, attn_mask=slot_valid,
+                                 cache=cache, cache_index=0,
+                                 precision=prec, use_flash=use_flash)
+            n_valid = jnp.sum(plan.attn_mask, axis=1)
+            h_last = jnp.take_along_axis(
+                h, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
+            logits = L.logits_fn(params["decoder"], h_last[:, None], prec)
+            first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return cache, first, n_valid, plan.attn_mask
+
+        self._prefill_fns[l] = jax.jit(fn)
+        return self._prefill_fns[l]
+
+    def _install(self):
+        """Splice a b=1 prefill cache into the global cache's slot rows
+        (donated: the global cache updates in place)."""
+        if self._install_fn is None:
+            def fn(global_cache, local_cache, slot):
+                return jax.tree.map(
+                    lambda g, lo: lax.dynamic_update_slice(
+                        g, lo.astype(g.dtype), (0, slot, 0, 0, 0)),
+                    global_cache, local_cache)
+            self._install_fn = jax.jit(fn, donate_argnums=(0,))
+        return self._install_fn
+
+    def _step(self):
+        """One program: advance every slot `chunk` greedy tokens with
+        per-slot cache positions (vmapped single-row step)."""
+        if self._step_fn is not None:
+            return self._step_fn
+        cfg, prec = self.cfg, self.precision
+        l_out_max, gen_cap, chunk = self.l_out_max, self.gen_cap, self.chunk
+        eos_id = self.eos_id
+
+        def row_step(params, cache_row, tok, pos, t, prompt_row):
+            # re-grow the singleton batch axis the vmap stripped
+            cache = jax.tree.map(lambda x: x[:, None], cache_row)
+            emb = L.embed_tokens(params["decoder"], tok[None, None], prec)
+            gen_valid = jnp.arange(gen_cap) <= t
+            sv = jnp.concatenate([prompt_row, gen_valid])[None]
+            h, cache = L.forward(params["decoder"], cfg.decoder, emb,
+                                 pos[None, None], attn_mask=sv,
+                                 cache=cache, cache_index=l_out_max + t,
+                                 precision=prec)
+            logits = L.logits_fn(params["decoder"], h, prec)
+            nxt = jnp.argmax(logits[0, -1], axis=-1).astype(jnp.int32)
+            return jax.tree.map(lambda x: x[:, 0], cache), nxt
+
+        def fn(params, cache, tok, pos, t, prompt_rows):
+            def body(carry, _):
+                cache, tok, pos, t = carry
+                cache, nxt = jax.vmap(
+                    row_step, in_axes=(None, 1, 0, 0, 0, 0), out_axes=(1, 0)
+                )(params, cache, tok, pos, t, prompt_rows)
+                # EOS rows emit EOS forever (same as generate_greedy); the
+                # host retires them between chunks
+                nxt = jnp.where(tok == eos_id, eos_id, nxt)
+                return (cache, nxt, pos + 1, t + 1), tok
+            (cache, tok, pos, t), toks = lax.scan(
+                body, (cache, tok, pos, t), None, length=chunk)
+            return cache, tok, pos, t, jnp.transpose(toks)
+
+        self._step_fn = jax.jit(fn, donate_argnums=(1,))
+        return self._step_fn
+
+    # ---------------- public API ----------------
+
+    def submit(self, input_ids: np.ndarray, text_mask: np.ndarray,
+               pixel_values, max_new_tokens: int) -> _Request:
+        """Queue one request (b=1 arrays). Returns a handle whose
+        `.result()` blocks for the generated token ids (EOS excluded)."""
+        if self._stop:
+            raise RuntimeError("engine is shut down")
+        l = int(input_ids.shape[-1])
+        if l > self.prompt_cap:
+            raise ValueError(f"prompt length {l} exceeds the engine's "
+                             f"prompt_cap {self.prompt_cap}")
+        req = _Request(np.asarray(input_ids, np.int32).reshape(1, -1),
+                       np.asarray(text_mask, bool).reshape(1, -1),
+                       pixel_values,
+                       min(int(max_new_tokens), self.gen_cap))
+        self._q.put(req)
+        return req
+
+    def shutdown(self):
+        self._stop = True
+        self._thread.join(timeout=5)
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = RuntimeError("engine shutting down")
+            req.event.set()
+
+    # ---------------- scheduler loop ----------------
+
+    def _admit(self, req: _Request, slot: int):
+        # bucket for few compiles, but never past the prompt slot region
+        l = min(_bucket(req.ids.shape[1]), self.prompt_cap)
+        ids = np.zeros((1, l), np.int32)
+        mask = np.zeros((1, l), bool)
+        n = req.ids.shape[1]
+        ids[:, :n], mask[:, :n] = req.ids, req.mask
+        pixels = [jnp.asarray(p) for p in req.pixels]
+        local, first, n_valid, prow = self._prefill(l)(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), pixels)
+        self.cache = self._install()(self.cache, local,
+                                     jnp.asarray(slot, jnp.int32))
+        first = int(np.asarray(first)[0])
+        self._slot_req[slot] = req
+        self._tok[slot] = first
+        self._pos[slot] = int(np.asarray(n_valid)[0])
+        self._t[slot] = 0
+        prow_np = np.asarray(prow)[0]
+        self._prompt_rows[slot] = np.pad(
+            prow_np, (0, self.l_out_max - prow_np.shape[0]))
+        self._active[slot] = True
+        # the prefill already produced the first token
+        self._harvest_token(slot, first)
+
+    def _harvest_token(self, slot: int, tok: int) -> None:
+        req = self._slot_req[slot]
+        if req is None:
+            return
+        if tok == self.eos_id or len(req.tokens) >= req.max_new:
+            self._finish(slot)
+        else:
+            req.tokens.append(tok)
+            if len(req.tokens) >= req.max_new:
+                self._finish(slot)
+
+    def _finish(self, slot: int):
+        req = self._slot_req[slot]
+        self._slot_req[slot] = None
+        self._active[slot] = False
+        if req is not None:
+            req.event.set()
+
+    def _run(self):
+        step = None
+        while not self._stop:
+            # admission: fill free slots from the queue
+            free = [i for i in range(self.n_slots) if not self._active[i]]
+            admitted = False
+            for slot in free:
+                try:
+                    req = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    self._admit(req, slot)
+                    admitted = True
+                except Exception as e:   # noqa: BLE001 — fail THIS request
+                    req.error = e
+                    req.event.set()
+            if not self._active.any():
+                if not admitted:
+                    try:
+                        req = self._q.get(timeout=0.05)
+                    except queue.Empty:
+                        continue
+                    self._q.put(req)     # admit at the top of the loop
+                continue
+            if step is None:
+                step = self._step()
+            # one chunk for every slot; t is per-slot
+            self.cache, tok, pos, t, toks = step(
+                self.params, self.cache, jnp.asarray(self._tok),
+                jnp.asarray(self._pos), jnp.asarray(self._t),
+                jnp.asarray(self._prompt_rows))
+            self.dispatches += 1
+            toks = np.asarray(toks)          # [n_slots, chunk]: pre-step tok
+            # writable host copies (np.asarray of a jax array is read-only)
+            self._tok = np.array(tok, np.int32)
+            self._pos = np.array(pos, np.int32)
+            self._t = np.array(t, np.int32)
+            # toks[:, 0] is the token each slot held BEFORE the chunk —
+            # already harvested at admission (or the previous chunk); the
+            # newly produced tokens are toks[:, 1:] + the carried tok
+            for slot in range(self.n_slots):
+                if not self._active[slot]:
+                    continue
+                fresh = list(toks[slot, 1:]) + [int(self._tok[slot])]
+                for tk in fresh:
+                    if not self._active[slot]:
+                        break
+                    self._harvest_token(slot, int(tk))

@@ -162,18 +162,80 @@ class _BatchWorker:
             done.set()
 
 
+class _InflightWorker:
+    """Continuous-batching worker: requests stream through the slot pool of
+    `models/inflight.InflightEngine` instead of riding co-arrival waves —
+    the sglang scheduling model (`lmms_eval/models/llava_sglang.py`),
+    TPU-native. A request's latency is its own prefill + decode plus at
+    most one in-flight chunk of queueing; it never waits for a longer
+    neighbour to finish. Requires the JAX `LlavaLMM` adapter (raw params;
+    generic HF adapters fall back to `_BatchWorker`)."""
+
+    def __init__(self, lmm, n_slots: int = 4, prompt_cap: int = 256,
+                 gen_cap: int = 256, chunk: int = 4):
+        import numpy as np
+        from .data.image_processing import preprocess_image
+        from .data.preprocess import tokenizer_image_token
+        from .models.inflight import InflightEngine
+        self._np = np
+        self._preprocess_image = preprocess_image
+        self._tokenize = tokenizer_image_token
+        self.lmm = lmm
+        self.engine = InflightEngine(
+            lmm.params, lmm.cfg, eos_id=lmm.tok.eos_token_id,
+            n_slots=n_slots, prompt_cap=prompt_cap, gen_cap=gen_cap,
+            chunk=chunk, precision=lmm.precision,
+            diffusion_apply=lmm.diffusion_apply)
+
+    @property
+    def dispatches(self):
+        return self.engine.dispatches
+
+    def submit(self, inst: Instance) -> str:
+        np = self._np
+        lmm = self.lmm
+        ids = np.asarray(self._tokenize(lmm._prompt(inst.args[0]),
+                                        lmm.tok), np.int32)[None]
+        mask = np.ones_like(ids, bool)
+        pixels = []
+        for proc in lmm.processors:
+            if inst.visual:
+                arr = self._preprocess_image(inst.visual[0], proc,
+                                             pad_square=lmm.pad_square)
+            else:
+                arr = np.zeros((proc.crop, proc.crop, 3), np.float32)
+            pixels.append(arr[None])
+        kwargs = inst.args[1] if len(inst.args) > 1 else {}
+        handle = self.engine.submit(
+            ids, mask, pixels, kwargs.get("max_new_tokens", 16))
+        row = handle.result(timeout=600).tolist()
+        text = lmm.tok.decode(row).strip()
+        for stop in kwargs.get("until", []):
+            if stop and stop in text:
+                text = text.split(stop)[0]
+        return text.strip()
+
+    def shutdown(self):
+        self.engine.shutdown()
+
+
 class LMMServer:
     """Serve one LMM instance over HTTP until ``shutdown()``."""
 
     def __init__(self, lmm: LMM, model_name: str = "lvr",
                  host: str = "127.0.0.1", port: int = 8000,
-                 max_batch: int = 8, batch_window_ms: float = 5.0):
+                 max_batch: int = 8, batch_window_ms: float = 5.0,
+                 inflight: bool = False, inflight_kwargs: Optional[dict]
+                 = None):
         self.lmm = lmm
         self.model_name = model_name
         self._count = 0
         self._count_lock = threading.Lock()
-        self.worker = _BatchWorker(lmm, max_batch=max_batch,
-                                   window_ms=batch_window_ms)
+        if inflight:
+            self.worker = _InflightWorker(lmm, **(inflight_kwargs or {}))
+        else:
+            self.worker = _BatchWorker(lmm, max_batch=max_batch,
+                                       window_ms=batch_window_ms)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -295,15 +357,22 @@ class LMMServer:
 def run_server(cfg, *, model: str = "llava", model_args: Optional[dict]
                = None, host: str = "127.0.0.1", port: int = 8000,
                model_name: Optional[str] = None, max_batch: int = 8,
-               batch_window_ms: float = 5.0) -> LMMServer:
+               batch_window_ms: float = 5.0, inflight: bool = False,
+               inflight_kwargs: Optional[dict] = None) -> LMMServer:
     """CLI entry: build the adapter like `eval/runner.run_evaluation` does
-    and serve it."""
+    and serve it. ``inflight=True`` swaps the wave-based batcher for the
+    continuous-batching slot engine (JAX llava adapter only)."""
     if model == "llava":
         from .eval.runner import build_lmm
         lmm = build_lmm(cfg)
     else:
         from .eval.models_registry import build_lmm_by_name
         lmm = build_lmm_by_name(model, **(model_args or {}))
+        if inflight:
+            raise ValueError("--inflight requires the JAX llava adapter "
+                             "(raw params); generic adapters use the "
+                             "wave batcher")
     return LMMServer(lmm, model_name=model_name or model,
                      host=host, port=port, max_batch=max_batch,
-                     batch_window_ms=batch_window_ms)
+                     batch_window_ms=batch_window_ms, inflight=inflight,
+                     inflight_kwargs=inflight_kwargs)

@@ -1,0 +1,103 @@
+"""In-flight batching engine (models/inflight.py): per-request greedy
+equivalence with `llava.generate_greedy`, including staggered admissions
+where a new request joins slots mid-decode of its neighbours — the
+continuous-batching property the reference gets from sglang
+(`lmms_eval/models/llava_sglang.py`)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from law_of_vision_representation_in_mllms_tpu.core.precision import (
+    FP32_PRECISION)
+from law_of_vision_representation_in_mllms_tpu.models import llava as M
+from law_of_vision_representation_in_mllms_tpu.models.inflight import (
+    InflightEngine)
+from law_of_vision_representation_in_mllms_tpu.models.splice import (
+    IMAGE_TOKEN_INDEX)
+
+from test_train_step import _tiny
+
+
+def _request(rng, l):
+    ids = rng.randint(1, 60, size=(1, l)).astype(np.int32)
+    ids[:, 0] = IMAGE_TOKEN_INDEX
+    mask = np.ones((1, l), bool)
+    pixels = [rng.randn(1, 14, 14, 3).astype(np.float32)]
+    return ids, mask, pixels
+
+
+def _reference(params, cfg, ids, mask, pixels, max_new, eos_id):
+    toks = M.generate_greedy(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        [jnp.asarray(p) for p in pixels], max_new_tokens=max_new,
+        eos_id=eos_id, precision=FP32_PRECISION, use_flash=False)
+    row = np.asarray(toks)[0].tolist()
+    if eos_id in row:
+        row = row[:row.index(eos_id)]
+    return row
+
+
+def test_inflight_matches_generate_greedy():
+    cfg, params = _tiny()
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=4,
+                         precision=FP32_PRECISION, use_flash=False)
+    try:
+        rng = np.random.RandomState(0)
+        reqs = [_request(rng, l) for l in (8, 12, 8)]
+        max_new = [10, 6, 10]
+        refs = [_reference(params, cfg, *r, m, eos)
+                for r, m in zip(reqs, max_new)]
+        # 3 requests through 2 slots: the third admits into whichever slot
+        # frees first, mid-decode of the survivor
+        handles = [eng.submit(r[0], r[1], r[2], m)
+                   for r, m in zip(reqs, max_new)]
+        outs = [h.result(timeout=120).tolist() for h in handles]
+        assert outs == refs, (outs, refs)
+        assert eng.dispatches >= 1
+    finally:
+        eng.shutdown()
+
+
+def test_inflight_staggered_admission():
+    """Submit request B only after request A has started decoding."""
+    import time
+    cfg, params = _tiny(1)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=2,
+                         precision=FP32_PRECISION, use_flash=False)
+    try:
+        rng = np.random.RandomState(1)
+        ra, rb = _request(rng, 8), _request(rng, 16)
+        ref_a = _reference(params, cfg, *ra, 12, eos)
+        ref_b = _reference(params, cfg, *rb, 12, eos)
+        ha = eng.submit(*ra, 12)
+        for _ in range(200):                   # wait for A to be mid-flight
+            if eng.dispatches >= 1:
+                break
+            time.sleep(0.05)
+        hb = eng.submit(*rb, 12)
+        assert ha.result(timeout=120).tolist() == ref_a
+        assert hb.result(timeout=120).tolist() == ref_b
+    finally:
+        eng.shutdown()
+
+
+def test_inflight_rejects_overlong_prompt():
+    cfg, params = _tiny(2)
+    eng = InflightEngine(params, cfg, eos_id=3, n_slots=1,
+                         prompt_cap=16, gen_cap=8,
+                         precision=FP32_PRECISION, use_flash=False)
+    try:
+        rng = np.random.RandomState(2)
+        ids, mask, pixels = _request(rng, 24)
+        try:
+            eng.submit(ids, mask, pixels, 4)
+            assert False, "expected ValueError"
+        except ValueError as e:
+            assert "prompt_cap" in str(e)
+    finally:
+        eng.shutdown()

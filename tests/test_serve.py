@@ -281,3 +281,80 @@ def test_sse_streaming():
         assert all(c["object"] == "chat.completion.chunk" for c in chunks)
     finally:
         srv.shutdown()
+
+
+def test_inflight_server_matches_wave_server():
+    """--inflight end to end: concurrent mixed-length requests through the
+    continuous-batching slot engine return EXACTLY what the wave-batched
+    server returns (both greedy on the same tiny LlavaLMM)."""
+    import threading
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter \
+        import LlavaLMM
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        ViTConfig)
+    from PIL import Image
+
+    vit_cfg = ViTConfig(image_size=224, patch_size=32, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="openai/clip-vit-large-patch14", kind="vit",
+                       vit_config=vit_cfg, vit_family="clip",
+                       hidden_size=16, num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=L.tiny(vocab_size=1000, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
+                   precision=FP32_PRECISION, batch_size=1)
+
+    import base64
+    from io import BytesIO
+
+    def _data_url(im):
+        buf = BytesIO()
+        im.save(buf, format="PNG")
+        return ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+
+    img = Image.new("RGB", (32, 32), (90, 30, 200))
+    prompts = ["describe the scene", "a much longer question about the "
+               "contents of this image please", "short?"]
+
+    def ask(port, prompt, out, i):
+        out[i] = _post(port, {
+            "model": "m", "max_tokens": 6,
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": prompt},
+                {"type": "image_url", "image_url": {"url": _data_url(img)}},
+            ]}]})["choices"][0]["message"]["content"]
+
+    results = {}
+    for mode in ("wave", "inflight"):
+        srv = LMMServer(lmm, port=0, inflight=(mode == "inflight"),
+                        inflight_kwargs={"n_slots": 2, "prompt_cap": 64,
+                                         "gen_cap": 8, "chunk": 2})
+        srv.start_background()
+        try:
+            out = [None] * len(prompts)
+            threads = [threading.Thread(target=ask,
+                                        args=(srv.port, p, out, i))
+                       for i, p in enumerate(prompts)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert all(o is not None for o in out), out
+            results[mode] = out
+            if mode == "inflight":
+                assert srv.worker.dispatches >= 1
+        finally:
+            srv.shutdown()
+    assert results["inflight"] == results["wave"], results
