@@ -788,10 +788,18 @@ def bench_serve(results, quick=False):
     # chunked/speculative gains are measured on the shipped serving path
     # (VERDICT r2 #3), not only in decoder microbenchmarks.
     backend = os.environ.get("LVR_SERVE_BACKEND", "greedy")
+    # LVR_SERVE_INFLIGHT=1 serves through the continuous-batching slot
+    # engine (models/inflight.py, `lvr serve --inflight`) instead of the
+    # wave batcher — 8 slots so the 8 concurrent clients all decode
+    # simultaneously with per-slot positions.
+    inflight = os.environ.get("LVR_SERVE_INFLIGHT", "0") == "1"
     lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
                    precision=prec, batch_size=8, gen_backend=backend)
     srv = LMMServer(lmm, model_name="llava-1.4b", port=0,
-                    max_batch=8, batch_window_ms=50)
+                    max_batch=8, batch_window_ms=50, inflight=inflight,
+                    inflight_kwargs={"n_slots": 8, "prompt_cap": 64,
+                                     "gen_cap": 16, "chunk": 4}
+                    if inflight else None)
     srv.start_background()
 
     import base64
@@ -843,7 +851,8 @@ def bench_serve(results, quick=False):
     srv.shutdown()
     results.append({"metric": "llava_1p4b_serve_http_samples_s"
                               + ("" if backend == "greedy"
-                                 else f"_{backend}"),
+                                 else f"_{backend}")
+                              + ("_inflight" if inflight else ""),
                     "value": round(8 / dt, 2), "unit": "samples/sec",
                     "note": "8 concurrent HTTP clients, dynamic batching "
                             "(window 50 ms), 16 new tokens; compare "
