@@ -308,13 +308,29 @@ class InflightEngine:
                         continue
                     self._q.put(req)     # admit at the top of the loop
                 continue
-            if step is None:
-                step = self._step()
-            # one chunk for every slot; t is per-slot
-            self.cache, tok, pos, t, toks = step(
-                self.params, self.cache, jnp.asarray(self._tok),
-                jnp.asarray(self._pos), jnp.asarray(self._t),
-                jnp.asarray(self._prompt_rows))
+            try:
+                if step is None:
+                    step = self._step()
+                # one chunk for every slot; t is per-slot
+                self.cache, tok, pos, t, toks = step(
+                    self.params, self.cache, jnp.asarray(self._tok),
+                    jnp.asarray(self._pos), jnp.asarray(self._t),
+                    jnp.asarray(self._prompt_rows))
+            except Exception as e:   # noqa: BLE001 — fail the active slots
+                # a dead worker thread would hang every caller; fail the
+                # in-flight requests instead and keep serving (the donated
+                # cache may be invalid — rebuild it)
+                for slot in range(self.n_slots):
+                    req = self._slot_req[slot]
+                    if req is not None:
+                        req.error = e
+                        self._slot_req[slot] = None
+                        req.event.set()
+                self._active[:] = False
+                self.cache = L.init_cache(self.cfg.decoder, self.n_slots,
+                                          self.t_max,
+                                          self.precision.compute_dtype)
+                continue
             self.dispatches += 1
             toks = np.asarray(toks)          # [n_slots, chunk]: pre-step tok
             # writable host copies (np.asarray of a jax array is read-only)
