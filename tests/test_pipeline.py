@@ -86,7 +86,10 @@ def test_grad_parity_and_remat():
 
 
 def test_sharded_train_step_pp_matches_single_device():
-    """2 optimizer steps on a dp2 x pp2 x tp2 mesh == unsharded steps."""
+    """3 optimizer steps on a dp2 x pp2 x tp2 mesh == unsharded steps
+    (3 so post-warmup updated params are exercised, not just step-1 grads —
+    the warmup schedule's first step is lr 0), plus the same trajectory
+    with ZeRO-2 optimizer sharding composed on top."""
     cfg, params = _tiny(heads=4, kv=4, hidden=32)
     tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=50)
     batch = _batch(np.random.RandomState(3))
@@ -96,25 +99,36 @@ def test_sharded_train_step_pp_matches_single_device():
         jax.tree.map(jnp.copy, params), tcfg)
     step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
     ref_losses = []
-    for _ in range(2):
+    for _ in range(3):
         state, m = step(state, batch)
         ref_losses.append(float(m["loss"]))
+    assert ref_losses[2] != ref_losses[0]    # params actually moved
 
     mesh = make_mesh(n_data=2, n_model=2, n_stage=2)
     assert set(mesh.axis_names) == {"data", "stage", "model"}
     pp = PipelineParallel(mesh, microbatches=2)
-    sharded = jax.device_put(
-        params, param_shardings(params, cfg, mesh, pipeline=True))
-    state2, opt2 = init_train_state(sharded, tcfg)
-    with mesh:
-        step2 = jax.jit(make_train_step(cfg, tcfg, opt2, FP32_PRECISION,
-                                        mesh=mesh, pp=pp))
-        batch2 = jax.device_put(batch, shard_batch_specs(batch, mesh))
-        pp_losses = []
-        for _ in range(2):
-            state2, m2 = step2(state2, batch2)
-            pp_losses.append(float(m2["loss"]))
-    np.testing.assert_allclose(pp_losses, ref_losses, atol=1e-5, rtol=1e-5)
+    for zero in (0, 2):
+        if zero:
+            from law_of_vision_representation_in_mllms_tpu.train \
+                .train_step import init_sharded_train_state
+            state2, opt2, *_ = init_sharded_train_state(
+                jax.tree.map(jnp.copy, params), tcfg, cfg, mesh,
+                zero=2, pipeline=True)
+        else:
+            sharded = jax.device_put(
+                params, param_shardings(params, cfg, mesh, pipeline=True))
+            state2, opt2 = init_train_state(sharded, tcfg)
+        with mesh:
+            step2 = jax.jit(make_train_step(cfg, tcfg, opt2,
+                                            FP32_PRECISION,
+                                            mesh=mesh, pp=pp))
+            batch2 = jax.device_put(batch, shard_batch_specs(batch, mesh))
+            pp_losses = []
+            for _ in range(3):
+                state2, m2 = step2(state2, batch2)
+                pp_losses.append(float(m2["loss"]))
+        np.testing.assert_allclose(pp_losses, ref_losses, atol=1e-5,
+                                   rtol=1e-5)
 
 
 def test_pp_train_runner_trajectory_matches(tmp_path):
