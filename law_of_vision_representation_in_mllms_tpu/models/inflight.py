@@ -56,7 +56,7 @@ def _bucket(n: int, minimum: int = 32) -> int:
 
 class _Request:
     __slots__ = ("ids", "mask", "pixels", "max_new", "tokens", "event",
-                 "error")
+                 "error", "stream_q")
 
     def __init__(self, ids, mask, pixels, max_new):
         self.ids = ids
@@ -66,6 +66,8 @@ class _Request:
         self.tokens: List[int] = []
         self.event = threading.Event()
         self.error: Optional[Exception] = None
+        # live token feed for streaming consumers (None = end of stream)
+        self.stream_q: "queue.Queue[Optional[int]]" = queue.Queue()
 
     def result(self, timeout: Optional[float] = None) -> np.ndarray:
         if not self.event.wait(timeout):
@@ -73,6 +75,17 @@ class _Request:
         if self.error is not None:
             raise self.error
         return np.asarray(self.tokens, np.int32)
+
+    def iter_tokens(self, timeout: Optional[float] = 600):
+        """Yield token ids as the engine produces them (SSE streaming);
+        raises the request's error, if any, at end of stream."""
+        while True:
+            tok = self.stream_q.get(timeout=timeout)
+            if tok is None:
+                break
+            yield tok
+        if self.error is not None:
+            raise self.error
 
 
 class InflightEngine:
@@ -237,6 +250,7 @@ class InflightEngine:
             except queue.Empty:
                 break
             req.error = RuntimeError("engine shutting down")
+            req.stream_q.put(None)
             req.event.set()
 
     # ---------------- scheduler loop ----------------
@@ -273,6 +287,7 @@ class InflightEngine:
             self._finish(slot)
         else:
             req.tokens.append(tok)
+            req.stream_q.put(tok)
             if len(req.tokens) >= req.max_new:
                 self._finish(slot)
 
@@ -281,6 +296,7 @@ class InflightEngine:
         self._slot_req[slot] = None
         self._active[slot] = False
         if req is not None:
+            req.stream_q.put(None)
             req.event.set()
 
     def _run(self):
@@ -299,6 +315,7 @@ class InflightEngine:
                     admitted = True
                 except Exception as e:   # noqa: BLE001 — fail THIS request
                     req.error = e
+                    req.stream_q.put(None)
                     req.event.set()
             if not self._active.any():
                 if not admitted:
@@ -325,6 +342,7 @@ class InflightEngine:
                     if req is not None:
                         req.error = e
                         self._slot_req[slot] = None
+                        req.stream_q.put(None)
                         req.event.set()
                 self._active[:] = False
                 self.cache = L.init_cache(self.cfg.decoder, self.n_slots,

@@ -75,6 +75,13 @@ def _parse_messages(messages: List[dict]):
     return "\n".join(t for t in texts if t), images
 
 
+def _word_deltas(text: str):
+    """Word-chunk replay of a finished generation for SSE clients."""
+    words = text.split(" ")
+    for i, w in enumerate(words):
+        yield w if i == len(words) - 1 else w + " "
+
+
 class _BatchWorker:
     """Dynamic request batching: a single worker thread drains the queue,
     waits up to ``window_ms`` after the first arrival for co-riders, and
@@ -191,7 +198,7 @@ class _InflightWorker:
     def dispatches(self):
         return self.engine.dispatches
 
-    def submit(self, inst: Instance) -> str:
+    def _submit(self, inst: Instance):
         np = self._np
         lmm = self.lmm
         ids = np.asarray(self._tokenize(lmm._prompt(inst.args[0]),
@@ -206,14 +213,44 @@ class _InflightWorker:
                 arr = np.zeros((proc.crop, proc.crop, 3), np.float32)
             pixels.append(arr[None])
         kwargs = inst.args[1] if len(inst.args) > 1 else {}
-        handle = self.engine.submit(
-            ids, mask, pixels, kwargs.get("max_new_tokens", 16))
-        row = handle.result(timeout=600).tolist()
-        text = lmm.tok.decode(row).strip()
+        return self.engine.submit(
+            ids, mask, pixels, kwargs.get("max_new_tokens", 16)), kwargs
+
+    @staticmethod
+    def _truncate(text: str, kwargs: dict) -> str:
         for stop in kwargs.get("until", []):
             if stop and stop in text:
                 text = text.split(stop)[0]
         return text.strip()
+
+    def submit(self, inst: Instance) -> str:
+        handle, kwargs = self._submit(inst)
+        row = handle.result(timeout=600).tolist()
+        return self._truncate(self.lmm.tok.decode(row).strip(), kwargs)
+
+    def submit_stream(self, inst: Instance):
+        """Yield text deltas as the engine decodes — TRUE incremental
+        streaming (the wave worker replays the finished text instead).
+        Detokenizes the growing prefix each token and emits the suffix
+        delta, so multi-token characters render correctly; stops at the
+        first stop-string hit (the engine finishes the slot at EOS or
+        budget on its own)."""
+        handle, kwargs = self._submit(inst)
+        stops = [s for s in kwargs.get("until", []) if s]
+        row: list = []
+        sent = ""
+        for tok in handle.iter_tokens():
+            row.append(int(tok))
+            text = self.lmm.tok.decode(row).strip()
+            cut = next((text.split(s)[0] for s in stops if s in text),
+                       None)
+            if cut is not None:
+                if cut[len(sent):]:
+                    yield cut[len(sent):]
+                return
+            if text.startswith(sent) and len(text) > len(sent):
+                yield text[len(sent):]
+                sent = text
 
     def shutdown(self):
         self.engine.shutdown()
@@ -285,13 +322,25 @@ class LMMServer:
                     inst = Instance("generate_until", {}, 0,
                                     "serve", (prompt, gen_kwargs),
                                     visual=images or None)
+                    if req.get("stream") and hasattr(outer.worker,
+                                                     "submit_stream"):
+                        # inflight worker: TRUE incremental token SSE
+                        with outer._count_lock:
+                            outer._count += 1
+                            rid = outer._count
+                        try:
+                            self._send_stream(
+                                rid, outer.worker.submit_stream(inst))
+                        except OSError:
+                            pass   # client hung up mid-stream
+                        return
                     text = outer.worker.submit(inst)
                     with outer._count_lock:
                         outer._count += 1
                         rid = outer._count
                     if req.get("stream"):
                         try:
-                            self._send_stream(rid, text)
+                            self._send_stream(rid, _word_deltas(text))
                         except OSError:
                             pass   # client hung up mid-stream: headers
                             # are already out, a JSON 400 would corrupt
@@ -311,12 +360,13 @@ class LMMServer:
                     self._send(400, {"error": {"message": str(e),
                                                "type": type(e).__name__}})
 
-            def _send_stream(self, rid: int, text: str):
+            def _send_stream(self, rid: int, deltas):
                 """OpenAI SSE protocol (`stream: true`): role delta,
-                content deltas, finish chunk, [DONE]. Generation itself
-                already completed (the decode loop is one TPU program);
-                the stream replays it in word chunks so streaming
-                clients render progressively."""
+                content deltas, finish chunk, [DONE]. `deltas` is an
+                iterator of text fragments — word chunks replaying a
+                finished generation (wave worker), or live per-token
+                deltas straight off the decode loop (inflight worker:
+                each fragment flushes as the engine produces it)."""
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
@@ -330,11 +380,10 @@ class LMMServer:
                                             "finish_reason": finish}]}
                     self.wfile.write(
                         f"data: {json.dumps(payload)}\n\n".encode())
+                    self.wfile.flush()
                 chunk({"role": "assistant"})
-                words = text.split(" ")
-                for i, w in enumerate(words):
-                    chunk({"content": w if i == len(words) - 1
-                           else w + " "})
+                for d in deltas:
+                    chunk({"content": d})
                 chunk({}, finish="stop")
                 self.wfile.write(b"data: [DONE]\n\n")
 

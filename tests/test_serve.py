@@ -358,3 +358,62 @@ def test_inflight_server_matches_wave_server():
         finally:
             srv.shutdown()
     assert results["inflight"] == results["wave"], results
+
+
+def test_inflight_sse_streams_live_tokens():
+    """--inflight + stream: true — the SSE deltas come off the live decode
+    (multiple content chunks) and concatenate to exactly the non-streamed
+    answer."""
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter \
+        import LlavaLMM
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        ViTConfig)
+
+    vit_cfg = ViTConfig(image_size=224, patch_size=32, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="openai/clip-vit-large-patch14", kind="vit",
+                       vit_config=vit_cfg, vit_family="clip",
+                       hidden_size=16, num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=L.tiny(vocab_size=1000, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(0), cfg, FP32_PRECISION)
+    lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
+                   precision=FP32_PRECISION, batch_size=1)
+    srv = LMMServer(lmm, port=0, inflight=True,
+                    inflight_kwargs={"n_slots": 1, "prompt_cap": 64,
+                                     "gen_cap": 16, "chunk": 2})
+    srv.start_background()
+    try:
+        payload = {"max_tokens": 8, "messages": [
+            {"role": "user", "content": "tell me something long"}]}
+        plain = _post(srv.port, payload)["choices"][0]["message"]["content"]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/chat/completions",
+            data=json.dumps({**payload, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            body = r.read().decode()
+        events = [l[len("data: "):] for l in body.split("\n")
+                  if l.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        content = [c["choices"][0]["delta"].get("content", "")
+                   for c in chunks]
+        streamed = "".join(content).strip()
+        assert streamed == plain, (streamed, plain)
+        # live per-token deltas, not one replayed blob
+        assert sum(1 for c in content if c) >= 2, content
+    finally:
+        srv.shutdown()
