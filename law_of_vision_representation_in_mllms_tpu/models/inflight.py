@@ -56,7 +56,7 @@ def _bucket(n: int, minimum: int = 32) -> int:
 
 class _Request:
     __slots__ = ("ids", "mask", "pixels", "max_new", "tokens", "event",
-                 "error", "stream_q")
+                 "error", "stream_q", "cancelled")
 
     def __init__(self, ids, mask, pixels, max_new):
         self.ids = ids
@@ -68,6 +68,13 @@ class _Request:
         self.error: Optional[Exception] = None
         # live token feed for streaming consumers (None = end of stream)
         self.stream_q: "queue.Queue[Optional[int]]" = queue.Queue()
+        self.cancelled = False
+
+    def cancel(self):
+        """Ask the engine to stop decoding this request (client hung up /
+        stop string hit). The slot frees at the next harvest; already-
+        generated tokens stay available via result()."""
+        self.cancelled = True
 
     def result(self, timeout: Optional[float] = None) -> np.ndarray:
         if not self.event.wait(timeout):
@@ -283,7 +290,8 @@ class InflightEngine:
         req = self._slot_req[slot]
         if req is None:
             return
-        if tok == self.eos_id or len(req.tokens) >= req.max_new:
+        if req.cancelled or tok == self.eos_id \
+                or len(req.tokens) >= req.max_new:
             self._finish(slot)
         else:
             req.tokens.append(tok)
@@ -306,9 +314,17 @@ class InflightEngine:
             free = [i for i in range(self.n_slots) if not self._active[i]]
             admitted = False
             for slot in free:
-                try:
-                    req = self._q.get_nowait()
-                except queue.Empty:
+                req = None
+                while req is None:
+                    try:
+                        req = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if req.cancelled:       # hung-up before admission
+                        req.stream_q.put(None)
+                        req.event.set()
+                        req = None
+                if req is None:
                     break
                 try:
                     self._admit(req, slot)

@@ -239,18 +239,23 @@ class _InflightWorker:
         stops = [s for s in kwargs.get("until", []) if s]
         row: list = []
         sent = ""
-        for tok in handle.iter_tokens():
-            row.append(int(tok))
-            text = self.lmm.tok.decode(row).strip()
-            cut = next((text.split(s)[0] for s in stops if s in text),
-                       None)
-            if cut is not None:
-                if cut[len(sent):]:
-                    yield cut[len(sent):]
-                return
-            if text.startswith(sent) and len(text) > len(sent):
-                yield text[len(sent):]
-                sent = text
+        try:
+            for tok in handle.iter_tokens():
+                row.append(int(tok))
+                text = self.lmm.tok.decode(row).strip()
+                cut = next((text.split(s)[0] for s in stops if s in text),
+                           None)
+                if cut is not None:
+                    if cut[len(sent):]:
+                        yield cut[len(sent):]
+                    return
+                if text.startswith(sent) and len(text) > len(sent):
+                    yield text[len(sent):]
+                    sent = text
+        finally:
+            # stop-string exit or client hang-up (GeneratorExit): free the
+            # slot instead of decoding to budget; no-op when finished
+            handle.cancel()
 
     def shutdown(self):
         self.engine.shutdown()

@@ -101,3 +101,35 @@ def test_inflight_rejects_overlong_prompt():
             assert "prompt_cap" in str(e)
     finally:
         eng.shutdown()
+
+
+def test_inflight_cancel_frees_slot():
+    """cancel() retires the slot early; a queued request then admits and
+    completes with the correct greedy output."""
+    import time
+    cfg, params = _tiny(3)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=1,
+                         prompt_cap=32, gen_cap=16, chunk=2,
+                         precision=FP32_PRECISION, use_flash=False)
+    try:
+        rng = np.random.RandomState(4)
+        ra, rb = _request(rng, 8), _request(rng, 8)
+        ref_b = _reference(params, cfg, *rb, 8, eos)
+        ha = eng.submit(*ra, 16)
+        for _ in range(200):
+            if eng.dispatches >= 1:
+                break
+            time.sleep(0.05)
+        ha.cancel()
+        hb = eng.submit(*rb, 8)
+        assert hb.result(timeout=120).tolist() == ref_b
+        ha.event.wait(timeout=60)
+        assert ha.event.is_set()            # cancelled request completed
+        # pre-admission cancel: fails fast without a prefill
+        hc = eng.submit(*ra, 16)
+        hd = eng.submit(*rb, 8)             # queued behind hc
+        hc.cancel()
+        assert hd.result(timeout=120).tolist() == ref_b
+    finally:
+        eng.shutdown()
