@@ -102,7 +102,16 @@ class InflightEngine:
                  n_slots: int = 4, prompt_cap: int = 256,
                  gen_cap: int = 256, chunk: int = 4,
                  precision: Precision = DEFAULT_PRECISION,
-                 diffusion_apply=None, use_flash: Optional[bool] = None):
+                 diffusion_apply=None, use_flash: Optional[bool] = None,
+                 negotiate_layouts: bool = False):
+        """``negotiate_layouts=True`` compiles the slot-step program with
+        AUTO boundary layouts and relays out the params + cache ONCE into
+        XLA's negotiated formats, CONSUMING the source buffers — the same
+        contract as `ChunkedGreedyDecoder(negotiate_layouts=True)` and
+        REQUIRED at 7B, where default layouts make XLA hoist 3 GB of
+        weight layout-conversion copies out of the decode loop and OOM
+        the chip (models/layouts.py). Callers sharing the param tree must
+        re-read ``self.params`` after the first admission."""
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
@@ -125,6 +134,10 @@ class InflightEngine:
         self._prefill_fns: Dict[int, callable] = {}
         self._step_fn = None
         self._install_fn = None
+        self.negotiate_layouts = negotiate_layouts
+        self._param_formats = None
+        self._cache_formats = None
+        self._local_cache_formats = None
 
         # host-side slot state
         self._slot_req: List[Optional[_Request]] = [None] * n_slots
@@ -174,19 +187,52 @@ class InflightEngine:
             first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return cache, first, n_valid, plan.attn_mask
 
-        self._prefill_fns[l] = jax.jit(fn)
+        if not self.negotiate_layouts:
+            self._prefill_fns[l] = jax.jit(fn)
+            return self._prefill_fns[l]
+        # AOT pinned to the step program's negotiated param formats and
+        # the install program's local-cache format (models/layouts.py)
+        from . import layouts as LY
+        sds = jax.ShapeDtypeStruct
+        p_shapes = LY.shape_spec(self.params)
+        ids_s, mask_s = sds((1, l), jnp.int32), sds((1, l), jnp.bool_)
+        self._prefill_fns[l] = jax.jit(
+            fn,
+            in_shardings=(self._param_formats, None, None, None),
+            out_shardings=(self._local_cache_formats, None, None, None),
+        ).lower(p_shapes, ids_s, mask_s, list(self._px_spec)).compile()
         return self._prefill_fns[l]
 
     def _install(self):
         """Splice a b=1 prefill cache into the global cache's slot rows
         (donated: the global cache updates in place)."""
-        if self._install_fn is None:
-            def fn(global_cache, local_cache, slot):
-                return jax.tree.map(
-                    lambda g, lo: lax.dynamic_update_slice(
-                        g, lo.astype(g.dtype), (0, slot, 0, 0, 0)),
-                    global_cache, local_cache)
+        if self._install_fn is not None:
+            return self._install_fn
+
+        def fn(global_cache, local_cache, slot):
+            return jax.tree.map(
+                lambda g, lo: lax.dynamic_update_slice(
+                    g, lo.astype(g.dtype), (0, slot, 0, 0, 0)),
+                global_cache, local_cache)
+
+        if not self.negotiate_layouts:
             self._install_fn = jax.jit(fn, donate_argnums=(0,))
+            return self._install_fn
+        # global cache pinned to the step's negotiated format; the local
+        # (b=1) cache negotiates its own — prefill pins its output to it
+        from . import layouts as LY
+        local_shapes = LY.shape_spec(jax.eval_shape(
+            lambda: L.init_cache(self.cfg.decoder, 1, self.t_max,
+                                 self.precision.compute_dtype)))
+        inst_c = jax.jit(
+            fn, donate_argnums=(0,),
+            in_shardings=(self._cache_formats,
+                          LY.auto_spec(local_shapes), None),
+            out_shardings=self._cache_formats,
+        ).lower(LY.shape_spec(self.cache), local_shapes,
+                jax.ShapeDtypeStruct((), jnp.int32)).compile()
+        self._local_cache_formats = inst_c.input_formats[0][1]
+        self._install_fn = inst_c
         return self._install_fn
 
     def _step(self):
@@ -226,7 +272,34 @@ class InflightEngine:
                 body, (cache, tok, pos, t), None, length=chunk)
             return cache, tok, pos, t, jnp.transpose(toks)
 
-        self._step_fn = jax.jit(fn, donate_argnums=(1,))
+        if not self.negotiate_layouts:
+            self._step_fn = jax.jit(fn, donate_argnums=(1,))
+            return self._step_fn
+        # AOT with AUTO boundary layouts — XLA demands its preferred
+        # weight/cache layouts at the program boundary instead of hoisting
+        # whole-tensor conversion copies out of the decode scan (the 7B
+        # OOM, models/layouts.py); params + cache relaid out ONCE below.
+        from . import layouts as LY
+        from jax.experimental.layout import Format, Layout
+        sds = jax.ShapeDtypeStruct
+        p_shapes = LY.shape_spec(self.params)
+        n = self.n_slots
+        step_c = jax.jit(
+            fn, donate_argnums=(1,),
+            in_shardings=(LY.auto_spec(p_shapes), Format(Layout.AUTO),
+                          None, None, None, None),
+            out_shardings=(Format(Layout.AUTO), None, None, None, None),
+        ).lower(p_shapes, LY.shape_spec(self.cache),
+                sds((n,), jnp.int32), sds((n,), jnp.int32),
+                sds((n,), jnp.int32),
+                sds((n, self.l_out_max), jnp.bool_)).compile()
+        self._param_formats = step_c.input_formats[0][0]
+        self._cache_formats = step_c.input_formats[0][1]
+        self.params = LY.relayout(self.params, self._param_formats,
+                                  consume=True)
+        self.cache = LY.relayout(self.cache, self._cache_formats,
+                                 consume=True)
+        self._step_fn = step_c
         return self._step_fn
 
     # ---------------- public API ----------------
@@ -270,6 +343,13 @@ class InflightEngine:
         n = req.ids.shape[1]
         ids[:, :n], mask[:, :n] = req.ids, req.mask
         pixels = [jnp.asarray(p) for p in req.pixels]
+        if self.negotiate_layouts:
+            # negotiation order: the step fixes the param/cache formats,
+            # the install fixes the local-cache format, prefill pins both
+            self._px_spec = [jax.ShapeDtypeStruct(p.shape, p.dtype)
+                             for p in pixels]
+            self._step()
+            self._install()
         local, first, n_valid, prow = self._prefill(l)(
             self.params, jnp.asarray(ids), jnp.asarray(mask), pixels)
         self.cache = self._install()(self.cache, local,
@@ -364,6 +444,11 @@ class InflightEngine:
                 self.cache = L.init_cache(self.cfg.decoder, self.n_slots,
                                           self.t_max,
                                           self.precision.compute_dtype)
+                if self._cache_formats is not None:
+                    from . import layouts as LY
+                    self.cache = LY.relayout(self.cache,
+                                             self._cache_formats,
+                                             consume=True)
                 continue
             self.dispatches += 1
             toks = np.asarray(toks)          # [n_slots, chunk]: pre-step tok

@@ -133,3 +133,25 @@ def test_inflight_cancel_frees_slot():
         assert hd.result(timeout=120).tolist() == ref_b
     finally:
         eng.shutdown()
+
+
+def test_inflight_negotiated_layouts_parity():
+    """negotiate_layouts=True (the 7B-scale AOT path: AUTO boundary
+    layouts, one-time param/cache relayout) matches the default engine
+    and generate_greedy exactly."""
+    cfg, params = _tiny(5)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=4,
+                         precision=FP32_PRECISION, use_flash=False,
+                         negotiate_layouts=True)
+    try:
+        rng = np.random.RandomState(6)
+        reqs = [_request(rng, l) for l in (8, 12)]
+        refs = [_reference(params, cfg, *r, 10, eos) for r in reqs]
+        handles = [eng.submit(r[0], r[1], r[2], 10) for r in reqs]
+        outs = [h.result(timeout=180).tolist() for h in handles]
+        assert outs == refs, (outs, refs)
+        assert eng._param_formats is not None
+    finally:
+        eng.shutdown()
