@@ -192,7 +192,13 @@ class _InflightWorker:
             lmm.params, lmm.cfg, eos_id=lmm.tok.eos_token_id,
             n_slots=n_slots, prompt_cap=prompt_cap, gen_cap=gen_cap,
             chunk=chunk, precision=lmm.precision,
-            diffusion_apply=lmm.diffusion_apply)
+            diffusion_apply=lmm.diffusion_apply,
+            # model.negotiate_layouts rides the adapter — REQUIRED at 7B
+            # (models/layouts.py). The engine consumes the param buffers
+            # at its first admission; in inflight mode the server routes
+            # every generation through the engine, so the adapter's own
+            # (dead) tree is never dispatched.
+            negotiate_layouts=getattr(lmm, "negotiate_layouts", False))
 
     @property
     def dispatches(self):
