@@ -60,6 +60,11 @@ class PipelineParallel:
     stage_axis: str = "stage"
     # GPipe microbatch count; None -> one per stage (max bubble, min memory)
     microbatches: Optional[int] = None
+    # checkpoint each pipeline tick: the backward recomputes a tick's
+    # stage forwards instead of saving every tick's circulating
+    # [S, mb, s, d] carry — cuts saved pipeline activations ~(M+S-1)-fold
+    # on top of per-layer remat, for one extra forward of recompute
+    remat_ticks: bool = False
 
     @property
     def n_stages(self) -> int:
@@ -184,6 +189,8 @@ def forward_pipelined(params, cfg: L.LlamaConfig, embeds, positions, *,
             acc, st["h"][S - 1], jnp.maximum(t - (S - 1), 0), 0)
         return (st, acc), ()
 
+    if pp.remat_ticks:
+        tick = jax.checkpoint(tick)
     (_, outs), _ = lax.scan(tick, (state, outs),
                             jnp.arange(M + S - 1, dtype=jnp.int32))
     hidden = outs.reshape(b, s, d)

@@ -157,6 +157,41 @@ def test_pp_train_runner_trajectory_matches(tmp_path):
     np.testing.assert_allclose(losses[2], losses[1], rtol=2e-4)
 
 
+def test_pp_grad_accum_and_remat_ticks():
+    """grad_accum=2 with the pipelined trunk matches grad_accum=2 with the
+    plain trunk; remat_ticks (tick-level checkpointing) changes nothing
+    numerically."""
+    cfg, params = _tiny(heads=4, kv=4, hidden=32)
+    tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=50,
+                       grad_accum=2)
+    batch = _batch(np.random.RandomState(5))
+
+    state, opt = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+    ref = []
+    for _ in range(3):
+        state, m = step(state, batch)
+        ref.append(float(m["loss"]))
+
+    mesh = make_mesh(n_data=2, n_model=1, n_stage=2)
+    for remat_ticks in (False, True):
+        pp = PipelineParallel(mesh, microbatches=2,
+                              remat_ticks=remat_ticks)
+        sharded = jax.device_put(
+            params, param_shardings(params, cfg, mesh, pipeline=True))
+        st2, opt2 = init_train_state(sharded, tcfg)
+        with mesh:
+            step2 = jax.jit(make_train_step(cfg, tcfg, opt2,
+                                            FP32_PRECISION, mesh=mesh,
+                                            pp=pp))
+            b2 = jax.device_put(batch, shard_batch_specs(batch, mesh))
+            got = []
+            for _ in range(3):
+                st2, m2 = step2(st2, b2)
+                got.append(float(m2["loss"]))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_pp_rejects_bad_compositions():
     cfg, params, embeds, positions, attn_mask = _trunk_inputs(layers=3)
     mesh = _mesh_ds()
