@@ -124,6 +124,9 @@ class ParallelSection:
     pipeline: int = 1
     # GPipe microbatch count (bubble = (S-1)/(M+S-1)); None -> one/stage
     pp_microbatches: Optional[int] = None
+    # checkpoint each pipeline tick (saves ~(M+S-1)x of circulating
+    # activations for one extra forward of recompute)
+    pp_remat_ticks: bool = False
     # ZeRO level (deepspeed `scripts/zero{2,3}.json` equivalents):
     # 0 = TP-only/replicated, 2 = shard optimizer state on the data axis,
     # 3 = shard params + optimizer state (FSDP).

@@ -157,7 +157,8 @@ def run_training(cfg: RunConfig) -> int:
     if cfg.parallel.pipeline > 1:
         from ..parallel.pipeline import PipelineParallel
         pp = PipelineParallel(mesh,
-                              microbatches=cfg.parallel.pp_microbatches)
+                              microbatches=cfg.parallel.pp_microbatches,
+                              remat_ticks=cfg.parallel.pp_remat_ticks)
         if model_cfg.decoder.num_layers % pp.n_stages:
             raise ValueError(
                 f"decoder layers {model_cfg.decoder.num_layers} must "

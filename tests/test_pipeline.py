@@ -192,6 +192,24 @@ def test_pp_grad_accum_and_remat_ticks():
         np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_pp_flash_attention_parity():
+    """use_flash=True through the vmapped stage step (Pallas custom-VJP
+    under vmap, interpret mode on CPU) matches the flash plain trunk."""
+    cfg, params, embeds, positions, _ = _trunk_inputs()
+    full = jnp.ones(positions.shape, bool)   # flash assumes right padding
+    ref, _ = jax.jit(lambda p, e: L.forward(
+        p, cfg, e, positions, attn_mask=full, precision=FP32_PRECISION,
+        use_flash=True))(params, embeds)
+    mesh = _mesh_ds()
+    pp = PipelineParallel(mesh, microbatches=2)
+    with mesh:
+        got = jax.jit(lambda p, e: forward_pipelined(
+            p, cfg, e, positions, attn_mask=full, pp=pp,
+            precision=FP32_PRECISION, use_flash=True))(params, embeds)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_pp_rejects_bad_compositions():
     cfg, params, embeds, positions, attn_mask = _trunk_inputs(layers=3)
     mesh = _mesh_ds()
