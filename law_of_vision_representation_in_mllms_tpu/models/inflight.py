@@ -150,6 +150,9 @@ class InflightEngine:
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = False
         self.dispatches = 0
+        self.tokens_out = 0            # harvested (delivered) tokens
+        self.admissions = 0
+        self.completions = 0
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -321,6 +324,16 @@ class InflightEngine:
         self._q.put(req)
         return req
 
+    def stats(self) -> Dict[str, int]:
+        """Scheduler observability (served under `lvr serve` /health)."""
+        return {"dispatches": self.dispatches,
+                "tokens_out": self.tokens_out,
+                "admissions": self.admissions,
+                "completions": self.completions,
+                "active_slots": int(self._active.sum()),
+                "n_slots": self.n_slots,
+                "queued": self._q.qsize()}
+
     def shutdown(self):
         self._stop = True
         self._thread.join(timeout=5)
@@ -363,6 +376,7 @@ class InflightEngine:
         self._prompt_rows[slot] = np.pad(
             prow_np, (0, self.l_out_max - prow_np.shape[0]))
         self._active[slot] = True
+        self.admissions += 1
         # the prefill already produced the first token
         self._harvest_token(slot, first)
 
@@ -376,6 +390,7 @@ class InflightEngine:
         else:
             req.tokens.append(tok)
             req.stream_q.put(tok)
+            self.tokens_out += 1
             if len(req.tokens) >= req.max_new:
                 self._finish(slot)
 
@@ -384,6 +399,7 @@ class InflightEngine:
         self._slot_req[slot] = None
         self._active[slot] = False
         if req is not None:
+            self.completions += 1
             req.stream_q.put(None)
             req.event.set()
 

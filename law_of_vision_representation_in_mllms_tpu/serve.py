@@ -300,10 +300,13 @@ class LMMServer:
 
             def do_GET(self):
                 if self.path == "/health":
-                    self._send(200, {"status": "ok",
-                                     "requests": outer._count,
-                                     "dispatches":
-                                         outer.worker.dispatches})
+                    payload = {"status": "ok",
+                               "requests": outer._count,
+                               "dispatches": outer.worker.dispatches}
+                    engine = getattr(outer.worker, "engine", None)
+                    if engine is not None:
+                        payload["inflight"] = engine.stats()
+                    self._send(200, payload)
                 elif self.path == "/v1/models":
                     self._send(200, {"object": "list", "data": [
                         {"id": outer.model_name, "object": "model"}]})

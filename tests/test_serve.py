@@ -355,6 +355,12 @@ def test_inflight_server_matches_wave_server():
             results[mode] = out
             if mode == "inflight":
                 assert srv.worker.dispatches >= 1
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{srv.port}/health") as r:
+                    h = json.loads(r.read())["inflight"]
+                assert h["completions"] == len(prompts)
+                assert h["tokens_out"] >= len(prompts)
+                assert h["n_slots"] == 2 and h["active_slots"] == 0
         finally:
             srv.shutdown()
     assert results["inflight"] == results["wave"], results
