@@ -193,3 +193,38 @@ def test_mof_multi_tower():
              "pixel_values": [px, px]}
     assert np.isfinite(float(M.loss_fn(params, cfg, batch,
                                        FP32_PRECISION)))
+
+
+def test_splice_fuzz_vs_oracle():
+    """Randomized campaign: random batch/lengths/patch counts, image token
+    anywhere (or absent), random mid-row padding masks — static-shape
+    splice must match the reference-loop oracle everywhere valid."""
+    for trial in range(12):
+        rng = np.random.RandomState(300 + trial)
+        b = int(rng.randint(1, 5))
+        l = int(rng.randint(4, 20))
+        p = int(rng.randint(1, 8))
+        d = int(rng.choice([4, 8]))
+        ids = rng.randint(0, 50, size=(b, l)).astype(np.int32)
+        labels = rng.randint(0, 50, size=(b, l)).astype(np.int32)
+        mask = np.ones((b, l), bool)
+        for r in range(b):
+            n_valid = int(rng.randint(2, l + 1))
+            mask[r, n_valid:] = False
+            if rng.rand() < 0.8:                     # image row
+                ids[r, rng.randint(0, n_valid)] = IMAGE_TOKEN_INDEX
+        embeds = rng.randn(b, l, d).astype(np.float32)
+        img = rng.randn(b, p, d).astype(np.float32)
+        plan = splice_plan(jnp.asarray(ids), jnp.asarray(labels),
+                           jnp.asarray(mask), p)
+        got_e = np.asarray(splice_embeds(plan, jnp.asarray(embeds),
+                                         jnp.asarray(img)))
+        ref_e, ref_l, ref_m = _oracle_splice(ids, labels, mask, embeds,
+                                             img)
+        np.testing.assert_array_equal(np.asarray(plan.attn_mask), ref_m,
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(plan.labels)[ref_m],
+                                      ref_l[ref_m],
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_allclose(got_e[ref_m], ref_e[ref_m], atol=1e-6,
+                                   err_msg=f"trial {trial}")
