@@ -131,13 +131,13 @@ class InflightEngine:
 
         self.cache = L.init_cache(cfg.decoder, n_slots, self.t_max,
                                   precision.compute_dtype)
-        self._prefill_fns: Dict[int, callable] = {}
+        self._prefill_fns: Dict = {}
         self._step_fn = None
-        self._install_fn = None
+        self._install_fns: Dict[int, callable] = {}
         self.negotiate_layouts = negotiate_layouts
         self._param_formats = None
         self._cache_formats = None
-        self._local_cache_formats = None
+        self._local_cache_formats: Dict = {}
 
         # host-side slot state
         self._slot_req: List[Optional[_Request]] = [None] * n_slots
@@ -158,11 +158,13 @@ class InflightEngine:
 
     # ---------------- compiled programs ----------------
 
-    def _prefill(self, l: int):
-        """b=1 prefill for prompt bucket `l`: local full-length cache +
-        first token + spliced validity row."""
-        if l in self._prefill_fns:
-            return self._prefill_fns[l]
+    def _prefill(self, l: int, k: int):
+        """b=k prefill for prompt bucket `l`: local full-length caches +
+        first tokens + spliced validity rows. k>1 = batched admission (a
+        burst of arrivals prefills in ONE dispatch, like the wave
+        batcher, then decodes continuously)."""
+        if (l, k) in self._prefill_fns:
+            return self._prefill_fns[(l, k)]
         cfg, prec = self.cfg, self.precision
         diffusion_apply = self.diffusion_apply
         t_max, use_flash = self.t_max, self.use_flash
@@ -174,11 +176,12 @@ class InflightEngine:
                                   diffusion_apply)
             txt = L.embed_tokens(params["decoder"], ids, prec)
             embeds = splice_embeds(plan, txt, img)
-            cache = L.init_cache(cfg.decoder, 1, t_max, prec.compute_dtype)
+            b = ids.shape[0]
+            cache = L.init_cache(cfg.decoder, b, t_max, prec.compute_dtype)
             l_out = embeds.shape[1]
             slot_valid = jnp.concatenate(
                 [plan.attn_mask,
-                 jnp.zeros((1, t_max - l_out), bool)], axis=1)
+                 jnp.zeros((b, t_max - l_out), bool)], axis=1)
             h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
                                  plan.positions, attn_mask=slot_valid,
                                  cache=cache, cache_index=0,
@@ -191,52 +194,58 @@ class InflightEngine:
             return cache, first, n_valid, plan.attn_mask
 
         if not self.negotiate_layouts:
-            self._prefill_fns[l] = jax.jit(fn)
-            return self._prefill_fns[l]
+            self._prefill_fns[(l, k)] = jax.jit(fn)
+            return self._prefill_fns[(l, k)]
         # AOT pinned to the step program's negotiated param formats and
         # the install program's local-cache format (models/layouts.py)
         from . import layouts as LY
         sds = jax.ShapeDtypeStruct
         p_shapes = LY.shape_spec(self.params)
-        ids_s, mask_s = sds((1, l), jnp.int32), sds((1, l), jnp.bool_)
-        self._prefill_fns[l] = jax.jit(
+        ids_s, mask_s = sds((k, l), jnp.int32), sds((k, l), jnp.bool_)
+        px_s = [sds((k,) + tuple(p.shape[1:]), p.dtype)
+                for p in self._px_spec]
+        self._prefill_fns[(l, k)] = jax.jit(
             fn,
             in_shardings=(self._param_formats, None, None, None),
-            out_shardings=(self._local_cache_formats, None, None, None),
-        ).lower(p_shapes, ids_s, mask_s, list(self._px_spec)).compile()
-        return self._prefill_fns[l]
+            out_shardings=(self._local_cache_formats[k], None, None,
+                           None),
+        ).lower(p_shapes, ids_s, mask_s, px_s).compile()
+        return self._prefill_fns[(l, k)]
 
-    def _install(self):
-        """Splice a b=1 prefill cache into the global cache's slot rows
-        (donated: the global cache updates in place)."""
-        if self._install_fn is not None:
-            return self._install_fn
+    def _install(self, k: int):
+        """Splice row `src` of a b=k prefill cache into the global cache's
+        slot rows (donated: the global cache updates in place)."""
+        if k in self._install_fns:
+            return self._install_fns[k]
 
-        def fn(global_cache, local_cache, slot):
-            return jax.tree.map(
-                lambda g, lo: lax.dynamic_update_slice(
-                    g, lo.astype(g.dtype), (0, slot, 0, 0, 0)),
-                global_cache, local_cache)
+        def fn(global_cache, local_cache, src, slot):
+            def upd(g, lo):
+                row = lax.dynamic_slice(
+                    lo, (0, src, 0, 0, 0),
+                    (lo.shape[0], 1) + lo.shape[2:])
+                return lax.dynamic_update_slice(
+                    g, row.astype(g.dtype), (0, slot, 0, 0, 0))
+            return jax.tree.map(upd, global_cache, local_cache)
 
         if not self.negotiate_layouts:
-            self._install_fn = jax.jit(fn, donate_argnums=(0,))
-            return self._install_fn
+            self._install_fns[k] = jax.jit(fn, donate_argnums=(0,))
+            return self._install_fns[k]
         # global cache pinned to the step's negotiated format; the local
-        # (b=1) cache negotiates its own — prefill pins its output to it
+        # (b=k) cache negotiates its own — prefill pins its output to it
         from . import layouts as LY
         local_shapes = LY.shape_spec(jax.eval_shape(
-            lambda: L.init_cache(self.cfg.decoder, 1, self.t_max,
+            lambda: L.init_cache(self.cfg.decoder, k, self.t_max,
                                  self.precision.compute_dtype)))
+        zi = jax.ShapeDtypeStruct((), jnp.int32)
         inst_c = jax.jit(
             fn, donate_argnums=(0,),
             in_shardings=(self._cache_formats,
-                          LY.auto_spec(local_shapes), None),
+                          LY.auto_spec(local_shapes), None, None),
             out_shardings=self._cache_formats,
-        ).lower(LY.shape_spec(self.cache), local_shapes,
-                jax.ShapeDtypeStruct((), jnp.int32)).compile()
-        self._local_cache_formats = inst_c.input_formats[0][1]
-        self._install_fn = inst_c
-        return self._install_fn
+        ).lower(LY.shape_spec(self.cache), local_shapes, zi, zi).compile()
+        self._local_cache_formats[k] = inst_c.input_formats[0][1]
+        self._install_fns[k] = inst_c
+        return self._install_fns[k]
 
     def _step(self):
         """One program: advance every slot `chunk` greedy tokens with
@@ -348,37 +357,57 @@ class InflightEngine:
 
     # ---------------- scheduler loop ----------------
 
-    def _admit(self, req: _Request, slot: int):
+    def _admit_group(self, group):
+        """Admit requests sharing one prompt bucket in ONE prefill
+        dispatch. group: list of (request, slot) pairs; k pads to a power
+        of two (rows beyond the real requests repeat row 0 and are
+        discarded) so a burst of arrivals costs ~one prefill, like the
+        wave batcher — but each admitted slot then decodes continuously."""
+        reqs = [r for r, _ in group]
         # bucket for few compiles, but never past the prompt slot region
-        l = min(_bucket(req.ids.shape[1]), self.prompt_cap)
-        ids = np.zeros((1, l), np.int32)
-        mask = np.zeros((1, l), bool)
-        n = req.ids.shape[1]
-        ids[:, :n], mask[:, :n] = req.ids, req.mask
-        pixels = [jnp.asarray(p) for p in req.pixels]
+        l = min(_bucket(max(r.ids.shape[1] for r in reqs)),
+                self.prompt_cap)
+        k = _bucket(len(reqs), minimum=1)
+        ids = np.zeros((k, l), np.int32)
+        mask = np.zeros((k, l), bool)
+        for i, r in enumerate(reqs):
+            n = r.ids.shape[1]
+            ids[i, :n], mask[i, :n] = r.ids[0], r.mask[0]
+        if k > len(reqs):                    # pad rows: repeat row 0
+            ids[len(reqs):] = ids[0]
+            mask[len(reqs):] = mask[0]
+        pixels = []
+        for ti in range(len(reqs[0].pixels)):
+            rows = [np.asarray(r.pixels[ti])[0] for r in reqs]
+            rows += [rows[0]] * (k - len(reqs))
+            pixels.append(jnp.asarray(np.stack(rows)))
         if self.negotiate_layouts:
             # negotiation order: the step fixes the param/cache formats,
             # the install fixes the local-cache format, prefill pins both
             self._px_spec = [jax.ShapeDtypeStruct(p.shape, p.dtype)
                              for p in pixels]
             self._step()
-            self._install()
-        local, first, n_valid, prow = self._prefill(l)(
+            self._install(k)
+        local, first, n_valid, prow = self._prefill(l, k)(
             self.params, jnp.asarray(ids), jnp.asarray(mask), pixels)
-        self.cache = self._install()(self.cache, local,
-                                     jnp.asarray(slot, jnp.int32))
-        first = int(np.asarray(first)[0])
-        self._slot_req[slot] = req
-        self._tok[slot] = first
-        self._pos[slot] = int(np.asarray(n_valid)[0])
-        self._t[slot] = 0
-        prow_np = np.asarray(prow)[0]
-        self._prompt_rows[slot] = np.pad(
-            prow_np, (0, self.l_out_max - prow_np.shape[0]))
-        self._active[slot] = True
-        self.admissions += 1
-        # the prefill already produced the first token
-        self._harvest_token(slot, first)
+        first = np.asarray(first)
+        n_valid = np.asarray(n_valid)
+        prow = np.asarray(prow)
+        install = self._install(k)
+        for i, (req, slot) in enumerate(group):
+            self.cache = install(self.cache, local,
+                                 jnp.asarray(i, jnp.int32),
+                                 jnp.asarray(slot, jnp.int32))
+            self._slot_req[slot] = req
+            self._tok[slot] = int(first[i])
+            self._pos[slot] = int(n_valid[i])
+            self._t[slot] = 0
+            self._prompt_rows[slot] = np.pad(
+                prow[i], (0, self.l_out_max - prow.shape[1]))
+            self._active[slot] = True
+            self.admissions += 1
+            # the prefill already produced the first token
+            self._harvest_token(slot, int(first[i]))
 
     def _harvest_token(self, slot: int, tok: int) -> None:
         req = self._slot_req[slot]
@@ -406,29 +435,37 @@ class InflightEngine:
     def _run(self):
         step = None
         while not self._stop:
-            # admission: fill free slots from the queue
+            # admission: drain the queue into the free slots, batching
+            # same-bucket prompts into one prefill dispatch each
             free = [i for i in range(self.n_slots) if not self._active[i]]
-            admitted = False
-            for slot in free:
-                req = None
-                while req is None:
-                    try:
-                        req = self._q.get_nowait()
-                    except queue.Empty:
-                        break
-                    if req.cancelled:       # hung-up before admission
-                        req.stream_q.put(None)
-                        req.event.set()
-                        req = None
-                if req is None:
-                    break
+            pending: List[_Request] = []
+            while len(pending) < len(free):
                 try:
-                    self._admit(req, slot)
-                    admitted = True
-                except Exception as e:   # noqa: BLE001 — fail THIS request
-                    req.error = e
+                    req = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if req.cancelled:           # hung-up before admission
                     req.stream_q.put(None)
                     req.event.set()
+                    continue
+                pending.append(req)
+            admitted = bool(pending)
+            by_bucket: Dict[int, list] = {}
+            for req in pending:
+                l = min(_bucket(req.ids.shape[1]), self.prompt_cap)
+                by_bucket.setdefault(l, []).append(req)
+            it = iter(free)
+            for reqs in by_bucket.values():
+                group = [(r, next(it)) for r in reqs]
+                try:
+                    self._admit_group(group)
+                except Exception as e:  # noqa: BLE001 — fail THIS group
+                    for r, slot in group:
+                        self._slot_req[slot] = None
+                        self._active[slot] = False
+                        r.error = e
+                        r.stream_q.put(None)
+                        r.event.set()
             if not self._active.any():
                 if not admitted:
                     try:
