@@ -155,3 +155,27 @@ def test_inflight_negotiated_layouts_parity():
         assert eng._param_formats is not None
     finally:
         eng.shutdown()
+
+
+def test_inflight_batched_admission():
+    """5 concurrent mixed-length requests through 3 slots: the burst
+    admits via batched (b=k) prefills and every request still matches
+    generate_greedy exactly."""
+    cfg, params = _tiny(7)
+    eos = 4
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=3,
+                         prompt_cap=32, gen_cap=16, chunk=3,
+                         precision=FP32_PRECISION, use_flash=False)
+    try:
+        rng = np.random.RandomState(8)
+        reqs = [_request(rng, l) for l in (6, 9, 17, 6, 12)]
+        max_new = [10, 4, 8, 12, 6]
+        refs = [_reference(params, cfg, *r, m, eos)
+                for r, m in zip(reqs, max_new)]
+        handles = [eng.submit(r[0], r[1], r[2], m)
+                   for r, m in zip(reqs, max_new)]
+        outs = [h.result(timeout=180).tolist() for h in handles]
+        assert outs == refs, (outs, refs)
+        assert eng.admissions == 5
+    finally:
+        eng.shutdown()
