@@ -600,7 +600,11 @@ def _cmd_serve(args):
                      } if args.inflight else None)
     print(f"serving {args.model} on http://{args.host}:{srv.port}/v1",
           file=sys.stderr)
-    srv.serve_forever()
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down", file=sys.stderr)
+        srv.shutdown()
     return 0
 
 

@@ -306,6 +306,9 @@ class LMMServer:
                     engine = getattr(outer.worker, "engine", None)
                     if engine is not None:
                         payload["inflight"] = engine.stats()
+                    wave_q = getattr(outer.worker, "q", None)
+                    if wave_q is not None:
+                        payload["queued"] = wave_q.qsize()
                     self._send(200, payload)
                 elif self.path == "/v1/models":
                     self._send(200, {"object": "list", "data": [
