@@ -10,9 +10,10 @@ continuous scheduler:
 - A fixed pool of ``n_slots`` decode slots shares ONE global KV cache
   ``[L, n_slots, t_max, KV, Dh]`` — fixed shapes, so every program
   compiles once.
-- Admission = a b=1 prefill (prompt bucketed to a power of two) whose
-  local cache is spliced into the slot's rows with a donated
-  `dynamic_update_slice` (no steady-state copies of the global cache).
+- Admission = a b=k prefill (prompts bucketed to powers of two, queued
+  same-bucket requests batched into one dispatch) whose local cache rows
+  are spliced into the slots with donated `dynamic_update_slice`s (no
+  steady-state copies of the global cache).
 - Decoding = ONE program advancing ALL slots `chunk` tokens: the
   per-slot step is the same embed → `llama.forward(cache)` → argmax used
   everywhere else, `jax.vmap`-ed over the slot axis so every slot keeps
