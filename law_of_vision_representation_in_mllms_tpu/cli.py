@@ -94,6 +94,9 @@ def main(argv=None):
     p.add_argument("--decode-chunk-serve", type=int, default=4,
                    help="--inflight: decode steps per dispatch (admission "
                         "latency <= one chunk)")
+    p.add_argument("--prefix-cache", type=int, default=0,
+                   help="--inflight: prompt-KV LRU entries (repeat "
+                        "prompts skip tower+prefill entirely; 0 = off)")
 
     p = sub.add_parser("sam-masks",
                        help="GeoAware foreground masks via box-prompted "
@@ -597,6 +600,7 @@ def _cmd_serve(args):
                          "prompt_cap": args.prompt_cap,
                          "gen_cap": args.gen_cap,
                          "chunk": args.decode_chunk_serve,
+                         "prefix_cache": args.prefix_cache,
                      } if args.inflight else None)
     print(f"serving {args.model} on http://{args.host}:{srv.port}/v1",
           file=sys.stderr)

@@ -29,12 +29,30 @@ contract); their K/V rows are overwritten at the next admission and are
 never read unmasked. Greedy-equivalence per request is asserted against
 `llava.generate_greedy` in tests/test_inflight.py, including staggered
 admissions.
+
+Prompt KV caching (``prefix_cache=N``): sglang's headline scheduler
+feature is RadixAttention — KV reuse across requests sharing a prompt
+prefix (`llava_sglang.py` inherits it from the runtime). Its dominant
+serving case is the DEGENERATE prefix: the whole prompt repeats (same
+system prompt + same image re-asked, retries, multi-user canned
+prompts). This engine caches that case exactly: each admitted prompt's
+KV rows (plus first token / position / validity row) are kept in an LRU
+of N entries keyed by the request's token ids + pixel bytes; a hit
+admits by splicing the stored rows straight into a slot — ZERO prefill
+FLOPs, no tower pass, no dispatch beyond the donated row install.
+Partial-prefix reuse is intentionally out: it would prefill from a
+mid-cache position, multiplying compiled suffix-bucket programs against
+this environment's 5-10 min/program remote-compile worst case for a
+secondary win (the tower+prefill cost is dominated by the full-match
+case it already covers).
 """
 
 from __future__ import annotations
 
+import hashlib
 import queue
 import threading
+from collections import OrderedDict
 from typing import Dict, List, Optional
 
 import jax
@@ -57,13 +75,14 @@ def _bucket(n: int, minimum: int = 32) -> int:
 
 class _Request:
     __slots__ = ("ids", "mask", "pixels", "max_new", "tokens", "event",
-                 "error", "stream_q", "cancelled")
+                 "error", "stream_q", "cancelled", "key")
 
     def __init__(self, ids, mask, pixels, max_new):
         self.ids = ids
         self.mask = mask
         self.pixels = pixels
         self.max_new = max_new
+        self.key: Optional[bytes] = None   # prompt-cache key (lazy)
         self.tokens: List[int] = []
         self.event = threading.Event()
         self.error: Optional[Exception] = None
@@ -104,7 +123,8 @@ class InflightEngine:
                  gen_cap: int = 256, chunk: int = 4,
                  precision: Precision = DEFAULT_PRECISION,
                  diffusion_apply=None, use_flash: Optional[bool] = None,
-                 negotiate_layouts: bool = False):
+                 negotiate_layouts: bool = False,
+                 prefix_cache: int = 0):
         """``negotiate_layouts=True`` compiles the slot-step program with
         AUTO boundary layouts and relays out the params + cache ONCE into
         XLA's negotiated formats, CONSUMING the source buffers — the same
@@ -135,6 +155,11 @@ class InflightEngine:
         self._prefill_fns: Dict = {}
         self._step_fn = None
         self._install_fns: Dict[int, callable] = {}
+        self._extract_fns: Dict[int, callable] = {}
+        # prompt-KV LRU: key -> (k=1 local cache, first, n_valid, prow)
+        self.prefix_cache = prefix_cache
+        self._prefix_store: "OrderedDict[bytes, tuple]" = OrderedDict()
+        self.prefix_hits = 0
         self.negotiate_layouts = negotiate_layouts
         self._param_formats = None
         self._cache_formats = None
@@ -248,6 +273,53 @@ class InflightEngine:
         self._install_fns[k] = inst_c
         return self._install_fns[k]
 
+    def _extract(self, k: int):
+        """Slice row `src` of a b=k prefill cache into a standalone k=1
+        cache (the prompt-KV store's entry format; `_install(1)` splices
+        it back into any slot on a hit)."""
+        if k in self._extract_fns:
+            return self._extract_fns[k]
+
+        def fn(local, src):
+            return jax.tree.map(
+                lambda lo: lax.dynamic_slice(
+                    lo, (0, src, 0, 0, 0), (lo.shape[0], 1) + lo.shape[2:]),
+                local)
+
+        if not self.negotiate_layouts:
+            self._extract_fns[k] = jax.jit(fn)
+            return self._extract_fns[k]
+        # entries live in the k=1 local-cache format `_install(1)`
+        # negotiated, so hits install with zero layout conversions
+        from . import layouts as LY
+        self._install(1)
+        local_shapes = LY.shape_spec(jax.eval_shape(
+            lambda: L.init_cache(self.cfg.decoder, k, self.t_max,
+                                 self.precision.compute_dtype)))
+        zi = jax.ShapeDtypeStruct((), jnp.int32)
+        self._extract_fns[k] = jax.jit(
+            fn,
+            in_shardings=(self._local_cache_formats[k], None),
+            out_shardings=self._local_cache_formats[1],
+        ).lower(local_shapes, zi).compile()
+        return self._extract_fns[k]
+
+    @staticmethod
+    def _prefix_key(req: _Request) -> bytes:
+        """Exact-prompt identity: token ids + mask + raw pixel bytes (the
+        image IS part of the prompt — same text with a different image
+        must miss)."""
+        if req.key is None:
+            h = hashlib.sha1()
+            h.update(req.ids.tobytes())
+            h.update(req.mask.tobytes())
+            for p in req.pixels:
+                a = np.asarray(p)
+                h.update(str(a.shape).encode())
+                h.update(np.ascontiguousarray(a).tobytes())
+            req.key = h.digest()
+        return req.key
+
     def _step(self):
         """One program: advance every slot `chunk` greedy tokens with
         per-slot cache positions (vmapped single-row step)."""
@@ -342,7 +414,9 @@ class InflightEngine:
                 "completions": self.completions,
                 "active_slots": int(self._active.sum()),
                 "n_slots": self.n_slots,
-                "queued": self._q.qsize()}
+                "queued": self._q.qsize(),
+                "prefix_hits": self.prefix_hits,
+                "prefix_entries": len(self._prefix_store)}
 
     def shutdown(self):
         self._stop = True
@@ -407,8 +481,37 @@ class InflightEngine:
                 prow[i], (0, self.l_out_max - prow.shape[1]))
             self._active[slot] = True
             self.admissions += 1
+            if self.prefix_cache > 0:
+                key = self._prefix_key(req)
+                if key not in self._prefix_store:
+                    row = self._extract(k)(local, jnp.asarray(i, jnp.int32))
+                    self._prefix_store[key] = (
+                        row, int(first[i]), int(n_valid[i]),
+                        self._prompt_rows[slot].copy())
+                    while len(self._prefix_store) > self.prefix_cache:
+                        self._prefix_store.popitem(last=False)
             # the prefill already produced the first token
             self._harvest_token(slot, int(first[i]))
+
+    def _admit_cached(self, req: _Request, slot: int) -> None:
+        """Prompt-cache hit: splice the stored KV rows into `slot` — no
+        tower pass, no prefill, just the donated row install."""
+        row, first, n_valid, prow = self._prefix_store[self._prefix_key(req)]
+        self._prefix_store.move_to_end(req.key)
+        if self.negotiate_layouts:
+            self._step()                    # fixes param/cache formats
+        self.cache = self._install(1)(self.cache, row,
+                                      jnp.asarray(0, jnp.int32),
+                                      jnp.asarray(slot, jnp.int32))
+        self._slot_req[slot] = req
+        self._tok[slot] = first
+        self._pos[slot] = n_valid
+        self._t[slot] = 0
+        self._prompt_rows[slot] = prow
+        self._active[slot] = True
+        self.admissions += 1
+        self.prefix_hits += 1
+        self._harvest_token(slot, first)
 
     def _harvest_token(self, slot: int, tok: int) -> None:
         req = self._slot_req[slot]
@@ -440,7 +543,8 @@ class InflightEngine:
             # same-bucket prompts into one prefill dispatch each
             free = [i for i in range(self.n_slots) if not self._active[i]]
             pending: List[_Request] = []
-            while len(pending) < len(free):
+            hits: List[_Request] = []
+            while len(pending) + len(hits) < len(free):
                 try:
                     req = self._q.get_nowait()
                 except queue.Empty:
@@ -449,13 +553,27 @@ class InflightEngine:
                     req.stream_q.put(None)
                     req.event.set()
                     continue
-                pending.append(req)
-            admitted = bool(pending)
+                if (self.prefix_cache > 0
+                        and self._prefix_key(req) in self._prefix_store):
+                    hits.append(req)
+                else:
+                    pending.append(req)
+            admitted = bool(pending) or bool(hits)
             by_bucket: Dict[int, list] = {}
             for req in pending:
                 l = min(_bucket(req.ids.shape[1]), self.prompt_cap)
                 by_bucket.setdefault(l, []).append(req)
             it = iter(free)
+            for req in hits:
+                slot = next(it)
+                try:
+                    self._admit_cached(req, slot)
+                except Exception as e:  # noqa: BLE001 — fail THIS request
+                    self._slot_req[slot] = None
+                    self._active[slot] = False
+                    req.error = e
+                    req.stream_q.put(None)
+                    req.event.set()
             for reqs in by_bucket.values():
                 group = [(r, next(it)) for r in reqs]
                 try:

@@ -179,7 +179,8 @@ class _InflightWorker:
     generic HF adapters fall back to `_BatchWorker`)."""
 
     def __init__(self, lmm, n_slots: int = 4, prompt_cap: int = 256,
-                 gen_cap: int = 256, chunk: int = 4):
+                 gen_cap: int = 256, chunk: int = 4,
+                 prefix_cache: int = 0):
         import numpy as np
         from .data.image_processing import preprocess_image
         from .data.preprocess import tokenizer_image_token
@@ -198,7 +199,8 @@ class _InflightWorker:
             # at its first admission; in inflight mode the server routes
             # every generation through the engine, so the adapter's own
             # (dead) tree is never dispatched.
-            negotiate_layouts=getattr(lmm, "negotiate_layouts", False))
+            negotiate_layouts=getattr(lmm, "negotiate_layouts", False),
+            prefix_cache=prefix_cache)
 
     @property
     def dispatches(self):

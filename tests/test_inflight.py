@@ -157,6 +157,63 @@ def test_inflight_negotiated_layouts_parity():
         eng.shutdown()
 
 
+def test_inflight_prefix_cache():
+    """Prompt-KV caching (`prefix_cache=N`, the sglang RadixAttention
+    full-match case): a repeat prompt admits from the store with zero
+    prefill and still matches generate_greedy exactly; a different
+    prompt — or the same text with a different IMAGE — misses; the LRU
+    evicts beyond capacity."""
+    cfg, params = _tiny(9)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=3,
+                         precision=FP32_PRECISION, use_flash=False,
+                         prefix_cache=2)
+    try:
+        rng = np.random.RandomState(11)
+        ra, rb = _request(rng, 8), _request(rng, 12)
+        ref_a = _reference(params, cfg, *ra, 8, eos)
+        ref_b = _reference(params, cfg, *rb, 8, eos)
+        assert eng.submit(*ra, 8).result(timeout=120).tolist() == ref_a
+        assert eng.prefix_hits == 0
+        assert eng.submit(*ra, 8).result(timeout=120).tolist() == ref_a
+        assert eng.prefix_hits == 1            # repeat prompt: hit
+        assert eng.submit(*rb, 8).result(timeout=120).tolist() == ref_b
+        assert eng.prefix_hits == 1            # new prompt: miss
+        rc = (ra[0].copy(), ra[1].copy(), [p + 1.0 for p in ra[2]])
+        ref_c = _reference(params, cfg, *rc, 8, eos)
+        assert eng.submit(*rc, 8).result(timeout=120).tolist() == ref_c
+        assert eng.prefix_hits == 1            # same text, new image: miss
+        assert eng.stats()["prefix_entries"] == 2   # ra evicted (LRU cap)
+        assert eng.submit(*ra, 8).result(timeout=120).tolist() == ref_a
+        assert eng.prefix_hits == 1            # evicted: miss + re-store
+        assert eng.submit(*ra, 8).result(timeout=120).tolist() == ref_a
+        assert eng.prefix_hits == 2            # freshest again: hit
+    finally:
+        eng.shutdown()
+
+
+def test_inflight_prefix_cache_negotiated():
+    """prefix_cache composes with the 7B-scale negotiated-layouts AOT
+    path: store entries live in the negotiated k=1 local-cache format and
+    hits install without layout conversions."""
+    cfg, params = _tiny(13)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=4,
+                         precision=FP32_PRECISION, use_flash=False,
+                         negotiate_layouts=True, prefix_cache=2)
+    try:
+        rng = np.random.RandomState(12)
+        ra = _request(rng, 8)
+        ref_a = _reference(params, cfg, *ra, 10, eos)
+        assert eng.submit(*ra, 10).result(timeout=180).tolist() == ref_a
+        assert eng.submit(*ra, 10).result(timeout=180).tolist() == ref_a
+        assert eng.prefix_hits == 1
+    finally:
+        eng.shutdown()
+
+
 def test_inflight_batched_admission():
     """5 concurrent mixed-length requests through 3 slots: the burst
     admits via batched (b=k) prefills and every request still matches

@@ -366,6 +366,63 @@ def test_inflight_server_matches_wave_server():
     assert results["inflight"] == results["wave"], results
 
 
+def test_inflight_server_prefix_cache():
+    """--inflight --prefix-cache over HTTP: the repeat of an identical
+    request (same text + same image) admits from the prompt-KV store —
+    identical answer, hit visible on /health."""
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter \
+        import LlavaLMM
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.models import llava as M
+    from law_of_vision_representation_in_mllms_tpu.models.towers import (
+        TowerSpec, TowerEntry)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        ViTConfig)
+    import base64
+    from io import BytesIO
+    from PIL import Image
+
+    vit_cfg = ViTConfig(image_size=224, patch_size=32, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="openai/clip-vit-large-patch14", kind="vit",
+                       vit_config=vit_cfg, vit_family="clip",
+                       hidden_size=16, num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(
+        tower_spec=TowerSpec(entries=[entry], join="single"),
+        decoder=L.tiny(vocab_size=1000, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64))
+    params = M.init_params(jax.random.PRNGKey(1), cfg, FP32_PRECISION)
+    lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
+                   precision=FP32_PRECISION, batch_size=1)
+    buf = BytesIO()
+    Image.new("RGB", (32, 32), (10, 120, 60)).save(buf, format="PNG")
+    url = ("data:image/png;base64,"
+           + base64.b64encode(buf.getvalue()).decode())
+    payload = {"model": "m", "max_tokens": 6,
+               "messages": [{"role": "user", "content": [
+                   {"type": "text", "text": "what is shown here"},
+                   {"type": "image_url", "image_url": {"url": url}}]}]}
+    srv = LMMServer(lmm, port=0, inflight=True,
+                    inflight_kwargs={"n_slots": 2, "prompt_cap": 64,
+                                     "gen_cap": 8, "chunk": 2,
+                                     "prefix_cache": 4})
+    srv.start_background()
+    try:
+        a = _post(srv.port, payload)["choices"][0]["message"]["content"]
+        b = _post(srv.port, payload)["choices"][0]["message"]["content"]
+        assert a == b
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health") as r:
+            h = json.loads(r.read())["inflight"]
+        assert h["prefix_hits"] == 1 and h["prefix_entries"] == 1
+    finally:
+        srv.shutdown()
+
+
 def test_inflight_sse_streams_live_tokens():
     """--inflight + stream: true — the SSE deltas come off the live decode
     (multiple content chunks) and concatenate to exactly the non-streamed
