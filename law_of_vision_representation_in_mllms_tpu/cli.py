@@ -121,6 +121,11 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--gen-backend",
                    choices=["greedy", "chunked", "speculative"])
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="temperature > 0 samples (run_llava.py:81-83 "
+                        "decodes at 0.2/0.7 by default); 0 = greedy")
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="nucleus sampling mass (with --temperature > 0)")
 
     p = sub.add_parser("apply-delta",
                        help="target = base + delta over .npz param files")
@@ -551,7 +556,9 @@ def _cmd_generate(args):
         visual = [Image.open(args.image).convert("RGB")]
     inst = Instance("generate_until", {}, 0, "cli",
                     (args.prompt,
-                     {"max_new_tokens": args.max_new_tokens}), visual)
+                     {"max_new_tokens": args.max_new_tokens,
+                      "temperature": args.temperature,
+                      "top_p": args.top_p}), visual)
     print(lmm.generate_until([inst])[0])
     return 0
 

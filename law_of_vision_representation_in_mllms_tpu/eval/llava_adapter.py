@@ -44,7 +44,7 @@ class LlavaLMM(LMM):
                  diffusion_apply=None, batch_size: int = 8,
                  pad_square: bool = False, gen_backend: str = "greedy",
                  decode_chunk: int = 16, draft_len: int = 8,
-                 negotiate_layouts: bool = False):
+                 negotiate_layouts: bool = False, sample_seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -76,7 +76,10 @@ class LlavaLMM(LMM):
                     f"instead of {e.name}")
         self.processors = [processor_for_tower(e.name, e.img_size)
                            for e in cfg.tower_spec.entries]
-        self._gen_fns: Dict[Tuple[int, int], callable] = {}
+        self._gen_fns: Dict[Tuple, callable] = {}
+        # host-side sampling stream (gen_kwargs temperature/top_p — the
+        # reference's do_sample routing, lmms_eval/models/llava.py:415-417)
+        self._sample_rng = jax.random.PRNGKey(sample_seed)
 
     # ------------------------------------------------------------------
 
@@ -120,10 +123,25 @@ class LlavaLMM(LMM):
         pixels = self._pixels(requests)
         return jnp.asarray(ids), jnp.asarray(mask), pixels
 
-    def _gen_fn(self, seq_len: int, max_new: int):
-        key = (self.gen_backend, seq_len, max_new)
+    def _gen_fn(self, seq_len: int, max_new: int,
+                temperature: float = 0.0, top_p: float = 1.0):
+        key = (self.gen_backend, seq_len, max_new, temperature, top_p)
         if key not in self._gen_fns:
-            if self.gen_backend == "chunked":
+            if temperature > 0:
+                # sampling rides the full-graph generate regardless of
+                # gen_backend (chunked/speculative are greedy machinery;
+                # the reference likewise switches on do_sample —
+                # lmms_eval/models/llava.py:415)
+                def fn(params, ids, mask, pixels, rng):
+                    return M.generate_sample(
+                        params, self.cfg, ids, mask, pixels,
+                        max_new_tokens=max_new,
+                        eos_id=self.tok.eos_token_id, rng=rng,
+                        temperature=temperature, top_p=top_p,
+                        precision=self.precision,
+                        diffusion_apply=self.diffusion_apply)
+                self._gen_fns[key] = jax.jit(fn)
+            elif self.gen_backend == "chunked":
                 if self._chunked_dec is None:
                     from ..models.decode import ChunkedGreedyDecoder
                     self._chunked_dec = ChunkedGreedyDecoder(
@@ -175,9 +193,20 @@ class LlavaLMM(LMM):
             # batch would trigger one extra compilation)
             chunk = chunk + [chunk[-1]] * (self.batch_size - n_real)
             ids, mask, pixels = self._encode_batch(chunk)
-            max_new = chunk[0].args[1].get("max_new_tokens", 16)
-            toks = self._gen_fn(ids.shape[1], max_new)(
-                self.params, ids, mask, pixels)
+            kwargs = chunk[0].args[1]
+            max_new = kwargs.get("max_new_tokens", 16)
+            # reference contract: do_sample iff temperature > 0
+            # (lmms_eval/models/llava.py:391-417); top_p None = 1.0
+            temperature = float(kwargs.get("temperature", 0) or 0)
+            if not kwargs.get("do_sample", True):
+                temperature = 0.0
+            top_p = float(kwargs.get("top_p") or 1.0)
+            fn = self._gen_fn(ids.shape[1], max_new, temperature, top_p)
+            if temperature > 0:
+                self._sample_rng, k = jax.random.split(self._sample_rng)
+                toks = fn(self.params, ids, mask, pixels, k)
+            else:
+                toks = fn(self.params, ids, mask, pixels)
             toks = np.asarray(toks)[:n_real]
             until = chunk[0].args[1].get("until", [])
             for row in toks:

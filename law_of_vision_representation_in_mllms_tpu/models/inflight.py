@@ -45,6 +45,15 @@ mid-cache position, multiplying compiled suffix-bucket programs against
 this environment's 5-10 min/program remote-compile worst case for a
 secondary win (the tower+prefill cost is dominated by the full-match
 case it already covers).
+
+Per-slot sampling: `submit(..., temperature=, top_p=)` decodes that
+request by temperature/top-p sampling (models/sampling.py) while its
+neighbours stay greedy — ONE step program covers mixed slots (the
+temperature rides in as data; `temperature <= 0` rows take
+sample_token's exact-argmax fallback). The first generated token comes
+from the prefill's last-position logits, drawn host-side so the prompt
+KV store stays sampling-agnostic (a cached prompt redraws its first
+token on every sampled hit).
 """
 
 from __future__ import annotations
@@ -75,13 +84,17 @@ def _bucket(n: int, minimum: int = 32) -> int:
 
 class _Request:
     __slots__ = ("ids", "mask", "pixels", "max_new", "tokens", "event",
-                 "error", "stream_q", "cancelled", "key")
+                 "error", "stream_q", "cancelled", "key", "temperature",
+                 "top_p")
 
-    def __init__(self, ids, mask, pixels, max_new):
+    def __init__(self, ids, mask, pixels, max_new, temperature=0.0,
+                 top_p=1.0):
         self.ids = ids
         self.mask = mask
         self.pixels = pixels
         self.max_new = max_new
+        self.temperature = temperature
+        self.top_p = top_p
         self.key: Optional[bytes] = None   # prompt-cache key (lazy)
         self.tokens: List[int] = []
         self.event = threading.Event()
@@ -124,7 +137,7 @@ class InflightEngine:
                  precision: Precision = DEFAULT_PRECISION,
                  diffusion_apply=None, use_flash: Optional[bool] = None,
                  negotiate_layouts: bool = False,
-                 prefix_cache: int = 0):
+                 prefix_cache: int = 0, sample_seed: int = 0):
         """``negotiate_layouts=True`` compiles the slot-step program with
         AUTO boundary layouts and relays out the params + cache ONCE into
         XLA's negotiated formats, CONSUMING the source buffers — the same
@@ -172,6 +185,12 @@ class InflightEngine:
         self._t = np.zeros((n_slots,), np.int32)
         self._prompt_rows = np.zeros((n_slots, self.l_out_max), bool)
         self._active = np.zeros((n_slots,), bool)
+        # per-slot sampling knobs (temperature <= 0 = greedy; the step
+        # program is ONE compilation covering mixed greedy/sampled slots)
+        self._temp = np.zeros((n_slots,), np.float32)
+        self._topp = np.ones((n_slots,), np.float32)
+        self._rng = jax.random.PRNGKey(sample_seed)
+        self._np_rng = np.random.RandomState(sample_seed)
 
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = False
@@ -217,7 +236,10 @@ class InflightEngine:
                 h, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
             logits = L.logits_fn(params["decoder"], h_last[:, None], prec)
             first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            return cache, first, n_valid, plan.attn_mask
+            # last-position logits let the host sample the FIRST token of
+            # temperature>0 requests (decode steps sample in-program)
+            return (cache, first, n_valid, plan.attn_mask,
+                    logits[:, -1].astype(jnp.float32))
 
         if not self.negotiate_layouts:
             self._prefill_fns[(l, k)] = jax.jit(fn)
@@ -234,7 +256,7 @@ class InflightEngine:
             fn,
             in_shardings=(self._param_formats, None, None, None),
             out_shardings=(self._local_cache_formats[k], None, None,
-                           None),
+                           None, None),
         ).lower(p_shapes, ids_s, mask_s, px_s).compile()
         return self._prefill_fns[(l, k)]
 
@@ -329,7 +351,10 @@ class InflightEngine:
         l_out_max, gen_cap, chunk = self.l_out_max, self.gen_cap, self.chunk
         eos_id = self.eos_id
 
-        def row_step(params, cache_row, tok, pos, t, prompt_row):
+        from .sampling import sample_token
+
+        def row_step(params, cache_row, tok, pos, t, prompt_row, temp,
+                     topp, key):
             # re-grow the singleton batch axis the vmap stripped
             cache = jax.tree.map(lambda x: x[:, None], cache_row)
             emb = L.embed_tokens(params["decoder"], tok[None, None], prec)
@@ -340,21 +365,26 @@ class InflightEngine:
                                  cache=cache, cache_index=l_out_max + t,
                                  precision=prec)
             logits = L.logits_fn(params["decoder"], h, prec)
-            nxt = jnp.argmax(logits[0, -1], axis=-1).astype(jnp.int32)
+            # per-slot temperature/top-p; temp <= 0 = exact argmax
+            nxt = sample_token(logits[0, -1], key, temp, topp)
             return jax.tree.map(lambda x: x[:, 0], cache), nxt
 
-        def fn(params, cache, tok, pos, t, prompt_rows):
+        def fn(params, cache, tok, pos, t, prompt_rows, temps, topps, rng):
             def body(carry, _):
-                cache, tok, pos, t = carry
+                cache, tok, pos, t, rng = carry
+                rng, sub = jax.random.split(rng)
+                keys = jax.random.split(sub, tok.shape[0])
                 cache, nxt = jax.vmap(
-                    row_step, in_axes=(None, 1, 0, 0, 0, 0), out_axes=(1, 0)
-                )(params, cache, tok, pos, t, prompt_rows)
+                    row_step, in_axes=(None, 1, 0, 0, 0, 0, 0, 0, 0),
+                    out_axes=(1, 0)
+                )(params, cache, tok, pos, t, prompt_rows, temps, topps,
+                  keys)
                 # EOS rows emit EOS forever (same as generate_greedy); the
                 # host retires them between chunks
                 nxt = jnp.where(tok == eos_id, eos_id, nxt)
-                return (cache, nxt, pos + 1, t + 1), tok
-            (cache, tok, pos, t), toks = lax.scan(
-                body, (cache, tok, pos, t), None, length=chunk)
+                return (cache, nxt, pos + 1, t + 1, rng), tok
+            (cache, tok, pos, t, _), toks = lax.scan(
+                body, (cache, tok, pos, t, rng), None, length=chunk)
             return cache, tok, pos, t, jnp.transpose(toks)
 
         if not self.negotiate_layouts:
@@ -372,12 +402,15 @@ class InflightEngine:
         step_c = jax.jit(
             fn, donate_argnums=(1,),
             in_shardings=(LY.auto_spec(p_shapes), Format(Layout.AUTO),
-                          None, None, None, None),
+                          None, None, None, None, None, None, None),
             out_shardings=(Format(Layout.AUTO), None, None, None, None),
         ).lower(p_shapes, LY.shape_spec(self.cache),
                 sds((n,), jnp.int32), sds((n,), jnp.int32),
                 sds((n,), jnp.int32),
-                sds((n, self.l_out_max), jnp.bool_)).compile()
+                sds((n, self.l_out_max), jnp.bool_),
+                sds((n,), jnp.float32), sds((n,), jnp.float32),
+                jax.ShapeDtypeStruct(self._rng.shape,
+                                     self._rng.dtype)).compile()
         self._param_formats = step_c.input_formats[0][0]
         self._cache_formats = step_c.input_formats[0][1]
         self.params = LY.relayout(self.params, self._param_formats,
@@ -390,9 +423,13 @@ class InflightEngine:
     # ---------------- public API ----------------
 
     def submit(self, input_ids: np.ndarray, text_mask: np.ndarray,
-               pixel_values, max_new_tokens: int) -> _Request:
+               pixel_values, max_new_tokens: int,
+               temperature: float = 0.0, top_p: float = 1.0) -> _Request:
         """Queue one request (b=1 arrays). Returns a handle whose
-        `.result()` blocks for the generated token ids (EOS excluded)."""
+        `.result()` blocks for the generated token ids (EOS excluded).
+        `temperature > 0` decodes this request by temperature/top-p
+        sampling (per-slot; neighbours stay greedy) — the reference's
+        `do_sample = temperature > 0` contract."""
         if self._stop:
             raise RuntimeError("engine is shut down")
         l = int(input_ids.shape[-1])
@@ -402,9 +439,26 @@ class InflightEngine:
         req = _Request(np.asarray(input_ids, np.int32).reshape(1, -1),
                        np.asarray(text_mask, bool).reshape(1, -1),
                        pixel_values,
-                       min(int(max_new_tokens), self.gen_cap))
+                       min(int(max_new_tokens), self.gen_cap),
+                       float(temperature), float(top_p))
         self._q.put(req)
         return req
+
+    def _first_token(self, req: _Request, greedy_first: int,
+                     logits_row: np.ndarray) -> int:
+        """First generated token from the prefill's last-position logits:
+        argmax for greedy requests, host-side temperature/top-p draw
+        (same semantics as models/sampling.py) for sampled ones."""
+        if req.temperature <= 0:
+            return greedy_first
+        z = logits_row.astype(np.float64) / max(req.temperature, 1e-6)
+        order = np.argsort(-z)
+        p = np.exp(z[order] - z[order].max())
+        p /= p.sum()
+        keep = (np.cumsum(p) - p) <= req.top_p
+        p = np.where(keep, p, 0.0)
+        p /= p.sum()
+        return int(order[self._np_rng.choice(len(p), p=p)])
 
     def stats(self) -> Dict[str, int]:
         """Scheduler observability (served under `lvr serve` /health)."""
@@ -463,22 +517,26 @@ class InflightEngine:
                              for p in pixels]
             self._step()
             self._install(k)
-        local, first, n_valid, prow = self._prefill(l, k)(
+        local, first, n_valid, prow, last_logits = self._prefill(l, k)(
             self.params, jnp.asarray(ids), jnp.asarray(mask), pixels)
         first = np.asarray(first)
         n_valid = np.asarray(n_valid)
         prow = np.asarray(prow)
+        last_logits = np.asarray(last_logits)
         install = self._install(k)
         for i, (req, slot) in enumerate(group):
             self.cache = install(self.cache, local,
                                  jnp.asarray(i, jnp.int32),
                                  jnp.asarray(slot, jnp.int32))
+            tok0 = self._first_token(req, int(first[i]), last_logits[i])
             self._slot_req[slot] = req
-            self._tok[slot] = int(first[i])
+            self._tok[slot] = tok0
             self._pos[slot] = int(n_valid[i])
             self._t[slot] = 0
             self._prompt_rows[slot] = np.pad(
                 prow[i], (0, self.l_out_max - prow.shape[1]))
+            self._temp[slot] = req.temperature
+            self._topp[slot] = req.top_p
             self._active[slot] = True
             self.admissions += 1
             if self.prefix_cache > 0:
@@ -486,17 +544,20 @@ class InflightEngine:
                 if key not in self._prefix_store:
                     row = self._extract(k)(local, jnp.asarray(i, jnp.int32))
                     self._prefix_store[key] = (
-                        row, int(first[i]), int(n_valid[i]),
-                        self._prompt_rows[slot].copy())
+                        row, int(first[i]), last_logits[i].copy(),
+                        int(n_valid[i]), self._prompt_rows[slot].copy())
                     while len(self._prefix_store) > self.prefix_cache:
                         self._prefix_store.popitem(last=False)
             # the prefill already produced the first token
-            self._harvest_token(slot, int(first[i]))
+            self._harvest_token(slot, tok0)
 
     def _admit_cached(self, req: _Request, slot: int) -> None:
         """Prompt-cache hit: splice the stored KV rows into `slot` — no
-        tower pass, no prefill, just the donated row install."""
-        row, first, n_valid, prow = self._prefix_store[self._prefix_key(req)]
+        tower pass, no prefill, just the donated row install. Sampled
+        requests redraw their first token from the STORED prefill logits
+        (the prompt state is sampling-agnostic)."""
+        row, first, last_logits, n_valid, prow = \
+            self._prefix_store[self._prefix_key(req)]
         self._prefix_store.move_to_end(req.key)
         if self.negotiate_layouts:
             self._step()                    # fixes param/cache formats
@@ -504,14 +565,16 @@ class InflightEngine:
                                       jnp.asarray(0, jnp.int32),
                                       jnp.asarray(slot, jnp.int32))
         self._slot_req[slot] = req
-        self._tok[slot] = first
+        self._tok[slot] = self._first_token(req, first, last_logits)
         self._pos[slot] = n_valid
         self._t[slot] = 0
         self._prompt_rows[slot] = prow
+        self._temp[slot] = req.temperature
+        self._topp[slot] = req.top_p
         self._active[slot] = True
         self.admissions += 1
         self.prefix_hits += 1
-        self._harvest_token(slot, first)
+        self._harvest_token(slot, int(self._tok[slot]))
 
     def _harvest_token(self, slot: int, tok: int) -> None:
         req = self._slot_req[slot]
@@ -597,10 +660,12 @@ class InflightEngine:
                 if step is None:
                     step = self._step()
                 # one chunk for every slot; t is per-slot
+                self._rng, kd = jax.random.split(self._rng)
                 self.cache, tok, pos, t, toks = step(
                     self.params, self.cache, jnp.asarray(self._tok),
                     jnp.asarray(self._pos), jnp.asarray(self._t),
-                    jnp.asarray(self._prompt_rows))
+                    jnp.asarray(self._prompt_rows),
+                    jnp.asarray(self._temp), jnp.asarray(self._topp), kd)
             except Exception as e:   # noqa: BLE001 — fail the active slots
                 # a dead worker thread would hang every caller; fail the
                 # in-flight requests instead and keep serving (the donated

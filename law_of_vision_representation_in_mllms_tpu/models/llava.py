@@ -288,10 +288,33 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
 def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
                     pixel_values, *, max_new_tokens: int, eos_id: int,
                     precision: Precision = DEFAULT_PRECISION,
-                    diffusion_apply=None, use_flash: Optional[bool] = None):
-    """Greedy decode. Returns [B, max_new_tokens] token ids (eos-padded)."""
+                    diffusion_apply=None, use_flash: Optional[bool] = None,
+                    rng=None, temperature=0.0, top_p=1.0):
+    """Greedy decode. Returns [B, max_new_tokens] token ids (eos-padded).
+
+    With `rng` + `temperature > 0`, decodes by temperature/top-p
+    sampling instead (`models/sampling.py`; the reference's
+    `do_sample=temperature > 0` contract, `lmms_eval/models/llava.py:415-417`)
+    — see `generate_sample` for the explicit entry point.
+    """
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
+    # static python temperature 0 keeps the greedy program free of the
+    # per-step vocab sort; a traced temperature compiles the sampling
+    # path with its own argmax fallback inside (sampling.sample_token)
+    sampling = rng is not None and not (
+        isinstance(temperature, (int, float)) and temperature <= 0)
+    if sampling:
+        from .sampling import sample_token
+        rng, first_key = jax.random.split(rng)
+
+        def next_tok(logits, key):
+            return sample_token(logits, key, temperature, top_p)
+    else:
+        first_key = None
+
+        def next_tok(logits, key):
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     b, l = input_ids.shape
     plan = splice_plan(input_ids, jnp.full_like(input_ids, IGNORE_INDEX),
                        text_mask, cfg.num_patches)
@@ -315,10 +338,11 @@ def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
     last_idx = jnp.maximum(n_valid - 1, 0)
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
     logits = L.logits_fn(params["decoder"], h_last[:, None], precision)
-    first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    first_tok = next_tok(logits[:, -1], first_key)
 
-    def step(carry, t):
+    def step(carry, inputs):
         cache, tok, done, pos = carry
+        t, key = inputs
         emb = L.embed_tokens(params["decoder"], tok[:, None], precision)
         # slots [l_out, l_out+t] hold generated tokens; mark them valid
         gen_slots = jnp.arange(max_new_tokens) <= t
@@ -329,14 +353,33 @@ def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
                                  pos[:, None], attn_mask=sv, cache=cache,
                                  cache_index=l_out + t, precision=precision)
         logits = L.logits_fn(params["decoder"], h, precision)
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        nxt = next_tok(logits[:, -1], key)
         done = done | (tok == eos_id)
         nxt = jnp.where(done, eos_id, nxt)
         return (new_cache, nxt, done, pos + 1), tok
 
+    keys = (jax.random.split(rng, max_new_tokens) if sampling
+            else jnp.zeros((max_new_tokens, 2), jnp.uint32))
     init = (cache, first_tok, jnp.zeros((b,), bool), n_valid)
-    _, toks = lax.scan(step, init, jnp.arange(max_new_tokens))
+    _, toks = lax.scan(step, init, (jnp.arange(max_new_tokens), keys))
     return jnp.transpose(toks)                                   # [B, T_new]
+
+
+def generate_sample(params, cfg: LlavaConfig, input_ids, text_mask,
+                    pixel_values, *, max_new_tokens: int, eos_id: int,
+                    rng, temperature: float = 1.0, top_p: float = 1.0,
+                    precision: Precision = DEFAULT_PRECISION,
+                    diffusion_apply=None, use_flash: Optional[bool] = None):
+    """Temperature/top-p sampling decode — the reference's
+    `generate(do_sample=True, temperature=..., top_p=...)` surface
+    (`lmms_eval/models/llava.py:415-417`, `run_llava.py:81-83`).
+    `temperature <= 0` degrades to greedy, matching the reference's
+    `do_sample = temperature > 0` routing."""
+    return generate_greedy(
+        params, cfg, input_ids, text_mask, pixel_values,
+        max_new_tokens=max_new_tokens, eos_id=eos_id, precision=precision,
+        diffusion_apply=diffusion_apply, use_flash=use_flash, rng=rng,
+        temperature=temperature, top_p=top_p)
 
 
 def generate_speculative(params, cfg: LlavaConfig, input_ids, text_mask,

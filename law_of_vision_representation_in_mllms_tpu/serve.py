@@ -222,7 +222,9 @@ class _InflightWorker:
             pixels.append(arr[None])
         kwargs = inst.args[1] if len(inst.args) > 1 else {}
         return self.engine.submit(
-            ids, mask, pixels, kwargs.get("max_new_tokens", 16)), kwargs
+            ids, mask, pixels, kwargs.get("max_new_tokens", 16),
+            temperature=float(kwargs.get("temperature", 0) or 0),
+            top_p=float(kwargs.get("top_p") or 1.0)), kwargs
 
     @staticmethod
     def _truncate(text: str, kwargs: dict) -> str:
@@ -338,6 +340,8 @@ class LMMServer:
                     if "temperature" in req:
                         gen_kwargs["temperature"] = float(
                             req["temperature"])
+                    if "top_p" in req:
+                        gen_kwargs["top_p"] = float(req["top_p"])
                     inst = Instance("generate_until", {}, 0,
                                     "serve", (prompt, gen_kwargs),
                                     visual=images or None)

@@ -214,6 +214,34 @@ def test_inflight_prefix_cache_negotiated():
         eng.shutdown()
 
 
+def test_inflight_per_slot_sampling():
+    """Mixed greedy/sampled slots in ONE step program: a greedy request
+    and a degenerate-nucleus sampled request (top_p -> 0 forces argmax
+    at any temperature) both reproduce generate_greedy exactly while
+    decoding concurrently; a truly sampled request completes within its
+    budget."""
+    cfg, params = _tiny(15)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=3,
+                         prompt_cap=32, gen_cap=16, chunk=3,
+                         precision=FP32_PRECISION, use_flash=False)
+    try:
+        rng = np.random.RandomState(21)
+        ra, rb, rc = _request(rng, 8), _request(rng, 12), _request(rng, 8)
+        ref_a = _reference(params, cfg, *ra, 10, eos)
+        ref_b = _reference(params, cfg, *rb, 10, eos)
+        ha = eng.submit(*ra, 10)                                  # greedy
+        hb = eng.submit(*rb, 10, temperature=1.7, top_p=1e-9)     # =argmax
+        hc = eng.submit(*rc, 10, temperature=1.0, top_p=0.95)     # sampled
+        assert ha.result(timeout=180).tolist() == ref_a
+        assert hb.result(timeout=180).tolist() == ref_b
+        out_c = hc.result(timeout=180).tolist()
+        assert len(out_c) <= 10
+        assert all(0 <= t < cfg.decoder.vocab_size for t in out_c)
+    finally:
+        eng.shutdown()
+
+
 def test_inflight_batched_admission():
     """5 concurrent mixed-length requests through 3 slots: the burst
     admits via batched (b=k) prefills and every request still matches
