@@ -793,30 +793,45 @@ def bench_serve(results, quick=False):
     # wave batcher — 8 slots so the 8 concurrent clients all decode
     # simultaneously with per-slot positions.
     inflight = os.environ.get("LVR_SERVE_INFLIGHT", "0") == "1"
+    # LVR_SERVE_PREFIX=1: inflight + prompt-KV caching under a CANNED
+    # workload — each client re-sends its own fixed prompt+image every
+    # round (the retry / shared-system-prompt serving case), so warm
+    # rounds populate the store and measured rounds admit via pure KV
+    # installs (zero prefill/tower work; `lvr serve --prefix-cache`).
+    prefix = os.environ.get("LVR_SERVE_PREFIX", "0") == "1"
+    inflight = inflight or prefix
     lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
                    precision=prec, batch_size=8, gen_backend=backend)
     srv = LMMServer(lmm, model_name="llava-1.4b", port=0,
                     max_batch=8, batch_window_ms=50, inflight=inflight,
                     inflight_kwargs={"n_slots": 8, "prompt_cap": 64,
-                                     "gen_cap": 16, "chunk": 4}
+                                     "gen_cap": 16, "chunk": 4,
+                                     "prefix_cache": 64 if prefix else 0}
                     if inflight else None)
     srv.start_background()
 
     import base64
     from io import BytesIO
     rng = np.random.RandomState(11)
+    canned = {}
 
     def post(i, round_id):
-        img = Image.fromarray(
-            rng.randint(0, 255, (336, 336, 3), dtype=np.uint8))
-        buf = BytesIO()
-        img.save(buf, format="PNG")
-        b64 = base64.b64encode(buf.getvalue()).decode()
-        # distinct prompt + image per request (relay value-cache rule)
+        if prefix and i in canned:
+            b64, text = canned[i]            # exact repeat -> store hit
+        else:
+            img = Image.fromarray(
+                rng.randint(0, 255, (336, 336, 3), dtype=np.uint8))
+            buf = BytesIO()
+            img.save(buf, format="PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            # distinct prompt + image per request (relay value-cache
+            # rule; decode dispatches still vary via cache/rng state)
+            text = (f"describe item {i} now" if prefix
+                    else f"describe item {round_id}-{i} now")
+            canned[i] = (b64, text)
         payload = {"max_tokens": 16, "messages": [{"role": "user",
                    "content": [
-                       {"type": "text",
-                        "text": f"describe item {round_id}-{i} now"},
+                       {"type": "text", "text": text},
                        {"type": "image_url", "image_url": {
                            "url": f"data:image/png;base64,{b64}"}}]}]}
         req = urllib.request.Request(
@@ -848,11 +863,16 @@ def bench_serve(results, quick=False):
     for r in range(rounds):
         fire_round(8, 2 + r)
     dt = (time.perf_counter() - t0) / rounds
+    if prefix:
+        st = srv.worker.engine.stats()
+        # the measured rounds must actually have admitted from the store
+        assert st["prefix_hits"] >= 8 * rounds, st
     srv.shutdown()
     results.append({"metric": "llava_1p4b_serve_http_samples_s"
                               + ("" if backend == "greedy"
                                  else f"_{backend}")
-                              + ("_inflight" if inflight else ""),
+                              + ("_prefix_cache" if prefix else
+                                 "_inflight" if inflight else ""),
                     "value": round(8 / dt, 2), "unit": "samples/sec",
                     "note": "8 concurrent HTTP clients, dynamic batching "
                             "(window 50 ms), 16 new tokens; compare "
