@@ -124,10 +124,23 @@ class LlavaLMM(LMM):
         return jnp.asarray(ids), jnp.asarray(mask), pixels
 
     def _gen_fn(self, seq_len: int, max_new: int,
-                temperature: float = 0.0, top_p: float = 1.0):
-        key = (self.gen_backend, seq_len, max_new, temperature, top_p)
+                temperature: float = 0.0, top_p: float = 1.0,
+                num_beams: int = 1):
+        key = (self.gen_backend, seq_len, max_new, temperature, top_p,
+               num_beams)
         if key not in self._gen_fns:
-            if temperature > 0:
+            if num_beams > 1:
+                # deterministic beam search (HF's beam-sample hybrid is
+                # out of scope — beams win over temperature, documented)
+                def fn(params, ids, mask, pixels):
+                    return M.generate_beam(
+                        params, self.cfg, ids, mask, pixels,
+                        max_new_tokens=max_new,
+                        eos_id=self.tok.eos_token_id,
+                        num_beams=num_beams, precision=self.precision,
+                        diffusion_apply=self.diffusion_apply)
+                self._gen_fns[key] = jax.jit(fn)
+            elif temperature > 0:
                 # sampling rides the full-graph generate regardless of
                 # gen_backend (chunked/speculative are greedy machinery;
                 # the reference likewise switches on do_sample —
@@ -201,7 +214,11 @@ class LlavaLMM(LMM):
             if not kwargs.get("do_sample", True):
                 temperature = 0.0
             top_p = float(kwargs.get("top_p") or 1.0)
-            fn = self._gen_fn(ids.shape[1], max_new, temperature, top_p)
+            num_beams = int(kwargs.get("num_beams", 1) or 1)
+            if num_beams > 1:
+                temperature = 0.0      # beam search is deterministic here
+            fn = self._gen_fn(ids.shape[1], max_new, temperature, top_p,
+                              num_beams)
             if temperature > 0:
                 self._sample_rng, k = jax.random.split(self._sample_rng)
                 toks = fn(self.params, ids, mask, pixels, k)

@@ -365,6 +365,111 @@ def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
     return jnp.transpose(toks)                                   # [B, T_new]
 
 
+def generate_beam(params, cfg: LlavaConfig, input_ids, text_mask,
+                  pixel_values, *, max_new_tokens: int, eos_id: int,
+                  num_beams: int, length_penalty: float = 1.0,
+                  precision: Precision = DEFAULT_PRECISION,
+                  diffusion_apply=None, use_flash: Optional[bool] = None):
+    """Beam-search decode (the reference adapter forwards `num_beams` to
+    HF generate, `lmms_eval/models/llava.py:395-418`; default 1 across
+    every paper task). Returns [B, max_new_tokens] token ids of each
+    batch row's best beam (eos-padded).
+
+    TPU-native design: all `num_beams` beams of all batch rows decode as
+    one [B*k] batch through the same cached forward as greedy; beam
+    reordering is a gather over the cache's batch axis INSIDE the scan
+    (the HF `_reorder_cache` equivalent, static shapes). Finished beams
+    freeze — EOS continues at zero logprob and the frozen score rides
+    along (sequence-score semantics `score / len**length_penalty`,
+    HF BeamSearchScorer's default finalize; the 2k-candidate hypothesis
+    pool of HF — which can revisit a worse finished beam later — is
+    intentionally simplified to frozen-EOS, a difference only when a
+    beam would improve on a finished hypothesis after its EOS).
+    k=1 with length_penalty=1 reproduces generate_greedy exactly
+    (tests/test_beam.py, incl. a host-loop numpy oracle)."""
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    b, _ = input_ids.shape
+    k = num_beams
+    plan = splice_plan(input_ids, jnp.full_like(input_ids, IGNORE_INDEX),
+                       text_mask, cfg.num_patches)
+    img = encode_images(params, cfg, pixel_values, precision,
+                        diffusion_apply)
+    txt = L.embed_tokens(params["decoder"], input_ids, precision)
+    embeds = splice_embeds(plan, txt, img)
+
+    l_out = embeds.shape[1]
+    t_max = l_out + max_new_tokens
+    cache = L.init_cache(cfg.decoder, b, t_max, precision.compute_dtype)
+    slot_valid = jnp.concatenate(
+        [plan.attn_mask, jnp.zeros((b, max_new_tokens), bool)], axis=1)
+    h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
+                         plan.positions, attn_mask=slot_valid, cache=cache,
+                         cache_index=0, precision=precision,
+                         use_flash=use_flash)
+    n_valid = jnp.sum(plan.attn_mask, axis=1)                    # [B]
+    last_idx = jnp.maximum(n_valid - 1, 0)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+    logits = L.logits_fn(params["decoder"], h_last[:, None], precision)
+    logprobs = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32))
+
+    # seed: top-k first tokens become the k beams of each batch row
+    scores, tok = lax.top_k(logprobs, k)                  # [B, k] each
+    done = tok == eos_id
+    # beams share their batch row's prompt cache: expand B -> B*k
+    cache = jax.tree.map(lambda x: jnp.repeat(x, k, axis=1), cache)
+    prompt_mask_k = jnp.repeat(plan.attn_mask, k, axis=0)  # [B*k, l_out]
+    pos0 = jnp.repeat(n_valid, k)                          # [B*k]
+    seqs = jnp.full((b, k, max_new_tokens), eos_id, jnp.int32)
+    seqs = seqs.at[:, :, 0].set(tok)
+    vocab = logprobs.shape[-1]
+    batch_base = jnp.arange(b)[:, None] * k                # [B, 1]
+
+    def step(carry, t):
+        cache, seqs, scores, tok, done, pos = carry
+        emb = L.embed_tokens(params["decoder"],
+                             tok.reshape(b * k)[:, None], precision)
+        gen_slots = jnp.arange(max_new_tokens) <= t
+        sv = jnp.concatenate(
+            [prompt_mask_k,
+             jnp.broadcast_to(gen_slots, (b * k, max_new_tokens))], axis=1)
+        h, cache = L.forward(params["decoder"], cfg.decoder, emb,
+                             pos[:, None], attn_mask=sv, cache=cache,
+                             cache_index=l_out + t, precision=precision)
+        lp = jax.nn.log_softmax(
+            L.logits_fn(params["decoder"], h, precision)[:, -1]
+            .astype(jnp.float32)).reshape(b, k, vocab)
+        # frozen beams: EOS costs 0, everything else is unreachable
+        frozen = jnp.where(jnp.arange(vocab) == eos_id, 0.0, -jnp.inf)
+        lp = jnp.where(done[:, :, None], frozen[None, None], lp)
+        cand = scores[:, :, None] + lp                     # [B, k, V]
+        scores, flat = lax.top_k(cand.reshape(b, k * vocab), k)
+        parent = flat // vocab                             # [B, k]
+        tok = (flat % vocab).astype(jnp.int32)
+        # reorder beam state to follow the surviving parents
+        gather_rows = (batch_base + parent).reshape(b * k)
+        cache = jax.tree.map(lambda x: x[:, gather_rows], cache)
+        seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
+        done = jnp.take_along_axis(done, parent, axis=1) | (tok == eos_id)
+        # frozen parents can only emit EOS (the -inf mask), so writing
+        # `tok` unconditionally keeps finished rows eos-padded
+        seqs = seqs.at[:, :, t + 1].set(tok)
+        return (cache, seqs, scores, tok, done, pos + 1), None
+
+    if max_new_tokens > 1:
+        (cache, seqs, scores, tok, done, _), _ = lax.scan(
+            step, (cache, seqs, scores, tok, done, pos0),
+            jnp.arange(max_new_tokens - 1))
+    # sequence score: cumulative logprob / len**penalty (HF finalize)
+    lengths = jnp.where(
+        (seqs == eos_id).any(axis=-1),
+        jnp.argmax(seqs == eos_id, axis=-1) + 1,           # incl. EOS
+        max_new_tokens)
+    final = scores / (lengths.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(final, axis=1)                       # [B]
+    return jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+
+
 def generate_sample(params, cfg: LlavaConfig, input_ids, text_mask,
                     pixel_values, *, max_new_tokens: int, eos_id: int,
                     rng, temperature: float = 1.0, top_p: float = 1.0,
