@@ -135,8 +135,11 @@ class _BatchWorker:
             # a dispatch
             groups: dict = {}
             for item in batch:
-                key = tuple(sorted(item[0].args[1].items())) \
-                    if len(item[0].args) > 1 else ()
+                # json, not tuple(sorted(...)): kwargs may hold lists
+                # (`until` stop strings), which aren't hashable
+                key = json.dumps(item[0].args[1], sort_keys=True,
+                                 default=str) \
+                    if len(item[0].args) > 1 else ""
                 groups.setdefault(key, []).append(item)
             for group in groups.values():
                 insts = [g[0] for g in group]
@@ -342,6 +345,10 @@ class LMMServer:
                             req["temperature"])
                     if "top_p" in req:
                         gen_kwargs["top_p"] = float(req["top_p"])
+                    if "stop" in req:      # OpenAI stop -> until strings
+                        s = req["stop"]
+                        gen_kwargs["until"] = \
+                            [s] if isinstance(s, str) else list(s or [])
                     inst = Instance("generate_until", {}, 0,
                                     "serve", (prompt, gen_kwargs),
                                     visual=images or None)

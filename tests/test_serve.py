@@ -83,6 +83,17 @@ def test_server_chat_completions_and_introspection():
         out = _post(srv.port, {"messages": [
             {"role": "user", "content": "still alive?"}]})
         assert out["choices"][0]["message"]["content"].startswith("ok:0img")
+
+        # OpenAI `stop` maps to gen_kwargs `until` (string or list), and
+        # list-valued kwargs survive the wave worker's grouping key
+        out = _post(srv.port, {"messages": [
+            {"role": "user", "content": "with stop"}], "stop": "END"})
+        assert out["choices"][0]["message"]["content"].startswith("ok:")
+        assert lmm.seen[-1].args[1]["until"] == ["END"]
+        out = _post(srv.port, {"messages": [
+            {"role": "user", "content": "stops"}], "stop": ["a", "b"]})
+        assert out["choices"][0]["message"]["content"].startswith("ok:")
+        assert lmm.seen[-1].args[1]["until"] == ["a", "b"]
     finally:
         srv.shutdown()
 
