@@ -124,10 +124,13 @@ class LlavaLMM(LMM):
         return jnp.asarray(ids), jnp.asarray(mask), pixels
 
     def _gen_fn(self, seq_len: int, max_new: int,
-                temperature: float = 0.0, top_p: float = 1.0,
-                num_beams: int = 1):
-        key = (self.gen_backend, seq_len, max_new, temperature, top_p,
-               num_beams)
+                sampling: bool = False, num_beams: int = 1):
+        # cache key is STRUCTURAL only (backend, shapes, sampling-bool,
+        # beams): temperature/top_p enter the sampling program as traced
+        # scalars, so a client sweeping temperature reuses one compiled
+        # program instead of paying a remote compile per value (5-10 min
+        # worst case through the axon relay, CLAUDE.md)
+        key = (self.gen_backend, seq_len, max_new, sampling, num_beams)
         if key not in self._gen_fns:
             if num_beams > 1:
                 # deterministic beam search (HF's beam-sample hybrid is
@@ -140,12 +143,13 @@ class LlavaLMM(LMM):
                         num_beams=num_beams, precision=self.precision,
                         diffusion_apply=self.diffusion_apply)
                 self._gen_fns[key] = jax.jit(fn)
-            elif temperature > 0:
+            elif sampling:
                 # sampling rides the full-graph generate regardless of
                 # gen_backend (chunked/speculative are greedy machinery;
                 # the reference likewise switches on do_sample —
-                # lmms_eval/models/llava.py:415)
-                def fn(params, ids, mask, pixels, rng):
+                # lmms_eval/models/llava.py:415); temperature/top_p are
+                # traced operands (sampling.sample_token handles them)
+                def fn(params, ids, mask, pixels, rng, temperature, top_p):
                     return M.generate_sample(
                         params, self.cfg, ids, mask, pixels,
                         max_new_tokens=max_new,
@@ -213,15 +217,19 @@ class LlavaLMM(LMM):
             temperature = float(kwargs.get("temperature", 0) or 0)
             if not kwargs.get("do_sample", True):
                 temperature = 0.0
-            top_p = float(kwargs.get("top_p") or 1.0)
+            # top_p None -> 1.0, but an explicit 0.0 is honored
+            # (near-greedy nucleus: top_p_mask keeps the top token only)
+            top_p = (1.0 if kwargs.get("top_p") is None
+                     else float(kwargs["top_p"]))
             num_beams = int(kwargs.get("num_beams", 1) or 1)
             if num_beams > 1:
                 temperature = 0.0      # beam search is deterministic here
-            fn = self._gen_fn(ids.shape[1], max_new, temperature, top_p,
+            fn = self._gen_fn(ids.shape[1], max_new, temperature > 0,
                               num_beams)
             if temperature > 0:
                 self._sample_rng, k = jax.random.split(self._sample_rng)
-                toks = fn(self.params, ids, mask, pixels, k)
+                toks = fn(self.params, ids, mask, pixels, k,
+                          temperature, top_p)
             else:
                 toks = fn(self.params, ids, mask, pixels)
             toks = np.asarray(toks)[:n_real]

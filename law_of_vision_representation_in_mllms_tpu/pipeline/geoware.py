@@ -170,6 +170,42 @@ def preprocess_maps(image_paths: Sequence[str], out_dir: str, sd_fn, dino_fn,
     return written
 
 
+def panoptic_to_binary_mask(seg_map: np.ndarray, segments_info: List[Dict],
+                            classes: Sequence[str],
+                            category) -> np.ndarray:
+    """ODISE panoptic output -> the reference's binary category mask
+    (`C_score/model_utils/extractor_sd.py:249-286 get_mask`).
+
+    seg_map: [H, W] int panoptic ids (the `pred['panoptic_seg'][0]` map);
+    segments_info: list of {"id", "category_id"} dicts
+    (`pred['panoptic_seg'][1]`); classes: category_id -> name list from
+    the demo metadata. Matching is substring-based after the reference's
+    Pascal->COCO renames; a category (or list) with no match, or a
+    matched area under 6 pixels, falls back to all-ones — both exactly
+    the reference's behaviour. Export the result with
+    `np.save(f"{stem}_mask.npy", m)` (or a {0,255} PNG) for `mask_dir`
+    ingestion by `run_pose_awareness`.
+    """
+    convert = {"aeroplane": "airplane", "motorbike": "motorcycle",
+               "pottedplant": "potted plant", "tvmonitor": "tv"}
+    if isinstance(category, list):
+        cats = [convert.get(c, c) for c in category]
+    else:
+        cats = [convert.get(category, category)]
+    target_ids = []
+    for item in segments_info:
+        name = classes[item["category_id"]]
+        if any(c in name for c in cats):
+            target_ids.append(item["id"])
+    seg = np.asarray(seg_map)
+    m = np.zeros(seg.shape, np.float32)
+    for i in target_ids:
+        m += (seg == i).astype(np.float32)
+    if not target_ids or m.sum() < 6:
+        m = np.ones(seg.shape, np.float32)
+    return m
+
+
 def _load_mask(mask_dir: Optional[str], stem: str, res: int) -> np.ndarray:
     if mask_dir:
         for ext in ("npy", "png"):

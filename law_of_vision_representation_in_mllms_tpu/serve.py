@@ -224,10 +224,19 @@ class _InflightWorker:
                 arr = np.zeros((proc.crop, proc.crop, 3), np.float32)
             pixels.append(arr[None])
         kwargs = inst.args[1] if len(inst.args) > 1 else {}
+        # same gen_kwargs contract as the batch adapter
+        # (eval/llava_adapter.py generate_until): do_sample=False is a
+        # greedy override, top_p=None means 1.0 but an explicit 0.0 is
+        # honored (near-greedy nucleus, sampling.top_p_mask keeps the top
+        # token only)
+        temperature = float(kwargs.get("temperature", 0) or 0)
+        if not kwargs.get("do_sample", True):
+            temperature = 0.0
+        top_p = (1.0 if kwargs.get("top_p") is None
+                 else float(kwargs["top_p"]))
         return self.engine.submit(
             ids, mask, pixels, kwargs.get("max_new_tokens", 16),
-            temperature=float(kwargs.get("temperature", 0) or 0),
-            top_p=float(kwargs.get("top_p") or 1.0)), kwargs
+            temperature=temperature, top_p=top_p), kwargs
 
     @staticmethod
     def _truncate(text: str, kwargs: dict) -> str:
@@ -345,6 +354,8 @@ class LMMServer:
                             req["temperature"])
                     if "top_p" in req:
                         gen_kwargs["top_p"] = float(req["top_p"])
+                    if "do_sample" in req:   # HF extension: greedy override
+                        gen_kwargs["do_sample"] = bool(req["do_sample"])
                     if "stop" in req:      # OpenAI stop -> until strings
                         s = req["stop"]
                         gen_kwargs["until"] = \

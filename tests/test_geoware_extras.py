@@ -404,3 +404,79 @@ def test_attn_facet_and_saliency_golden():
     np.testing.assert_allclose(sal, (cls_attn - lo) / (hi - lo),
                                atol=1e-5, rtol=1e-4)
     assert sal.shape == (2, cfg.num_patches)
+
+
+# ---------------------------------------------------------------------------
+# ODISE / SAM mask-file format parity (VERDICT r3 #9)
+# ---------------------------------------------------------------------------
+
+def test_mask_file_format_parity(tmp_path):
+    """_load_mask ingests masks in the exact formats the reference's
+    preprocessors write: preprocess_mask_sam.py:72-78 saves
+    `{stem}_mask.png` as a {0,255} single-channel PNG via cv2.imwrite;
+    an ODISE get_mask export is a float {0,1} .npy. Resizing must match
+    torch F.interpolate(mode='nearest') (pose_awareness_test.py:179)."""
+    from PIL import Image
+    from law_of_vision_representation_in_mllms_tpu.pipeline.geoware import (
+        _load_mask)
+
+    rng = np.random.RandomState(0)
+    m = (rng.rand(960, 960) > 0.6)
+    # the reference writer: cv2.imwrite(path, np.clip(mask,0,1)*255) on a
+    # bool SAM mask -> uint8 grayscale PNG with values {0,255}
+    Image.fromarray((m * 255).astype(np.uint8), mode="L").save(
+        tmp_path / "img1_mask.png")
+    got = _load_mask(str(tmp_path), "img1", 60)
+    ref = TF.interpolate(torch.from_numpy(m.astype(np.float32))[None, None],
+                         size=(60, 60), mode="nearest")[0, 0].numpy()
+    np.testing.assert_array_equal(got, ref)
+
+    # ODISE-style float {0,1} .npy export
+    np.save(tmp_path / "img2_mask.npy", m.astype(np.float32))
+    got2 = _load_mask(str(tmp_path), "img2", 60)
+    np.testing.assert_array_equal(got2, ref)
+
+    # missing file -> all-ones (the reference's mask=False behaviour)
+    np.testing.assert_array_equal(_load_mask(str(tmp_path), "img3", 8),
+                                  np.ones((8, 8), np.float32))
+
+
+def test_panoptic_to_binary_mask_matches_reference_semantics():
+    """panoptic_to_binary_mask vs a literal port of extractor_sd.py:249-286
+    get_mask's id-matching loop (torch oracle)."""
+    from law_of_vision_representation_in_mllms_tpu.pipeline.geoware import (
+        panoptic_to_binary_mask)
+
+    classes = ["person", "potted plant", "tv", "dog"]
+    seg = np.array([[0, 1, 1], [2, 2, 3], [3, 3, 0]])
+    info = [{"id": 1, "category_id": 3},      # dog
+            {"id": 2, "category_id": 0},      # person
+            {"id": 3, "category_id": 2}]      # tv
+
+    def oracle(category):
+        convert = {"aeroplane": "airplane", "motorbike": "motorcycle",
+                   "pottedplant": "potted plant", "tvmonitor": "tv"}
+        if isinstance(category, list):
+            category = [convert.get(c, c) for c in category]
+        elif category in convert:
+            category = convert[category]
+        target = []
+        for item in info:
+            name = classes[item["category_id"]]
+            if isinstance(category, list):
+                for c in category:
+                    if c in name:
+                        target.append(item["id"])
+            elif category in name:
+                target.append(item["id"])
+        s = torch.from_numpy(seg).float()
+        out = torch.zeros_like(s)
+        for i in target:
+            out += (s == i).float()
+        if not target or out.sum() < 6:
+            out = torch.ones_like(s)
+        return out.numpy()
+
+    for cat in ("dog", "tvmonitor", ["person", "dog"], "zebra", "tv"):
+        np.testing.assert_array_equal(
+            panoptic_to_binary_mask(seg, info, classes, cat), oracle(cat))

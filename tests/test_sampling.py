@@ -162,3 +162,16 @@ def test_adapter_sampling_kwargs():
     sampled = lmm.generate_until(req({"max_new_tokens": 6,
                                       "temperature": 1.0, "top_p": 0.95}))
     assert len(sampled) == 2 and all(isinstance(s, str) for s in sampled)
+    # temperature/top_p are traced operands: sweeping values reuses ONE
+    # compiled sampling program (ADVICE r3 — a novel float must not cost
+    # a fresh full-graph compile through the axon relay)
+    n_fns = len(lmm._gen_fns)
+    lmm.generate_until(req({"max_new_tokens": 6,
+                            "temperature": 0.7, "top_p": 0.8}))
+    lmm.generate_until(req({"max_new_tokens": 6,
+                            "temperature": 1.3, "top_p": 0.5}))
+    assert len(lmm._gen_fns) == n_fns
+    # explicit top_p=0.0 is near-greedy (top token only), not full-vocab
+    p0 = lmm.generate_until(req({"max_new_tokens": 6,
+                                 "temperature": 0.9, "top_p": 0.0}))
+    assert p0 == greedy
