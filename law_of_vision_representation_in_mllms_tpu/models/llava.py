@@ -375,22 +375,32 @@ def generate_beam(params, cfg: LlavaConfig, input_ids, text_mask,
     every paper task). Returns [B, max_new_tokens] token ids of each
     batch row's best beam (eos-padded).
 
-    TPU-native design: all `num_beams` beams of all batch rows decode as
-    one [B*k] batch through the same cached forward as greedy; beam
+    HF-parity semantics (transformers `GenerationMixin._beam_search`,
+    the vectorized refactor): each step keeps the top 2k of the k*V
+    continuations; candidates that hit a stopping criterion (EOS, or
+    max length on the final step) and rank in the top k are merged into
+    a fixed [B, k] finished-hypothesis pool by sequence score
+    `sum_logprobs / gen_len**length_penalty` (gen_len counts the EOS),
+    while the best k non-finished candidates continue decoding. The
+    `early_stopping=False` heuristic gates pool additions exactly as
+    HF's `_check_early_stop_heuristic` does (a latch per batch row once
+    the pool is full and the best running raw score can no longer beat
+    the worst pooled score at the current length). Token-for-token
+    parity with `LlamaForCausalLM.generate(num_beams=k)` is golden-
+    tested across length penalties in tests/test_beam.py.
+
+    TPU-native design: all `num_beams` beams of all batch rows decode
+    as one [B*k] batch through the same cached forward as greedy; beam
     reordering is a gather over the cache's batch axis INSIDE the scan
-    (the HF `_reorder_cache` equivalent, static shapes). Finished beams
-    freeze — EOS continues at zero logprob and the frozen score rides
-    along (sequence-score semantics `score / len**length_penalty`,
-    HF BeamSearchScorer's default finalize; the 2k-candidate hypothesis
-    pool of HF — which can revisit a worse finished beam later — is
-    intentionally simplified to frozen-EOS, a difference only when a
-    beam would improve on a finished hypothesis after its EOS).
-    k=1 with length_penalty=1 reproduces generate_greedy exactly
-    (tests/test_beam.py, incl. a host-loop numpy oracle)."""
+    (the HF `reorder_cache` equivalent), and the hypothesis pool is a
+    static [B, k] top-k merge per step — HF's own refactor is already
+    static-shape, so the port introduces no approximation."""
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
     b, _ = input_ids.shape
     k = num_beams
+    T = max_new_tokens
+    pen = float(length_penalty)
     plan = splice_plan(input_ids, jnp.full_like(input_ids, IGNORE_INDEX),
                        text_mask, cfg.num_patches)
     img = encode_images(params, cfg, pixel_values, precision,
@@ -399,10 +409,10 @@ def generate_beam(params, cfg: LlavaConfig, input_ids, text_mask,
     embeds = splice_embeds(plan, txt, img)
 
     l_out = embeds.shape[1]
-    t_max = l_out + max_new_tokens
+    t_max = l_out + T
     cache = L.init_cache(cfg.decoder, b, t_max, precision.compute_dtype)
     slot_valid = jnp.concatenate(
-        [plan.attn_mask, jnp.zeros((b, max_new_tokens), bool)], axis=1)
+        [plan.attn_mask, jnp.zeros((b, T), bool)], axis=1)
     h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
                          plan.positions, attn_mask=slot_valid, cache=cache,
                          cache_index=0, precision=precision,
@@ -413,61 +423,113 @@ def generate_beam(params, cfg: LlavaConfig, input_ids, text_mask,
     logits = L.logits_fn(params["decoder"], h_last[:, None], precision)
     logprobs = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32))
 
-    # seed: top-k first tokens become the k beams of each batch row
-    scores, tok = lax.top_k(logprobs, k)                  # [B, k] each
-    done = tok == eos_id
-    # beams share their batch row's prompt cache: expand B -> B*k
+    vocab = logprobs.shape[-1]
+    kk = 2 * k            # beams_to_keep = max(2, 1 + n_eos) * k, one EOS
+    neg = jnp.float32(-1e9)
+    top_mask = jnp.arange(kk) < k       # only top-k candidates may finish
+    batch_base = jnp.arange(b)[:, None] * k                # [B, 1]
+
+    def beam_update(lp_bkv, state, t):
+        """One HF beam-search bookkeeping step at generated position t
+        (0-based): top-2k continuation selection, running-beam refresh,
+        finished-pool merge, early-stop-heuristic latch. Arithmetic
+        (additive -1e9 masks, fp32 scores) mirrors HF's to keep even
+        degenerate orderings identical."""
+        run_scores, run_seqs, pool_seqs, pool_scores, pool_fin, unsat = \
+            state
+        acc = lp_bkv + run_scores[:, :, None]              # [B, k, V]
+        topk_lp, flat = lax.top_k(acc.reshape(b, k * vocab), kk)
+        parent = flat // vocab                             # [B, 2k]
+        tok2k = (flat % vocab).astype(jnp.int32)
+        cand_seqs = jnp.take_along_axis(run_seqs, parent[:, :, None],
+                                        axis=1)            # [B, 2k, T]
+        cand_seqs = cand_seqs.at[:, :, t].set(tok2k)
+        # stopping criteria on each candidate: EOS, or max length hit
+        hits = (tok2k == eos_id) | (t + 1 >= T)
+        # best k non-finished candidates continue decoding
+        run_lp = topk_lp + hits.astype(jnp.float32) * neg
+        new_run_scores, idx = lax.top_k(run_lp, k)
+        new_run_seqs = jnp.take_along_axis(cand_seqs, idx[:, :, None],
+                                           axis=1)
+        sel_parent = jnp.take_along_axis(parent, idx, axis=1)   # [B, k]
+        sel_tok = jnp.take_along_axis(tok2k, idx, axis=1)
+        # finished-pool merge (HF _update_finished_beams): normalized
+        # score, only top-k candidates may finalize, additions blocked
+        # once the early-stop heuristic latched
+        gen_len = (t + 1).astype(jnp.float32)
+        norm = topk_lp / (gen_len ** pen)
+        did_fin = hits & top_mask[None, :]
+        norm = norm + (~unsat).astype(jnp.float32) * neg   # [B,1] bcast
+        norm = norm + (~did_fin).astype(jnp.float32) * neg
+        merged_scores = jnp.concatenate([pool_scores, norm], axis=1)
+        merged_seqs = jnp.concatenate([pool_seqs, cand_seqs], axis=1)
+        merged_fin = jnp.concatenate([pool_fin, did_fin], axis=1)
+        new_pool_scores, midx = lax.top_k(merged_scores, k)
+        new_pool_seqs = jnp.take_along_axis(merged_seqs, midx[:, :, None],
+                                            axis=1)
+        new_pool_fin = jnp.take_along_axis(merged_fin, midx, axis=1)
+        # HF _check_early_stop_heuristic, early_stopping=False: latch
+        # once every pool slot is finished and the best running raw sum
+        # normalized at the CURRENT length cannot beat the worst slot
+        best_possible = new_run_scores[:, :1] / (gen_len ** pen)
+        worst_fin = jnp.where(
+            new_pool_fin, jnp.min(new_pool_scores, axis=1, keepdims=True),
+            neg)
+        new_unsat = unsat & jnp.any(best_possible > worst_fin, axis=-1,
+                                    keepdims=True)
+        new_state = (new_run_scores, new_run_seqs, new_pool_seqs,
+                     new_pool_scores, new_pool_fin, new_unsat)
+        return new_state, sel_parent, sel_tok
+
+    # HF running-score init: beam 0 at 0, the rest at -1e9 so step 1's
+    # top-2k effectively selects distinct first tokens of one beam
+    run_scores = jnp.broadcast_to(
+        jnp.where(jnp.arange(k) == 0, 0.0, -1e9).astype(jnp.float32),
+        (b, k))
+    state = (run_scores,
+             jnp.full((b, k, T), eos_id, jnp.int32),       # running seqs
+             jnp.full((b, k, T), eos_id, jnp.int32),       # pool seqs
+             jnp.full((b, k), -1e9, jnp.float32),          # pool scores
+             jnp.zeros((b, k), bool),                      # pool finished
+             jnp.ones((b, 1), bool))                       # heur. unsat
+    # step 1 from the prompt logits (all beams share the prompt)
+    lp0 = jnp.broadcast_to(logprobs[:, None, :], (b, k, vocab))
+    state, _parent0, tok0 = beam_update(lp0, state, jnp.int32(0))
+    # beams share their batch row's prompt cache: expand B -> B*k (the
+    # k copies are identical, so step 1 needs no parent reorder)
     cache = jax.tree.map(lambda x: jnp.repeat(x, k, axis=1), cache)
     prompt_mask_k = jnp.repeat(plan.attn_mask, k, axis=0)  # [B*k, l_out]
     pos0 = jnp.repeat(n_valid, k)                          # [B*k]
-    seqs = jnp.full((b, k, max_new_tokens), eos_id, jnp.int32)
-    seqs = seqs.at[:, :, 0].set(tok)
-    vocab = logprobs.shape[-1]
-    batch_base = jnp.arange(b)[:, None] * k                # [B, 1]
 
     def step(carry, t):
-        cache, seqs, scores, tok, done, pos = carry
+        # forwards the token selected at generated position t, then runs
+        # the bookkeeping for position t+1
+        cache, state, tok, pos = carry
         emb = L.embed_tokens(params["decoder"],
                              tok.reshape(b * k)[:, None], precision)
-        gen_slots = jnp.arange(max_new_tokens) <= t
+        gen_slots = jnp.arange(T) <= t
         sv = jnp.concatenate(
-            [prompt_mask_k,
-             jnp.broadcast_to(gen_slots, (b * k, max_new_tokens))], axis=1)
+            [prompt_mask_k, jnp.broadcast_to(gen_slots, (b * k, T))],
+            axis=1)
         h, cache = L.forward(params["decoder"], cfg.decoder, emb,
                              pos[:, None], attn_mask=sv, cache=cache,
                              cache_index=l_out + t, precision=precision)
         lp = jax.nn.log_softmax(
             L.logits_fn(params["decoder"], h, precision)[:, -1]
             .astype(jnp.float32)).reshape(b, k, vocab)
-        # frozen beams: EOS costs 0, everything else is unreachable
-        frozen = jnp.where(jnp.arange(vocab) == eos_id, 0.0, -jnp.inf)
-        lp = jnp.where(done[:, :, None], frozen[None, None], lp)
-        cand = scores[:, :, None] + lp                     # [B, k, V]
-        scores, flat = lax.top_k(cand.reshape(b, k * vocab), k)
-        parent = flat // vocab                             # [B, k]
-        tok = (flat % vocab).astype(jnp.int32)
-        # reorder beam state to follow the surviving parents
+        state2, parent, tok2 = beam_update(lp, state, t + 1)
+        # reorder the cache (incl. this step's KV rows) to follow the
+        # surviving parents — HF reorder_cache
         gather_rows = (batch_base + parent).reshape(b * k)
         cache = jax.tree.map(lambda x: x[:, gather_rows], cache)
-        seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
-        done = jnp.take_along_axis(done, parent, axis=1) | (tok == eos_id)
-        # frozen parents can only emit EOS (the -inf mask), so writing
-        # `tok` unconditionally keeps finished rows eos-padded
-        seqs = seqs.at[:, :, t + 1].set(tok)
-        return (cache, seqs, scores, tok, done, pos + 1), None
+        return (cache, state2, tok2, pos + 1), None
 
-    if max_new_tokens > 1:
-        (cache, seqs, scores, tok, done, _), _ = lax.scan(
-            step, (cache, seqs, scores, tok, done, pos0),
-            jnp.arange(max_new_tokens - 1))
-    # sequence score: cumulative logprob / len**penalty (HF finalize)
-    lengths = jnp.where(
-        (seqs == eos_id).any(axis=-1),
-        jnp.argmax(seqs == eos_id, axis=-1) + 1,           # incl. EOS
-        max_new_tokens)
-    final = scores / (lengths.astype(jnp.float32) ** length_penalty)
-    best = jnp.argmax(final, axis=1)                       # [B]
-    return jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+    if T > 1:
+        (cache, state, _tok, _pos), _ = lax.scan(
+            step, (cache, state, tok0, pos0), jnp.arange(T - 1))
+    # HF finalize: the pool is already sorted descending by score;
+    # num_return_sequences=1 takes slot 0
+    return state[2][:, 0]
 
 
 def generate_sample(params, cfg: LlavaConfig, input_ids, text_mask,

@@ -1,20 +1,25 @@
-"""Beam-search decode (llava.generate_beam): k=1 greedy degeneration,
-a transparent host-loop numpy oracle for the beam bookkeeping (seed
-top-k, frozen-EOS freezing, candidate top-k, cache-reorder-by-parent,
-sequence-score finalize), and the adapter's num_beams routing — the
-reference forwards num_beams to HF generate
-(`lmms_eval/models/llava.py:395-418`)."""
+"""Beam-search decode (llava.generate_beam): token-for-token HF-oracle
+goldens (transformers `generate(num_beams=k)` on a ported tiny LLaMA fed
+the SAME spliced prompt embeds, across length penalties), and the
+adapter's num_beams routing — the reference forwards num_beams to HF
+generate (`lmms_eval/models/llava.py:395-418`). num_beams=1 routes to
+greedy at the adapter, exactly as HF's GenerationMode does."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import torch
 
 from law_of_vision_representation_in_mllms_tpu.core.precision import (
     FP32_PRECISION)
+from law_of_vision_representation_in_mllms_tpu.io.hf_port import port_llama
 from law_of_vision_representation_in_mllms_tpu.models import llama as L
 from law_of_vision_representation_in_mllms_tpu.models import llava as M
 from law_of_vision_representation_in_mllms_tpu.models.splice import (
     IGNORE_INDEX, IMAGE_TOKEN_INDEX, splice_plan, splice_embeds)
+from law_of_vision_representation_in_mllms_tpu.models.towers import (
+    TowerSpec, TowerEntry)
+from law_of_vision_representation_in_mllms_tpu.models.vit import ViTConfig
 
 from test_train_step import _tiny
 
@@ -27,88 +32,70 @@ def _req(rng, b, l):
     return jnp.asarray(ids), jnp.asarray(mask), pixels
 
 
-def test_beam_k1_matches_greedy():
-    cfg, params = _tiny()
-    rng = np.random.RandomState(0)
-    ids, mask, px = _req(rng, 2, 9)
-    common = dict(max_new_tokens=8, eos_id=3, precision=FP32_PRECISION,
-                  use_flash=False)
-    ref = M.generate_greedy(params, cfg, ids, mask, px, **common)
-    out = M.generate_beam(params, cfg, ids, mask, px, num_beams=1,
-                          **common)
-    assert np.asarray(out).tolist() == np.asarray(ref).tolist()
+def _hf_llava(seed=0, vocab=64):
+    """Tiny LLaVA whose decoder is PORTED from an HF LlamaForCausalLM, so
+    generate_beam and hf.generate(num_beams=...) score identical models."""
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+    hf_cfg = HFLlamaConfig(
+        vocab_size=vocab, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False)
+    torch.manual_seed(seed)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    dec_cfg = L.LlamaConfig(vocab_size=vocab, hidden_size=64,
+                            intermediate_size=128, num_layers=2,
+                            num_heads=4, num_kv_heads=4, max_seq_len=128)
+    vit_cfg = ViTConfig(image_size=14, patch_size=7, hidden_size=16,
+                        num_layers=2, num_heads=2, intermediate_size=32)
+    entry = TowerEntry(name="tiny", kind="vit", vit_config=vit_cfg,
+                       vit_family="clip", hidden_size=16,
+                       num_patches=vit_cfg.num_patches)
+    cfg = M.LlavaConfig(tower_spec=TowerSpec(entries=[entry], join="single"),
+                        decoder=dec_cfg)
+    params = M.init_params(jax.random.PRNGKey(seed), cfg, FP32_PRECISION)
+    params["decoder"] = jax.tree.map(
+        jnp.asarray, port_llama(hf.state_dict(), dec_cfg))
+    return hf, cfg, params
 
 
-def _oracle_beam(params, cfg, ids, mask, px, *, max_new, eos, k,
-                 length_penalty=1.0):
-    """Host-loop beam search with the SAME semantics as generate_beam,
-    scoring every candidate prefix by a FULL uncached forward (cache
-    parity is test_llama's job; this checks the beam bookkeeping)."""
-    prec = FP32_PRECISION
+def _prompt_embeds(params, cfg, ids, mask, px):
+    """The same spliced prompt embeds generate_beam builds internally."""
     plan = splice_plan(ids, jnp.full_like(ids, IGNORE_INDEX), mask,
                        cfg.num_patches)
-    img = M.encode_images(params, cfg, px, prec, None)
-    txt = L.embed_tokens(params["decoder"], ids, prec)
-    prompt_embeds = splice_embeds(plan, txt, img)       # [1, l_out, D]
-    l_out = prompt_embeds.shape[1]
-
-    def next_lp(gen):
-        g = len(gen)
-        emb = prompt_embeds
-        if g:
-            ge = L.embed_tokens(params["decoder"],
-                                jnp.asarray([gen], jnp.int32), prec)
-            emb = jnp.concatenate([emb, ge], axis=1)
-        attn = jnp.ones((1, l_out + g), bool)
-        pos = jnp.arange(l_out + g)[None]
-        h, _ = L.forward(params["decoder"], cfg.decoder, emb, pos,
-                         attn_mask=attn, precision=prec)
-        lp = jax.nn.log_softmax(
-            L.logits_fn(params["decoder"], h[:, -1:], prec)[0, -1]
-            .astype(jnp.float32))
-        return np.asarray(lp, np.float64)
-
-    lp0 = next_lp([])
-    order = np.argsort(-lp0, kind="stable")[:k]
-    beams = [[int(t)] for t in order]
-    scores = [float(lp0[t]) for t in order]
-    done = [t == eos for t in order]
-    vocab = lp0.shape[0]
-    for _ in range(max_new - 1):
-        cand = np.full((k, vocab), -np.inf)
-        for j in range(k):
-            if done[j]:
-                cand[j, eos] = scores[j]
-            else:
-                cand[j] = scores[j] + next_lp(beams[j])
-        flat = np.argsort(-cand.reshape(-1), kind="stable")[:k]
-        beams = [beams[f // vocab] + [int(f % vocab)] for f in flat]
-        scores = [float(cand.reshape(-1)[f]) for f in flat]
-        done = [done[f // vocab] or (f % vocab) == eos for f in flat]
-    finals = []
-    for j in range(k):
-        seq = beams[j]
-        length = seq.index(eos) + 1 if eos in seq else max_new
-        finals.append(scores[j] / (length ** length_penalty))
-    best = beams[int(np.argmax(finals))]
-    # eos-pad like generate_beam
-    if eos in best:
-        i = best.index(eos)
-        best = best[:i] + [eos] * (max_new - i)
-    return best
+    img = M.encode_images(params, cfg, px, FP32_PRECISION, None)
+    txt = L.embed_tokens(params["decoder"], ids, FP32_PRECISION)
+    return splice_embeds(plan, txt, img), plan
 
 
-def test_beam_matches_host_oracle():
-    cfg, params = _tiny(3)
-    rng = np.random.RandomState(7)
-    for seed, k, max_new in ((0, 2, 5), (1, 3, 6)):
-        ids, mask, px = _req(np.random.RandomState(seed), 1, 7)
-        out = M.generate_beam(params, cfg, ids, mask, px, num_beams=k,
-                              max_new_tokens=max_new, eos_id=3,
-                              precision=FP32_PRECISION, use_flash=False)
-        ref = _oracle_beam(params, cfg, ids, mask, px, max_new=max_new,
-                           eos=3, k=k)
-        assert np.asarray(out)[0].tolist() == ref, (k, max_new)
+def test_beam_matches_hf_generate():
+    """generate_beam == transformers _beam_search token-for-token
+    (VERDICT r3 #6): same model (ported weights), same prompt embeds
+    (via inputs_embeds), k in {2, 4}, length_penalty in {0.5, 1, 2}."""
+    hf, cfg, params = _hf_llava(0)
+    eos = 3
+    max_new = 8
+    for seed, k, pen in ((0, 2, 1.0), (1, 4, 1.0), (2, 2, 0.5),
+                         (3, 2, 2.0), (4, 4, 0.5), (5, 3, 2.0)):
+        ids, mask, px = _req(np.random.RandomState(seed), 2, 7)
+        embeds, plan = _prompt_embeds(params, cfg, ids, mask, px)
+        ours = np.asarray(M.generate_beam(
+            params, cfg, ids, mask, px, num_beams=k,
+            max_new_tokens=max_new, eos_id=eos, length_penalty=pen,
+            precision=FP32_PRECISION, use_flash=False))
+        with torch.no_grad():
+            ref = hf.generate(
+                inputs_embeds=torch.from_numpy(np.asarray(
+                    embeds, np.float32)),
+                attention_mask=torch.from_numpy(np.asarray(plan.attn_mask)),
+                max_new_tokens=max_new, num_beams=k, do_sample=False,
+                length_penalty=pen, early_stopping=False,
+                eos_token_id=eos, pad_token_id=eos).numpy()
+        # HF returns only generated tokens for inputs_embeds input and may
+        # stop short of max_new; eos-pad to the static [B, max_new]
+        ref_pad = np.full((2, max_new), eos, np.int64)
+        ref_pad[:, :ref.shape[1]] = ref
+        assert ours.tolist() == ref_pad.tolist(), (seed, k, pen)
 
 
 def test_beam_never_worse_than_greedy():
