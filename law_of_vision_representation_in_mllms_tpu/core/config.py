@@ -54,6 +54,12 @@ class ModelSection:
     # program OOMs at compile (benchmarks/README.md round-3 log).
     negotiate_layouts: bool = False
     draft_len: int = 8                     # draft length for speculative
+    # weight-only decoder quantization for serving/eval (ops/quant.py):
+    # "int8" stores the decoder matmul weights as int8 with per-channel
+    # scales (dequant-to-bf16 before the dot — no int8 dot_general).
+    # Halves the decode param-read HBM floor and resident weight bytes
+    # at 7B. None (default) = exact bf16 reference parity.
+    quantize: Optional[str] = None
     # ViT-tower attention impl override (None = measured per-backend
     # default). "xla_expclamp_fused" is the fastest CLIP-336 path on v5e
     # (+33% end-to-end: 370.6 vs 278 img/s; "xla_expclamp" without the

@@ -188,14 +188,25 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
     every decode step, doubling HBM traffic). lora: optional per-layer
     low-rank factor dict (models/lora.py)."""
     from .lora import lora_matmul
+    from ..ops.quant import int8_matmul, is_quantized
     b, s, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cd = prec.compute_dtype
     lora = lora or {}
 
     def mm(x_, name):
-        return lora_matmul(x_, lp[name].astype(cd), lora, name,
-                           lora_scaling)
+        w = lp[name]
+        if is_quantized(w):
+            # weight-only int8 (ops/quant.py): decode reads int8 bytes
+            # from HBM; scale applies after the dot. LoRA deltas stay
+            # dense on top.
+            y = int8_matmul(x_, w)
+            a = lora.get(f"{name}_a")
+            if a is not None:
+                y = y + ((x_ @ a.astype(cd)) @ lora[f"{name}_b"].astype(cd)
+                         ) * jnp.asarray(lora_scaling, cd)
+            return y
+        return lora_matmul(x_, w.astype(cd), lora, name, lora_scaling)
 
     x = rms_norm(h, lp["rms1"], cfg.rms_eps)
     q = mm(x, "wq").reshape(b, s, nh, hd)
@@ -349,8 +360,11 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
 
 
 def logits_fn(params, hidden, precision: Precision = DEFAULT_PRECISION):
-    return (hidden @ params["lm_head"].astype(hidden.dtype)
-            ).astype(jnp.float32)
+    from ..ops.quant import int8_matmul, is_quantized
+    w = params["lm_head"]
+    if is_quantized(w):
+        return int8_matmul(hidden, w).astype(jnp.float32)
+    return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
 
 
 def embed_tokens(params, input_ids, precision: Precision = DEFAULT_PRECISION):

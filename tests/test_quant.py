@@ -1,0 +1,155 @@
+"""Weight-only int8 decode quantization (ops/quant.py).
+
+The reference serves with bitsandbytes load_in_8bit
+(`llava/train/train.py:908-932`); here int8 is the decode-bandwidth
+lever (param-read floor halves). Contract tests: quantization error is
+bounded and the matmul identity holds exactly; decode paths (greedy,
+chunked, beam, logits) run quantized end-to-end and match the dense
+model bit-for-bit when the weights are exactly int8-representable.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from law_of_vision_representation_in_mllms_tpu.core.precision import (
+    FP32_PRECISION)
+from law_of_vision_representation_in_mllms_tpu.models import llama as L
+from law_of_vision_representation_in_mllms_tpu.models import llava as M
+from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+    DECODER_TARGETS, dequantize_int8, int8_matmul, quantize_decoder,
+    quantize_int8)
+
+from test_train_step import _tiny
+from test_beam import _req
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 128).astype(np.float32) * 0.02
+    q = quantize_int8(jnp.asarray(w), axis=-2)
+    assert q["q8"].dtype == jnp.int8 and q["scale"].shape == (1, 128)
+    deq = np.asarray(dequantize_int8(q))
+    # symmetric per-channel: |err| <= scale/2 per element
+    err = np.abs(deq - w)
+    bound = np.asarray(q["scale"])[0] / 2 + 1e-9
+    assert (err <= bound[None, :]).all()
+
+
+def test_quantize_exact_for_representable_weights():
+    rng = np.random.RandomState(1)
+    ints = rng.randint(-127, 128, size=(32, 16)).astype(np.float32)
+    ints[0] = 127.0            # pin the per-channel max so scale recovers
+    w = ints * 0.003
+    q = quantize_int8(jnp.asarray(w), axis=-2)
+    np.testing.assert_allclose(np.asarray(dequantize_int8(q)), w,
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_int8_matmul_matches_dequant_matmul():
+    rng = np.random.RandomState(2)
+    w = rng.randn(48, 32).astype(np.float32) * 0.05
+    x = rng.randn(3, 5, 48).astype(np.float32)
+    q = quantize_int8(jnp.asarray(w), axis=-2)
+    got = np.asarray(int8_matmul(jnp.asarray(x), q))
+    ref = np.asarray(x @ np.asarray(dequantize_int8(q)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def _representable_decoder(params):
+    """Round every decoder matmul weight to its own int8 grid, so
+    quantization becomes exact and decode parity can be asserted
+    bit-for-bit."""
+    dec = dict(params["decoder"])
+    layers = dict(dec["layers"])
+    for t in DECODER_TARGETS:
+        layers[t] = dequantize_int8(quantize_int8(layers[t], axis=-2))
+    dec["layers"] = layers
+    dec["lm_head"] = dequantize_int8(quantize_int8(dec["lm_head"], axis=-2))
+    out = dict(params)
+    out["decoder"] = dec
+    return out
+
+
+def test_quantized_generate_matches_dense_on_representable_weights():
+    cfg, params = _tiny()
+    params = _representable_decoder(params)
+    qparams = dict(params)
+    qparams["decoder"] = quantize_decoder(params["decoder"])
+    # resident weight bytes actually shrink
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        quantized_bytes)
+    assert quantized_bytes(qparams["decoder"]) < \
+        quantized_bytes(params["decoder"])
+
+    ids, mask, px = _req(np.random.RandomState(3), 2, 9)
+    common = dict(max_new_tokens=8, eos_id=3, precision=FP32_PRECISION,
+                  use_flash=False)
+    dense = np.asarray(M.generate_greedy(params, cfg, ids, mask, px,
+                                         **common))
+    quant = np.asarray(M.generate_greedy(qparams, cfg, ids, mask, px,
+                                         **common))
+    assert dense.tolist() == quant.tolist()
+
+    beam_d = np.asarray(M.generate_beam(params, cfg, ids, mask, px,
+                                        num_beams=2, **common))
+    beam_q = np.asarray(M.generate_beam(qparams, cfg, ids, mask, px,
+                                        num_beams=2, **common))
+    assert beam_d.tolist() == beam_q.tolist()
+
+
+def test_quantized_chunked_decoder_runs():
+    from law_of_vision_representation_in_mllms_tpu.models.decode import (
+        ChunkedGreedyDecoder)
+    cfg, params = _tiny()
+    params = _representable_decoder(params)
+    qparams = dict(params)
+    qparams["decoder"] = quantize_decoder(params["decoder"])
+    ids, mask, px = _req(np.random.RandomState(4), 2, 9)
+    ref = np.asarray(M.generate_greedy(
+        params, cfg, ids, mask, px, max_new_tokens=8, eos_id=3,
+        precision=FP32_PRECISION, use_flash=False))
+    dec = ChunkedGreedyDecoder(qparams, cfg, eos_id=3,
+                               precision=FP32_PRECISION, chunk=4)
+    got = np.asarray(dec.generate(ids, mask, px, max_new_tokens=8))
+    assert got.tolist() == ref.tolist()
+
+
+def test_quantized_lora_delta_applies():
+    """LoRA adapters stay dense on top of a quantized base."""
+    from law_of_vision_representation_in_mllms_tpu.models.lora import (
+        LoraConfig, init_lora)
+    cfg, params = _tiny()
+    qdec = quantize_decoder(params["decoder"])
+    lcfg = LoraConfig(rank=2, targets=("wq",))
+    lora = init_lora(jax.random.PRNGKey(0), cfg.decoder, lcfg)
+    # non-zero B so the delta is visible
+    lora["wq_b"] = jnp.ones_like(lora["wq_b"]) * 0.1
+    rng = np.random.RandomState(5)
+    emb = jnp.asarray(rng.randn(1, 4, cfg.decoder.hidden_size)
+                      .astype(np.float32))
+    pos = jnp.arange(4)[None]
+    base, _ = L.forward(qdec, cfg.decoder, emb, pos,
+                        precision=FP32_PRECISION)
+    with_lora, _ = L.forward(qdec, cfg.decoder, emb, pos,
+                             precision=FP32_PRECISION, lora=lora,
+                             lora_scaling=lcfg.scaling)
+    assert not np.allclose(np.asarray(base), np.asarray(with_lora))
+
+
+def test_build_lmm_quantize_knob(tmp_path):
+    """model.quantize=int8 routes through the eval runner's build path."""
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        is_quantized)
+    from test_cli_runners import _tiny_train_config
+    from law_of_vision_representation_in_mllms_tpu.core.config import (
+        RunConfig)
+    from law_of_vision_representation_in_mllms_tpu.eval.runner import (
+        build_lmm)
+    d = _tiny_train_config(tmp_path)
+    d["model"]["vision_tower"] = "debug/tiny-vit"   # eval needs a real tower
+    d["model"]["quantize"] = "int8"
+    cfg = RunConfig.from_dict(d)
+    lmm = build_lmm(cfg)
+    assert is_quantized(lmm.params["decoder"]["layers"]["wq"])
+    assert is_quantized(lmm.params["decoder"]["lm_head"])
