@@ -512,9 +512,46 @@ def bench_decode_7b(results, quick=False):
 
     prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     cfg = llama.vicuna_7b()
-    params = jax.jit(
-        lambda k: llama.init_params(k, cfg, jnp.bfloat16))(
-            jax.random.PRNGKey(0))
+    quant = os.environ.get("LVR_DECODE_QUANT", "")
+    if quant == "int8":
+        # weight-only int8 decode (ops/quant.py): the matmul weights are
+        # initialized DIRECTLY as random int8 + per-channel scales (one
+        # program, no 13.4 GB dense intermediate), so resident params
+        # drop 13.4 -> ~6.9 GB and the param-read floor halves. Decode
+        # dynamics are identical to the dense bench (random argmax walk).
+        def _qinit(k):
+            d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+            nh, nkv, L = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+            keys = jax.random.split(k, 10)
+
+            def q(kk, *shape):
+                return {"q8": jax.random.randint(kk, shape, -127, 128,
+                                                 jnp.int8),
+                        "scale": jnp.full(shape[:-2] + (1, shape[-1]),
+                                          2e-4, jnp.float32)}
+
+            return {
+                "embed": jax.random.normal(
+                    keys[0], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
+                "layers": {
+                    "wq": q(keys[1], L, d, nh * hd),
+                    "wk": q(keys[2], L, d, nkv * hd),
+                    "wv": q(keys[3], L, d, nkv * hd),
+                    "wo": q(keys[4], L, nh * hd, d),
+                    "gate": q(keys[5], L, d, i),
+                    "up": q(keys[6], L, d, i),
+                    "down": q(keys[7], L, i, d),
+                    "rms1": jnp.ones((L, d), jnp.bfloat16),
+                    "rms2": jnp.ones((L, d), jnp.bfloat16),
+                },
+                "final_norm": jnp.ones((d,), jnp.bfloat16),
+                "lm_head": q(keys[8], d, cfg.vocab_size),
+            }
+        params = jax.jit(_qinit)(jax.random.PRNGKey(0))
+    else:
+        params = jax.jit(
+            lambda k: llama.init_params(k, cfg, jnp.bfloat16))(
+                jax.random.PRNGKey(0))
     # batch 2 is the historical record; the decode step reads all 13.4 GB
     # of weights once per step regardless of batch, so tokens/sec scales
     # nearly linearly in b until the cache/activation term bites —
@@ -541,11 +578,12 @@ def bench_decode_7b(results, quick=False):
     prefill = jax.jit(_prefill)
 
     iters = 2 if quick else 4
+    qsuf = "_int8" if quant == "int8" else ""
     dt = _timed(lambda i: prefill(params, i), (ids,),
                 [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
                 lambda o: int(o[1][0]))
     tflops = 2 * 6.74e9 * b * l / dt / 1e12
-    results.append({"metric": f"vicuna7b_prefill512_b{b}_ms",
+    results.append({"metric": f"vicuna7b_prefill512_b{b}_ms{qsuf}",
                     "value": round(dt * 1000, 1), "unit": "ms",
                     "tflops_s": round(tflops, 1)})
 
@@ -568,29 +606,30 @@ def bench_decode_7b(results, quick=False):
                          -1).astype(jnp.int32)
         return cache, nxt
 
-    cache, tok = prefill(params, ids)
     t_arr = jnp.full((b,), l, jnp.int32)
-    steps = 8 if quick else min(24, n_new - 1)
-    # compile + warm at an offset OUTSIDE the measured 0..steps-1 range:
-    # after the re-prefill the cache/tok values repeat, so a warm at
-    # t_arr+0 would make the first measured dispatch byte-identical and
-    # the axon relay would serve it from cache (CLAUDE.md bench rule)
-    cache, tok = one_step(params, cache, tok, t_arr + jnp.int32(steps))
-    int(tok[0])
-    cache, tok = prefill(params, ids)
-    t0 = time.perf_counter()
-    for i in range(steps):
-        cache, tok = one_step(params, cache, tok,
-                              t_arr + jnp.int32(i))
-    _ = int(tok[0])
-    per_step = (time.perf_counter() - t0) / steps
-    results.append({
-        "metric": "vicuna7b_decode_step_hostloop_tok_s"
-                  + ("" if b == 2 else f"_b{b}"),
-        "value": round(b / per_step, 1), "unit": "tokens/sec",
-        "note": "LOWER bound: includes axon relay per-dispatch latency "
-                "(param-read HBM roofline = 61 steps/s); superseded by "
-                "the negotiated-layout chunked path below"})
+    if not quant:   # host-loop row is a relay-bound lower bound; skip
+        cache, tok = prefill(params, ids)   # for int8 (compile budget)
+        steps = 8 if quick else min(24, n_new - 1)
+        # compile + warm at an offset OUTSIDE the measured 0..steps-1
+        # range: after the re-prefill the cache/tok values repeat, so a
+        # warm at t_arr+0 would make the first measured dispatch byte-
+        # identical and the axon relay would serve it from cache
+        cache, tok = one_step(params, cache, tok, t_arr + jnp.int32(steps))
+        int(tok[0])
+        cache, tok = prefill(params, ids)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            cache, tok = one_step(params, cache, tok,
+                                  t_arr + jnp.int32(i))
+        _ = int(tok[0])
+        per_step = (time.perf_counter() - t0) / steps
+        results.append({
+            "metric": "vicuna7b_decode_step_hostloop_tok_s"
+                      + ("" if b == 2 else f"_b{b}"),
+            "value": round(b / per_step, 1), "unit": "tokens/sec",
+            "note": "LOWER bound: includes axon relay per-dispatch latency "
+                    "(param-read HBM roofline = 61 steps/s); superseded by "
+                    "the negotiated-layout chunked path below"})
 
     # ---- chunked decode (VERDICT r2 #2): fixed small scan per dispatch,
     # compiled with NEGOTIATED boundary layouts (models/layouts.py). With
@@ -668,7 +707,7 @@ def bench_decode_7b(results, quick=False):
         per_tok = (time.perf_counter() - t0c) / (n_chunks * chunk)
         results.append({
             "metric": "vicuna7b_decode_chunked_tok_s"
-                      + ("" if b == 2 else f"_b{b}"),
+                      + ("" if b == 2 else f"_b{b}") + qsuf,
             "value": round(b / per_tok, 1), "unit": "tokens/sec",
             "chunk": chunk,
             "cache_layout": "auto" if cache_auto else "default",
@@ -679,7 +718,7 @@ def bench_decode_7b(results, quick=False):
     except Exception as e:  # noqa: BLE001 — record compile-budget failures
         results.append({
             "metric": "vicuna7b_decode_chunked_tok_s"
-                      + ("" if b == 2 else f"_b{b}"), "value": None,
+                      + ("" if b == 2 else f"_b{b}") + qsuf, "value": None,
             "unit": "tokens/sec", "chunk": chunk,
             "note": ("chunked scan failed to compile: "
                      f"{type(e).__name__}: {str(e)[:300]}")})

@@ -80,6 +80,7 @@ class LlavaLMM(LMM):
         # host-side sampling stream (gen_kwargs temperature/top_p — the
         # reference's do_sample routing, lmms_eval/models/llava.py:415-417)
         self._sample_rng = jax.random.PRNGKey(sample_seed)
+        self._clamp_checked = False
 
     # ------------------------------------------------------------------
 
@@ -121,7 +122,41 @@ class LlavaLMM(LMM):
             ids[i, :len(x)] = x
             mask[i, :len(x)] = True
         pixels = self._pixels(requests)
+        self._maybe_clamp_guard(pixels)
         return jnp.asarray(ids), jnp.asarray(mask), pixels
+
+    def _uses_expclamp(self) -> bool:
+        from ..models.diffusion_blocks import current_attn_impl
+        for e in self.cfg.tower_spec.entries:
+            vc = getattr(e, "vit_config", None)
+            if vc is not None and \
+                    str(vc.attn_impl).startswith("xla_expclamp"):
+                return True
+        if self.diffusion_apply is not None:
+            di = current_attn_impl() or ""
+            # "auto" routes short-seq diffusion attention to the fused
+            # no-max softmax too (models/diffusion_blocks._attn)
+            if di.startswith("xla_expclamp") or di == "auto":
+                return True
+        return False
+
+    def _maybe_clamp_guard(self, pixels):
+        """First-batch logit-headroom check for the fused no-max softmax
+        production defaults (ops/clamp_guard.py, VERDICT r3 #5): one
+        extra tower-only forward per process validates this checkpoint's
+        attention logits stay clear of the expclamp clamp. Raises for
+        out-of-range checkpoints; LVR_CLAMP_GUARD=0 bypasses."""
+        if self._clamp_checked:
+            return
+        self._clamp_checked = True
+        from ..ops import clamp_guard
+        if not (clamp_guard.guard_enabled() and self._uses_expclamp()):
+            return
+        clamp_guard.check_clamp_headroom(
+            lambda *px: M.encode_images(self.params, self.cfg, list(px),
+                                        self.precision,
+                                        self.diffusion_apply),
+            *pixels, label="tower encode (first batch)")
 
     def _gen_fn(self, seq_len: int, max_new: int,
                 sampling: bool = False, num_beams: int = 1):

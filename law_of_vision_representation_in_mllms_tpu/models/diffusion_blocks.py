@@ -36,6 +36,14 @@ def set_attn_impl(impl: Optional[str]) -> None:
     _ATTN_IMPL_OVERRIDE = impl
 
 
+def current_attn_impl() -> Optional[str]:
+    """The impl `_attn` will resolve at the next trace (override or
+    LVR_DIFFUSION_ATTN). Used by ops/clamp_guard wiring to decide
+    whether a first-batch logit-headroom check is needed."""
+    import os
+    return _ATTN_IMPL_OVERRIDE or os.environ.get("LVR_DIFFUSION_ATTN")
+
+
 # seq length at/above which "auto" routes to the Pallas flash kernel:
 # at SD1.5@768 the 96x96 self-attentions (seq 9216) write [B,H,S,S]
 # logits = ~1.3 GB/image/layer of HBM traffic under any XLA softmax;

@@ -12,8 +12,36 @@ Replaces the reference's flash-attn CUDA monkey-patch
 
 from __future__ import annotations
 
+import contextlib
+
 import jax.numpy as jnp
 from jax import lax
+
+# Trace-time capture hook for the clamp guard (ops/clamp_guard.py): while
+# a `capture_logit_maxes()` context is active, every `mha_expnomax*` call
+# traced inside it appends its per-call max scaled logit. The production
+# programs are unaffected (the hook is None outside guard traces).
+_LOGIT_CAPTURE: list | None = None
+
+
+@contextlib.contextmanager
+def capture_logit_maxes():
+    """Collect the traced max attention logit of every expclamp call
+    traced within the context. Usable only around python-loop model
+    bodies (all expclamp users: ViT towers, UNet/DiT/MMDiT blocks) —
+    a lax.scan body would leak tracers, and none of the users scan."""
+    global _LOGIT_CAPTURE
+    prev = _LOGIT_CAPTURE
+    _LOGIT_CAPTURE = acc = []
+    try:
+        yield acc
+    finally:
+        _LOGIT_CAPTURE = prev
+
+
+def _capture_max(logits):
+    if _LOGIT_CAPTURE is not None:
+        _LOGIT_CAPTURE.append(jnp.max(logits).astype(jnp.float32))
 
 
 def mha(q, k, v, *, bias=None, mask=None, scale: float | None = None,
@@ -119,6 +147,7 @@ def mha_expnomax(q, k, v, *, scale: float | None = None, clamp: float = 85.0,
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=accum_dtype)
     logits = logits * jnp.asarray(scale, accum_dtype)
+    _capture_max(logits)
     p = jnp.exp(jnp.minimum(logits, jnp.asarray(clamp, accum_dtype)))
     l = jnp.sum(p.astype(jnp.float32), axis=-1)            # [B,H,Sq] fp32
     l = jnp.maximum(l, 1e-35)
@@ -154,6 +183,7 @@ def mha_expnomax_fused(q, k, v, *, scale: float | None = None,
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=accum_dtype)
     logits = logits * jnp.asarray(scale, accum_dtype)
+    _capture_max(logits)
     p = jnp.exp(jnp.minimum(logits, jnp.asarray(clamp, accum_dtype)))
     v_aug = jnp.concatenate(
         [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1)

@@ -32,9 +32,25 @@ def make_vit_extractor(cfg: ViTConfig, params, *, select_layer: int = -2,
                        precision: Precision = DEFAULT_PRECISION):
     tower = ViTTower(cfg, select_layer, select_feature, precision)
 
+    checked = []
+
     @jax.jit
     def fn(pixels):
         return tower.apply({"params": params}, pixels)
+
+    if str(cfg.attn_impl).startswith("xla_expclamp"):
+        # first-batch clamp guard for the fused no-max softmax
+        # (ops/clamp_guard.py, VERDICT r3 #5)
+        def guarded(pixels):
+            if not checked:
+                checked.append(True)
+                from ..ops import clamp_guard
+                if clamp_guard.guard_enabled():
+                    clamp_guard.check_clamp_headroom(
+                        lambda px: tower.apply({"params": params}, px),
+                        pixels, label=f"tower {cfg.attn_impl}")
+            return fn(pixels)
+        return guarded
     return fn
 
 
