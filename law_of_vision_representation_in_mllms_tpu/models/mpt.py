@@ -7,9 +7,11 @@ checkpoints: `norm.py LPLayerNorm`), fused-qkv attention without biases,
 GELU MLP, tied embeddings for the LM head.
 
 Same functional stacked-params + lax.scan design as models/llama.py; the
-Triton kernel's job is covered by `ops/flash_attention.py` (ALiBi is folded
-into the mask-bias path of the XLA attention; flash+bias lands later).
-Golden-tested vs HF MptForCausalLM.
+Triton kernel's job is covered by `ops/flash_attention.py`: `use_flash`
+runs the Pallas flash kernel with the ALiBi bias generated in-kernel
+from the per-head slopes (zero HBM bias traffic — the Triton kernel
+loads a materialized bias). Golden-tested vs HF MptForCausalLM; flash
+fwd+grad parity in tests/test_mpt.py.
 """
 
 from __future__ import annotations
@@ -94,12 +96,24 @@ def _ln(x, weight, eps):
 
 
 def forward(params, cfg: MptConfig, input_ids, *, attn_mask=None,
-            precision: Precision = DEFAULT_PRECISION):
-    """input_ids [B, S] -> logits [B, S, V] (tied lm head)."""
+            precision: Precision = DEFAULT_PRECISION,
+            use_flash: bool | None = None):
+    """input_ids [B, S] -> logits [B, S, V] (tied lm head).
+
+    use_flash routes attention through the Pallas flash kernel with the
+    ALiBi bias generated IN-KERNEL from the per-head slopes
+    (ops/flash_attention.py alibi_slopes) — the reference's Triton
+    branch (`mpt/flash_attn_triton.py`) materializes a bias tensor
+    instead. Like the LLaMA flash path it assumes right padding
+    (causality makes padded keys unreachable from valid queries).
+    None = flash on TPU, XLA elsewhere."""
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
     cd = precision.compute_dtype
     b, s = input_ids.shape
     h = params["embed"][jnp.clip(input_ids, 0, cfg.vocab_size - 1)
                         ].astype(cd)
+    slopes = alibi_slopes(cfg.num_heads, cfg.alibi_bias_max)
     bias = alibi_bias(cfg.num_heads, s, cfg.alibi_bias_max)   # [H,1,S]
     causal = jnp.tril(jnp.ones((s, s), bool))
     mask = causal[None, None]
@@ -116,13 +130,19 @@ def forward(params, cfg: MptConfig, input_ids, *, attn_mask=None,
         def heads(t):
             return t.reshape(b, s, cfg.num_heads, hd)
         q, k, v = heads(q), heads(k), heads(v)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits * (hd ** -0.5) + bias[None]
-        logits = jnp.where(mask, logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1).astype(cd)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                          preferred_element_type=jnp.float32).astype(cd)
+        if use_flash:
+            from ..ops.flash_attention import flash_mha_trainable
+            attn = flash_mha_trainable(q, k, v, causal=True,
+                                       alibi_slopes=slopes).astype(cd)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * (hd ** -0.5) + bias[None]
+            logits = jnp.where(mask, logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1).astype(cd)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                              preferred_element_type=jnp.float32
+                              ).astype(cd)
         x = x + attn.reshape(b, s, cfg.hidden_size) @ lp["wo"].astype(cd)
         hn = _ln(x, lp["ln2"], cfg.ln_eps)
         hn = jax.nn.gelu(hn @ lp["up"].astype(cd), approximate=False)

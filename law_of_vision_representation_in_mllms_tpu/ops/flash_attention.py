@@ -25,9 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr, *,
-            scale: float, causal: bool, kv_len: int, block_q: int,
-            block_k: int):
+def _kernel(q_ref, k_ref, v_ref, *rest, scale: float, causal: bool,
+            kv_len: int, block_q: int, block_k: int, alibi: bool):
+    if alibi:
+        slope_ref, out_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        out_ref, m_scr, l_scr, acc_scr = rest
+        slope_ref = None
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -47,6 +51,14 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr, *,
     qb = pl.program_id(1)
     k_idx = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, 1)
+    if alibi:
+        # ALiBi additive bias computed IN-KERNEL from the per-head slope
+        # (the reference Triton kernel loads a materialized bias tensor,
+        # flash_attn_triton.py; here the bias costs zero HBM traffic).
+        # MPT form: slope * (j - (S-1)) per key j (models/mpt.alibi_bias)
+        # — the per-row-constant offset is softmax-invariant but kept for
+        # numerics parity with the unfused path.
+        s = s + slope_ref[0, 0] * (k_idx - (kv_len - 1)).astype(jnp.float32)
     mask = k_idx < kv_len
     if causal:
         q_idx = qb * block_q + jax.lax.broadcasted_iota(
@@ -76,12 +88,15 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr, *,
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
                                              "block_k", "kv_len",
                                              "interpret"))
-def flash_attention_bhsd(q, k, v, *, causal: bool = False,
+def flash_attention_bhsd(q, k, v, alibi_slopes=None, *,
+                         causal: bool = False,
                          scale: float | None = None,
                          kv_len: int | None = None, block_q: int = 256,
                          block_k: int = 512, interpret: bool = False):
     """q: [BH, Sq, D]; k, v: [BH, Skv, D] (padded to block multiples).
-    kv_len: number of valid kv positions (defaults to Skv)."""
+    kv_len: number of valid kv positions (defaults to Skv).
+    alibi_slopes: optional [BH] per-(batch,head) ALiBi slopes — the bias
+    is generated in-kernel (no [Sq,Skv] bias tensor ever exists)."""
     bh, sq, d = q.shape
     _, skv, _ = k.shape
     if scale is None:
@@ -93,20 +108,29 @@ def flash_attention_bhsd(q, k, v, *, causal: bool = False,
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(skv, block_k)
 
+    alibi = alibi_slopes is not None
     kernel = functools.partial(_kernel, scale=scale, causal=causal,
                                kv_len=kv_len, block_q=block_q,
-                               block_k=block_k)
+                               block_k=block_k, alibi=alibi)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = (q, k, v)
+    if alibi:
+        slopes8 = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32)[:, None], (bh, 8))
+        in_specs.append(pl.BlockSpec((1, 8), lambda b, i, j: (b, 0),
+                                     memory_space=pltpu.VMEM))
+        args = (q, k, v, slopes8)
     return pl.pallas_call(
         kernel,
         grid=(bh, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
@@ -122,7 +146,7 @@ def flash_attention_bhsd(q, k, v, *, causal: bool = False,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -130,11 +154,12 @@ def _round_up(n: int, m: int) -> int:
 
 
 def flash_mha(q, k, v, *, causal: bool = False, scale: float | None = None,
-              block_q: int = 256, block_k: int = 512,
+              alibi_slopes=None, block_q: int = 256, block_k: int = 512,
               interpret: bool | None = None):
     """Drop-in for ops.attention.mha: q [B, Sq, H, D], k/v [B, Skv, H, D].
     Pads sequences to block multiples internally. interpret=None runs the
-    compiled kernel on TPU and the interpreter elsewhere (CPU tests)."""
+    compiled kernel on TPU and the interpreter elsewhere (CPU tests).
+    alibi_slopes: optional [H] ALiBi slopes (MPT), tiled over batch."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, sq, h, d = q.shape
@@ -162,9 +187,12 @@ def flash_mha(q, k, v, *, causal: bool = False, scale: float | None = None,
         return x
 
     qf, kf, vf = fold(q, sq, sq_p), fold(k, skv, skv_p), fold(v, skv, skv_p)
-    out = flash_attention_bhsd(qf, kf, vf, causal=causal, scale=scale,
-                               kv_len=skv, block_q=bq, block_k=bk,
-                               interpret=interpret)
+    slopes_bh = None
+    if alibi_slopes is not None:
+        slopes_bh = jnp.tile(jnp.asarray(alibi_slopes, jnp.float32), b)
+    out = flash_attention_bhsd(qf, kf, vf, slopes_bh, causal=causal,
+                               scale=scale, kv_len=skv, block_q=bq,
+                               block_k=bk, interpret=interpret)
     out = out[:, :sq].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
 
@@ -180,8 +208,13 @@ def flash_mha(q, k, v, *, causal: bool = False, scale: float | None = None,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_lse_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr,
-                    acc_scr, *, scale, causal, kv_len, block_q, block_k):
+def _fwd_lse_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, kv_len,
+                    block_q, block_k, alibi):
+    if alibi:
+        slope_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        out_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+        slope_ref = None
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -198,6 +231,8 @@ def _fwd_lse_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr,
                             preferred_element_type=jnp.float32) * scale
     qb = pl.program_id(1)
     k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if alibi:
+        s = s + slope_ref[0, 0] * (k_idx - (kv_len - 1)).astype(jnp.float32)
     mask = k_idx < kv_len
     if causal:
         q_idx = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape,
@@ -226,10 +261,12 @@ def _fwd_lse_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr,
 
 
 def _recompute_p(q, k, scale, lse, qb, kb, block_q, block_k, causal,
-                 kv_len):
+                 kv_len, slope=None):
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if slope is not None:
+        s = s + slope * (k_idx - (kv_len - 1)).astype(jnp.float32)
     mask = k_idx < kv_len
     if causal:
         q_idx = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape,
@@ -239,8 +276,14 @@ def _recompute_p(q, k, scale, lse, qb, kb, block_q, block_k, causal,
     return p
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_scr, *, scale, causal, kv_len, block_q, block_k):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                   scale, causal, kv_len, block_q, block_k, alibi):
+    if alibi:
+        slope_ref, dq_ref, dq_scr = rest
+        slope = slope_ref[0, 0]
+    else:
+        dq_ref, dq_scr = rest
+        slope = None
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -255,7 +298,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     lse = lse_ref[0][:, 0:1]
     delta = delta_ref[0][:, 0:1]
     p = _recompute_p(q, k, scale, lse, pl.program_id(1), kb, block_q,
-                     block_k, causal, kv_len)
+                     block_k, causal, kv_len, slope)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
@@ -269,8 +312,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal,
-                    kv_len, block_q, block_k):
+                    *rest, scale, causal, kv_len, block_q, block_k,
+                    alibi):
+    if alibi:
+        slope_ref, dk_ref, dv_ref, dk_scr, dv_scr = rest
+        slope = slope_ref[0, 0]
+    else:
+        dk_ref, dv_ref, dk_scr, dv_scr = rest
+        slope = None
     qb = pl.program_id(2)
     nq = pl.num_programs(2)
 
@@ -286,7 +335,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0][:, 0:1]
     delta = delta_ref[0][:, 0:1]
     p = _recompute_p(q, k, scale, lse, qb, pl.program_id(1), block_q,
-                     block_k, causal, kv_len)
+                     block_k, causal, kv_len, slope)
     dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -302,26 +351,33 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_fwd_lse(q, k, v, *, scale, causal, kv_len, block_q, block_k,
-                   interpret):
+def _flash_fwd_lse(q, k, v, slopes8, *, scale, causal, kv_len, block_q,
+                   block_k, interpret):
     bh, sq, d = q.shape
     _, skv, _ = k.shape
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(skv, block_k)
+    alibi = slopes8 is not None
     kernel = functools.partial(_fwd_lse_kernel, scale=scale, causal=causal,
                                kv_len=kv_len, block_q=block_q,
-                               block_k=block_k)
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=(bh, nq, nk),
-        in_specs=[
+                               block_k=block_k, alibi=alibi)
+    in_specs = [
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    args = (q, k, v)
+    if alibi:
+        in_specs.append(pl.BlockSpec((1, 8), lambda b, i, j: (b, 0),
+                                     memory_space=pltpu.VMEM))
+        args = (q, k, v, slopes8)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -340,16 +396,19 @@ def _flash_fwd_lse(q, k, v, *, scale, causal, kv_len, block_q, block_k,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
     return out, lse
 
 
 def flash_attention_trainable(q, k, v, *, causal: bool = False,
                               scale: float | None = None,
+                              alibi_slopes=None,
                               kv_len: int | None = None,
                               block_q: int = 256, block_k: int = 512,
                               interpret: bool | None = None):
-    """Differentiable flash attention on [BH, S, D] (padded to blocks)."""
+    """Differentiable flash attention on [BH, S, D] (padded to blocks).
+    alibi_slopes: optional [BH] in-kernel ALiBi bias (no slope grads —
+    MPT's slopes are deterministic constants, mpt/attention.py)."""
     bh, sq, d = q.shape
     _, skv, _ = k.shape
     if scale is None:
@@ -358,22 +417,35 @@ def flash_attention_trainable(q, k, v, *, causal: bool = False,
         kv_len = skv
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    alibi = alibi_slopes is not None
+    if alibi:
+        slopes8 = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32)[:, None], (bh, 8))
+    else:
+        # dummy operand: custom_vjp args must be arrays, and the slopes
+        # must be a FORMAL argument (closing over a traced value leaks
+        # tracers when this runs inside a lax.scan body)
+        slopes8 = jnp.zeros((bh, 8), jnp.float32)
+    slope_spec = pl.BlockSpec((1, 8), lambda b, i, j: (b, 0),
+                              memory_space=pltpu.VMEM)
 
     @jax.custom_vjp
-    def _attn(q, k, v):
-        out, _ = _flash_fwd_lse(q, k, v, scale=scale, causal=causal,
-                                kv_len=kv_len, block_q=block_q,
-                                block_k=block_k, interpret=interpret)
+    def _attn(q, k, v, s8):
+        out, _ = _flash_fwd_lse(q, k, v, s8 if alibi else None,
+                                scale=scale, causal=causal, kv_len=kv_len,
+                                block_q=block_q, block_k=block_k,
+                                interpret=interpret)
         return out
 
-    def _fwd(q, k, v):
-        out, lse = _flash_fwd_lse(q, k, v, scale=scale, causal=causal,
+    def _fwd(q, k, v, s8):
+        out, lse = _flash_fwd_lse(q, k, v, s8 if alibi else None,
+                                  scale=scale, causal=causal,
                                   kv_len=kv_len, block_q=block_q,
                                   block_k=block_k, interpret=interpret)
-        return out, (q, k, v, out, lse)
+        return out, (q, k, v, out, lse, s8)
 
     def _bwd(res, do):
-        q, k, v, out, lse = res
+        q, k, v, out, lse, slopes8 = res
         delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                         axis=-1, keepdims=True)                  # [BH,S,1]
         delta8 = jnp.broadcast_to(delta, (*delta.shape[:2], 8))
@@ -393,12 +465,17 @@ def flash_attention_trainable(q, k, v, *, causal: bool = False,
             pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),                 # delta
         ]
+        dq_args = (q, k, v, do, lse, delta8)
+        dq_in = list(common_in)
+        if alibi:
+            dq_in.append(slope_spec)
+            dq_args = dq_args + (slopes8,)
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                               kv_len=kv_len, block_q=block_q,
-                              block_k=block_k),
+                              block_k=block_k, alibi=alibi),
             grid=(bh, nq, nk),
-            in_specs=common_in,
+            in_specs=dq_in,
             out_specs=pl.BlockSpec((1, block_q, d),
                                    lambda b, i, j: (b, i, 0),
                                    memory_space=pltpu.VMEM),
@@ -407,7 +484,7 @@ def flash_attention_trainable(q, k, v, *, causal: bool = False,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
-        )(q, k, v, do, lse, delta8)
+        )(*dq_args)
 
         # dk/dv: swap inner grid to loop q blocks per k block
         dkv_in = [
@@ -424,10 +501,14 @@ def flash_attention_trainable(q, k, v, *, causal: bool = False,
             pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),                 # delta
         ]
+        dkv_args = (q, k, v, do, lse, delta8)
+        if alibi:
+            dkv_in.append(slope_spec)
+            dkv_args = dkv_args + (slopes8,)
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
                               kv_len=kv_len, block_q=block_q,
-                              block_k=block_k),
+                              block_k=block_k, alibi=alibi),
             grid=(bh, nk, nq),
             in_specs=dkv_in,
             out_specs=(
@@ -445,18 +526,21 @@ def flash_attention_trainable(q, k, v, *, causal: bool = False,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
-        )(q, k, v, do, lse, delta8)
-        return dq, dk, dv
+        )(*dkv_args)
+        # ALiBi slopes are deterministic constants (mpt/attention.py) —
+        # no slope gradient
+        return dq, dk, dv, jnp.zeros_like(slopes8)
 
     _attn.defvjp(_fwd, _bwd)
-    return _attn(q, k, v)
+    return _attn(q, k, v, slopes8)
 
 
 def flash_mha_trainable(q, k, v, *, causal: bool = False,
-                        scale: float | None = None, block_q: int = 256,
-                        block_k: int = 512,
+                        scale: float | None = None, alibi_slopes=None,
+                        block_q: int = 256, block_k: int = 512,
                         interpret: bool | None = None):
-    """Differentiable drop-in for mha: q [B, Sq, H, D], k/v [B, Skv, H, D]."""
+    """Differentiable drop-in for mha: q [B, Sq, H, D], k/v [B, Skv, H, D].
+    alibi_slopes: optional [H] ALiBi slopes (MPT), tiled over batch."""
     b, sq, h, d = q.shape
     _, skv, _, _ = k.shape
 
@@ -478,9 +562,12 @@ def flash_mha_trainable(q, k, v, *, causal: bool = False,
             x = jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
         return x
 
+    slopes_bh = None
+    if alibi_slopes is not None:
+        slopes_bh = jnp.tile(jnp.asarray(alibi_slopes, jnp.float32), b)
     out = flash_attention_trainable(
         fold(q, sq, sq_p), fold(k, skv, skv_p), fold(v, skv, skv_p),
-        causal=causal, scale=scale, kv_len=skv, block_q=bq, block_k=bk,
-        interpret=interpret)
+        causal=causal, scale=scale, alibi_slopes=slopes_bh, kv_len=skv,
+        block_q=bq, block_k=bk, interpret=interpret)
     out = out[:, :sq].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))

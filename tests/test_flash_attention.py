@@ -141,3 +141,47 @@ def test_training_step_with_flash():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fl)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
                                    rtol=1e-3)
+
+
+def test_flash_alibi_matches_biased_mha():
+    """In-kernel ALiBi bias vs the unfused mha with the same additive
+    bias (the reference Triton kernel's bias capability,
+    `mpt/flash_attn_triton.py` — expressed as per-head slopes)."""
+    from law_of_vision_representation_in_mllms_tpu.models.mpt import (
+        alibi_bias, alibi_slopes)
+    b, s, h, d = 2, 130, 4, 16
+    q, k, v = (_rand((b, s, h, d), 30 + i) for i in range(3))
+    slopes = alibi_slopes(h)
+    bias = alibi_bias(h, s)[None]                      # [1,H,1,S]
+    ref = np.asarray(mha(q, k, v, bias=bias,
+                         mask=causal_mask(s, s)[None, None]))
+    got = np.asarray(flash_mha(q, k, v, causal=True, alibi_slopes=slopes,
+                               block_q=128, block_k=128, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_trainable_flash_alibi_grads_match_xla():
+    import jax
+    from law_of_vision_representation_in_mllms_tpu.models.mpt import (
+        alibi_bias, alibi_slopes)
+    from law_of_vision_representation_in_mllms_tpu.ops.flash_attention \
+        import flash_mha_trainable
+    b, s, h, d = 1, 96, 2, 16
+    q, k, v = (_rand((b, s, h, d), 40 + i) for i in range(3))
+    slopes = alibi_slopes(h)
+    bias = alibi_bias(h, s)[None]
+
+    def loss_ref(q, k, v):
+        o = mha(q, k, v, bias=bias, mask=causal_mask(s, s)[None, None])
+        return jnp.sum(o * o)
+
+    def loss_flash(q, k, v):
+        o = flash_mha_trainable(q, k, v, causal=True, alibi_slopes=slopes,
+                                block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o * o)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=5e-5, rtol=1e-3)

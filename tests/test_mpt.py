@@ -34,3 +34,29 @@ def test_alibi_slopes_match_hf():
         ref = build_mpt_alibi_tensor(h, 12).numpy()   # [H, 1, S]
         got = np.asarray(M.alibi_bias(h, 12))
         np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_mpt_flash_matches_xla_forward_and_grads():
+    """use_flash routes MPT through the Pallas kernel with in-kernel
+    ALiBi (VERDICT r3 #8): logits and wqkv grads match the XLA path."""
+    cfg = M.tiny(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4)
+    params = jax.tree.map(
+        jnp.asarray, M.init_params(jax.random.PRNGKey(1), cfg))
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 64, size=(2, 9)))
+
+    ref = np.asarray(M.forward(params, cfg, ids, precision=FP32_PRECISION,
+                               use_flash=False))
+    got = np.asarray(M.forward(params, cfg, ids, precision=FP32_PRECISION,
+                               use_flash=True))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-4)
+
+    def loss(p, flash):
+        lg = M.forward(p, cfg, ids, precision=FP32_PRECISION,
+                       use_flash=flash)
+        return jnp.mean(jax.nn.log_softmax(lg)[:, :-1, 0])
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fl = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=2e-3)
