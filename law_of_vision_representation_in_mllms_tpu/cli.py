@@ -97,6 +97,10 @@ def main(argv=None):
     p.add_argument("--prefix-cache", type=int, default=0,
                    help="--inflight: prompt-KV LRU entries (repeat "
                         "prompts skip tower+prefill entirely; 0 = off)")
+    p.add_argument("--prefix-block", type=int, default=64,
+                   help="--prefix-cache: partial-prefix reuse granularity "
+                        "in spliced KV positions (shared system prompts "
+                        "prefill only their text suffix)")
 
     p = sub.add_parser("sam-masks",
                        help="GeoAware foreground masks via box-prompted "
@@ -608,6 +612,7 @@ def _cmd_serve(args):
                          "gen_cap": args.gen_cap,
                          "chunk": args.decode_chunk_serve,
                          "prefix_cache": args.prefix_cache,
+                         "prefix_block": args.prefix_block,
                      } if args.inflight else None)
     print(f"serving {args.model} on http://{args.host}:{srv.port}/v1",
           file=sys.stderr)

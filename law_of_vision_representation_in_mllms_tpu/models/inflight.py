@@ -40,11 +40,15 @@ KV rows (plus first token / position / validity row) are kept in an LRU
 of N entries keyed by the request's token ids + pixel bytes; a hit
 admits by splicing the stored rows straight into a slot — ZERO prefill
 FLOPs, no tower pass, no dispatch beyond the donated row install.
-Partial-prefix reuse is intentionally out: it would prefill from a
-mid-cache position, multiplying compiled suffix-bucket programs against
-this environment's 5-10 min/program remote-compile worst case for a
-secondary win (the tower+prefill cost is dominated by the full-match
-case it already covers).
+PARTIAL-prefix reuse (round 4) covers the shared-system-prompt case the
+exact match misses: a new prompt sharing a leading run of tokens (and
+the same image) with any stored entry reuses that entry's first `p`
+spliced KV positions — `p` = the longest common prefix rounded down to
+``prefix_block`` — and prefills only the text suffix from position `p`
+through one bucketed suffix program (no tower pass, no full prefill).
+The combined prompt is stored back, so exact repeats of the new prompt
+then hit fully. Suffixes containing the image token fall back to the
+full prefill (a tower pass is needed anyway).
 
 Per-slot sampling: `submit(..., temperature=, top_p=)` decodes that
 request by temperature/top-p sampling (models/sampling.py) while its
@@ -72,7 +76,8 @@ from jax import lax
 from ..core.precision import Precision, DEFAULT_PRECISION
 from . import llama as L
 from . import llava as M
-from .splice import IGNORE_INDEX, splice_plan, splice_embeds
+from .splice import (IGNORE_INDEX, IMAGE_TOKEN_INDEX, splice_plan,
+                     splice_embeds)
 
 
 def _bucket(n: int, minimum: int = 32) -> int:
@@ -84,8 +89,8 @@ def _bucket(n: int, minimum: int = 32) -> int:
 
 class _Request:
     __slots__ = ("ids", "mask", "pixels", "max_new", "tokens", "event",
-                 "error", "stream_q", "cancelled", "key", "temperature",
-                 "top_p")
+                 "error", "stream_q", "cancelled", "key", "pixkey",
+                 "temperature", "top_p")
 
     def __init__(self, ids, mask, pixels, max_new, temperature=0.0,
                  top_p=1.0):
@@ -96,6 +101,7 @@ class _Request:
         self.temperature = temperature
         self.top_p = top_p
         self.key: Optional[bytes] = None   # prompt-cache key (lazy)
+        self.pixkey: Optional[bytes] = None  # pixels-only hash (lazy)
         self.tokens: List[int] = []
         self.event = threading.Event()
         self.error: Optional[Exception] = None
@@ -137,7 +143,8 @@ class InflightEngine:
                  precision: Precision = DEFAULT_PRECISION,
                  diffusion_apply=None, use_flash: Optional[bool] = None,
                  negotiate_layouts: bool = False,
-                 prefix_cache: int = 0, sample_seed: int = 0):
+                 prefix_cache: int = 0, prefix_block: int = 64,
+                 sample_seed: int = 0):
         """``negotiate_layouts=True`` compiles the slot-step program with
         AUTO boundary layouts and relays out the params + cache ONCE into
         XLA's negotiated formats, CONSUMING the source buffers — the same
@@ -169,10 +176,14 @@ class InflightEngine:
         self._step_fn = None
         self._install_fns: Dict[int, callable] = {}
         self._extract_fns: Dict[int, callable] = {}
-        # prompt-KV LRU: key -> (k=1 local cache, first, n_valid, prow)
+        # prompt-KV LRU: key -> (k=1 local cache, first, last_logits,
+        # n_valid, prow, valid token ids, pixel hash, image-token index)
         self.prefix_cache = prefix_cache
+        self.prefix_block = prefix_block
         self._prefix_store: "OrderedDict[bytes, tuple]" = OrderedDict()
         self.prefix_hits = 0
+        self.partial_hits = 0
+        self._suffix_fns: Dict = {}
         self.negotiate_layouts = negotiate_layouts
         self._param_formats = None
         self._cache_formats = None
@@ -342,6 +353,120 @@ class InflightEngine:
             req.key = h.digest()
         return req.key
 
+    @staticmethod
+    def _pix_key(req: _Request) -> bytes:
+        """Pixels-only identity (partial-prefix matching: two requests
+        sharing leading text + the SAME image can share spliced KV)."""
+        if req.pixkey is None:
+            h = hashlib.sha1()
+            for p in req.pixels:
+                a = np.asarray(p)
+                h.update(str(a.shape).encode())
+                h.update(np.ascontiguousarray(a).tobytes())
+            req.pixkey = h.digest()
+        return req.pixkey
+
+    @staticmethod
+    def _valid_ids(ids, mask) -> np.ndarray:
+        return np.asarray(ids[0])[np.asarray(mask[0])]
+
+    def _find_partial(self, req: _Request):
+        """Longest-common-prefix match against the prompt-KV store,
+        rounded DOWN to `prefix_block` spliced positions (VERDICT r3 #7
+        — the shared-system-prompt case the exact-match cache misses).
+
+        Returns (store_key, p, suffix_ids) where p is the reusable
+        spliced-KV length and suffix_ids the remaining TEXT tokens to
+        prefill from position p — or None. Constraints: the image token
+        (and the same image) must sit inside the shared prefix, and p
+        must clear the spliced image span, so the suffix is pure text
+        (a suffix containing the image would need a tower pass — at
+        that point the full prefill path is the right tool)."""
+        if self.prefix_cache <= 0 or not self._prefix_store:
+            return None
+        r_ids = self._valid_ids(req.ids, req.mask)
+        img_pos = np.nonzero(r_ids == IMAGE_TOKEN_INDEX)[0]
+        if len(img_pos) != 1:
+            return None
+        idx_img = int(img_pos[0])
+        npatch = self.cfg.num_patches
+        pk = self._pix_key(req)
+        best = None
+        for key, ent in self._prefix_store.items():
+            e_ids, e_pk = ent[5], ent[6]
+            if e_pk != pk:
+                continue
+            n = min(len(r_ids), len(e_ids))
+            neq = np.nonzero(r_ids[:n] != e_ids[:n])[0]
+            c = int(neq[0]) if len(neq) else n
+            if c <= idx_img:            # image not inside the shared part
+                continue
+            sp = c - 1 + npatch         # spliced common length
+            p = (sp // self.prefix_block) * self.prefix_block
+            # suffix must be pure text: clear the spliced image span
+            if p < idx_img + npatch or p < self.prefix_block:
+                continue
+            sp_total = len(r_ids) - 1 + npatch
+            if p >= sp_total:           # exact repeat — full-hit path
+                continue
+            if best is None or p > best[1]:
+                best = (key, p)
+        if best is None:
+            return None
+        key, p = best
+        suffix_ids = r_ids[p - npatch + 1:]
+        s_buck = _bucket(len(suffix_ids), minimum=16)
+        if p + s_buck > self.t_max:     # padded suffix must fit the slots
+            return None
+        return key, p, suffix_ids
+
+    def _suffix_prefill(self, s_buck: int):
+        """Text-only prefill of a padded `s_buck`-token suffix from a
+        mid-cache position `p` over a k=1 local cache (a prompt-KV store
+        entry): the partial-prefix admission program. One program per
+        suffix bucket (VERDICT r3 #7's 'one extra suffix program')."""
+        if s_buck in self._suffix_fns:
+            return self._suffix_fns[s_buck]
+        cfg, prec = self.cfg, self.precision
+
+        def fn(params, row, ids_suf, suf_mask, p, key_valid):
+            emb = L.embed_tokens(params["decoder"], ids_suf, prec)
+            pos = p + jnp.arange(s_buck)[None]
+            h, row = L.forward(params["decoder"], cfg.decoder, emb, pos,
+                               attn_mask=key_valid, cache=row,
+                               cache_index=p, precision=prec)
+            n_suf = jnp.sum(suf_mask, axis=1)
+            h_last = jnp.take_along_axis(
+                h, jnp.maximum(n_suf - 1, 0)[:, None, None], axis=1)[:, 0]
+            logits = L.logits_fn(params["decoder"], h_last[:, None],
+                                 prec)[:, -1]
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return row, first, logits.astype(jnp.float32)
+
+        if not self.negotiate_layouts:
+            self._suffix_fns[s_buck] = jax.jit(fn)
+            return self._suffix_fns[s_buck]
+        # entry rows live in the negotiated k=1 local-cache format; keep
+        # the suffix program's row operand AND result pinned to it so
+        # hits run with zero layout conversions (models/layouts.py)
+        from . import layouts as LY
+        self._install(1)
+        sds = jax.ShapeDtypeStruct
+        row_shapes = LY.shape_spec(jax.eval_shape(
+            lambda: L.init_cache(cfg.decoder, 1, self.t_max,
+                                 prec.compute_dtype)))
+        self._suffix_fns[s_buck] = jax.jit(
+            fn,
+            in_shardings=(self._param_formats,
+                          self._local_cache_formats[1], None, None, None,
+                          None),
+            out_shardings=(self._local_cache_formats[1], None, None),
+        ).lower(LY.shape_spec(self.params), row_shapes,
+                sds((1, s_buck), jnp.int32), sds((1, s_buck), jnp.bool_),
+                sds((), jnp.int32), sds((1, self.t_max), jnp.bool_)
+                ).compile()
+        return self._suffix_fns[s_buck]
+
     def _step(self):
         """One program: advance every slot `chunk` greedy tokens with
         per-slot cache positions (vmapped single-row step)."""
@@ -470,6 +595,7 @@ class InflightEngine:
                 "n_slots": self.n_slots,
                 "queued": self._q.qsize(),
                 "prefix_hits": self.prefix_hits,
+                "partial_hits": self.partial_hits,
                 "prefix_entries": len(self._prefix_store)}
 
     def shutdown(self):
@@ -545,7 +671,9 @@ class InflightEngine:
                     row = self._extract(k)(local, jnp.asarray(i, jnp.int32))
                     self._prefix_store[key] = (
                         row, int(first[i]), last_logits[i].copy(),
-                        int(n_valid[i]), self._prompt_rows[slot].copy())
+                        int(n_valid[i]), self._prompt_rows[slot].copy(),
+                        self._valid_ids(req.ids, req.mask),
+                        self._pix_key(req))
                     while len(self._prefix_store) > self.prefix_cache:
                         self._prefix_store.popitem(last=False)
             # the prefill already produced the first token
@@ -557,7 +685,7 @@ class InflightEngine:
         requests redraw their first token from the STORED prefill logits
         (the prompt state is sampling-agnostic)."""
         row, first, last_logits, n_valid, prow = \
-            self._prefix_store[self._prefix_key(req)]
+            self._prefix_store[self._prefix_key(req)][:5]
         self._prefix_store.move_to_end(req.key)
         if self.negotiate_layouts:
             self._step()                    # fixes param/cache formats
@@ -574,6 +702,55 @@ class InflightEngine:
         self._active[slot] = True
         self.admissions += 1
         self.prefix_hits += 1
+        self._harvest_token(slot, int(self._tok[slot]))
+
+    def _admit_partial(self, req: _Request, slot: int, match) -> None:
+        """Partial-prefix admission (VERDICT r3 #7): reuse the first `p`
+        spliced KV positions of a stored prompt, prefill only the text
+        suffix from position p (one bucketed suffix program), install
+        into `slot`, and store the COMBINED prompt so exact repeats hit
+        fully next time."""
+        store_key, p, suffix_ids = match
+        entry = self._prefix_store[store_key]
+        self._prefix_store.move_to_end(store_key)
+        if self.negotiate_layouts:
+            self._step()                    # fixes param/cache formats
+        s_buck = _bucket(len(suffix_ids), minimum=16)
+        ids_suf = np.zeros((1, s_buck), np.int32)
+        ids_suf[0, :len(suffix_ids)] = suffix_ids
+        suf_mask = np.zeros((1, s_buck), bool)
+        suf_mask[0, :len(suffix_ids)] = True
+        key_valid = np.zeros((1, self.t_max), bool)
+        key_valid[0, :p] = entry[4][:p]     # stored prefix validity
+        key_valid[0, p:p + len(suffix_ids)] = True
+        row, first, logits = self._suffix_prefill(s_buck)(
+            self.params, entry[0], jnp.asarray(ids_suf),
+            jnp.asarray(suf_mask), jnp.asarray(p, jnp.int32),
+            jnp.asarray(key_valid))
+        self.cache = self._install(1)(self.cache, row,
+                                      jnp.asarray(0, jnp.int32),
+                                      jnp.asarray(slot, jnp.int32))
+        n_total = p + len(suffix_ids)
+        self._slot_req[slot] = req
+        self._tok[slot] = self._first_token(req, int(first[0]), logits[0])
+        self._pos[slot] = n_total
+        self._t[slot] = 0
+        self._prompt_rows[slot] = key_valid[0, :self.l_out_max]
+        self._temp[slot] = req.temperature
+        self._topp[slot] = req.top_p
+        self._active[slot] = True
+        self.admissions += 1
+        self.partial_hits += 1
+        if self.prefix_cache > 0:
+            full_key = self._prefix_key(req)
+            if full_key not in self._prefix_store:
+                self._prefix_store[full_key] = (
+                    row, int(first[0]), logits[0].copy(), n_total,
+                    key_valid[0, :self.l_out_max].copy(),
+                    self._valid_ids(req.ids, req.mask),
+                    self._pix_key(req))
+                while len(self._prefix_store) > self.prefix_cache:
+                    self._prefix_store.popitem(last=False)
         self._harvest_token(slot, int(self._tok[slot]))
 
     def _harvest_token(self, slot: int, tok: int) -> None:
@@ -621,7 +798,17 @@ class InflightEngine:
                     hits.append(req)
                 else:
                     pending.append(req)
-            admitted = bool(pending) or bool(hits)
+            partials = []
+            if self.prefix_cache > 0 and pending:
+                still = []
+                for req in pending:
+                    m = self._find_partial(req)
+                    if m is not None:
+                        partials.append((req, m))
+                    else:
+                        still.append(req)
+                pending = still
+            admitted = bool(pending) or bool(hits) or bool(partials)
             by_bucket: Dict[int, list] = {}
             for req in pending:
                 l = min(_bucket(req.ids.shape[1]), self.prompt_cap)
@@ -631,6 +818,16 @@ class InflightEngine:
                 slot = next(it)
                 try:
                     self._admit_cached(req, slot)
+                except Exception as e:  # noqa: BLE001 — fail THIS request
+                    self._slot_req[slot] = None
+                    self._active[slot] = False
+                    req.error = e
+                    req.stream_q.put(None)
+                    req.event.set()
+            for req, m in partials:
+                slot = next(it)
+                try:
+                    self._admit_partial(req, slot, m)
                 except Exception as e:  # noqa: BLE001 — fail THIS request
                     self._slot_req[slot] = None
                     self._active[slot] = False

@@ -113,11 +113,15 @@ def siglip_b16(image_size: int = 224) -> ViTConfig:
 
 
 def dinov2_large(image_size: int = 224) -> ViTConfig:
+    # use_layerscale=False: LayerScale is FOLDED into the o/fc2 weights
+    # at port time (io/hf_port.port_dinov2 — exact, (Wx+b)*l == (W*l)x
+    # + b*l), removing two elementwise passes per block. Flip to True to
+    # keep explicit lambda params (pre-round-4 checkpoints).
     return ViTConfig(image_size=image_size, patch_size=14, hidden_size=1024,
                      num_layers=24, num_heads=16, intermediate_size=4096,
                      hidden_act="gelu", layer_norm_eps=1e-6,
                      use_class_token=True, use_pre_layernorm=False,
-                     patch_bias=True, use_layerscale=True)
+                     patch_bias=True, use_layerscale=False)
 
 
 def dinov2_base(image_size: int = 224, stride: int | None = None) -> ViTConfig:
@@ -127,7 +131,7 @@ def dinov2_base(image_size: int = 224, stride: int | None = None) -> ViTConfig:
                      num_layers=12, num_heads=12, intermediate_size=3072,
                      hidden_act="gelu", layer_norm_eps=1e-6,
                      use_class_token=True, use_pre_layernorm=False,
-                     patch_bias=True, use_layerscale=True, stride=stride)
+                     patch_bias=True, use_layerscale=False, stride=stride)
 
 
 def tiny_vit(image_size: int = 28) -> ViTConfig:

@@ -264,3 +264,73 @@ def test_inflight_batched_admission():
         assert eng.admissions == 5
     finally:
         eng.shutdown()
+
+
+def test_inflight_partial_prefix_reuse():
+    """Partial-prefix KV reuse (VERDICT r3 #7): a prompt sharing a long
+    leading run (incl. the same image) with a stored entry admits by
+    reusing the first p spliced KV positions and prefilling only the
+    text suffix — output still matches generate_greedy exactly; the
+    combined prompt is stored, so an exact repeat then full-hits."""
+    cfg, params = _tiny(17)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=3,
+                         precision=FP32_PRECISION, use_flash=False,
+                         prefix_cache=4, prefix_block=8)
+    try:
+        rng = np.random.RandomState(31)
+        base_ids, mask, pixels = _request(rng, 24)
+        # request B: same first 20 tokens + same image, different tail
+        ids_b = base_ids.copy()
+        ids_b[0, 20:] = rng.randint(1, 60, size=4)
+        ref_a = _reference(params, cfg, base_ids, mask, pixels, 8, eos)
+        ref_b = _reference(params, cfg, ids_b, mask, pixels, 8, eos)
+
+        out_a = eng.submit(base_ids, mask, pixels, 8).result(timeout=120)
+        assert out_a.tolist() == ref_a
+        assert eng.partial_hits == 0
+        out_b = eng.submit(ids_b, mask, pixels, 8).result(timeout=120)
+        assert out_b.tolist() == ref_b
+        assert eng.partial_hits == 1          # suffix-only admission
+        # exact repeat of B now FULL-hits (combined entry stored)
+        out_b2 = eng.submit(ids_b, mask, pixels, 8).result(timeout=120)
+        assert out_b2.tolist() == ref_b
+        assert eng.prefix_hits == 1 and eng.partial_hits == 1
+        # different image: no partial reuse (pixkey mismatch)
+        px_c = [p + 1.0 for p in pixels]
+        ids_c = base_ids.copy()
+        ids_c[0, 21:] = rng.randint(1, 60, size=3)
+        ref_c = _reference(params, cfg, ids_c, mask, px_c, 8, eos)
+        out_c = eng.submit(ids_c, mask, px_c, 8).result(timeout=120)
+        assert out_c.tolist() == ref_c
+        assert eng.partial_hits == 1
+    finally:
+        eng.shutdown()
+
+
+def test_inflight_partial_prefix_negotiated():
+    """Partial reuse composes with the negotiated-layouts AOT path (the
+    7B contract): the suffix program is pinned to the k=1 local-cache
+    format."""
+    cfg, params = _tiny(19)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=4,
+                         precision=FP32_PRECISION, use_flash=False,
+                         negotiate_layouts=True, prefix_cache=2,
+                         prefix_block=8)
+    try:
+        rng = np.random.RandomState(33)
+        ids_a, mask, pixels = _request(rng, 24)
+        ids_b = ids_a.copy()
+        ids_b[0, 21:] = rng.randint(1, 60, size=3)
+        ref_a = _reference(params, cfg, ids_a, mask, pixels, 8, eos)
+        ref_b = _reference(params, cfg, ids_b, mask, pixels, 8, eos)
+        assert eng.submit(ids_a, mask, pixels,
+                          8).result(timeout=180).tolist() == ref_a
+        assert eng.submit(ids_b, mask, pixels,
+                          8).result(timeout=180).tolist() == ref_b
+        assert eng.partial_hits == 1
+    finally:
+        eng.shutdown()
