@@ -98,7 +98,12 @@ def bench_towers(results, quick=False):
     # LVR_TOWER_ATTN measures the whole zoo with the production fast-path
     # opt-in (`model.tower_attn_impl`); rows get a metric suffix
     tower_attn = os.environ.get("LVR_TOWER_ATTN")
+    # LVR_TOWER_ACT=gelu_tanh measures the fast-act opt-in
+    # (model.tower_fast_act; only erf-gelu towers substitute)
+    tower_act = os.environ.get("LVR_TOWER_ACT")
     sfx = f"_{tower_attn}" if tower_attn else ""
+    if tower_act:
+        sfx += f"_{tower_act}"
     if batch != 64:
         sfx += f"_b{batch}"
     for name in names:
@@ -106,6 +111,9 @@ def bench_towers(results, quick=False):
         if tower_attn:
             import dataclasses as _dc
             cfg = _dc.replace(cfg, attn_impl=tower_attn)
+        if tower_act and cfg.hidden_act == "gelu":
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, hidden_act=tower_act)
         tower = ViTTower(cfg, select_layer=-2,
                          select_feature="cls_patch"
                          if "siglip" in name else "patch", precision=prec)
@@ -417,8 +425,12 @@ def bench_train(results, quick=False):
                 for e in cfg.tower_spec.entries]))
     params = llava.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    # LVR_TRAIN_REMAT_POLICY=dots saves matmul outputs instead of block
+    # boundaries: the backward skips the ~25%-of-step block-recompute
+    # (the measured stage-2 MFU gap term — README round-4 accounting)
+    rpol = os.environ.get("LVR_TRAIN_REMAT_POLICY", "block")
     tcfg = TrainConfig(stage=1, learning_rate=1e-3, total_steps=100,
-                       remat=True, use_flash=True)
+                       remat=True, remat_policy=rpol, use_flash=True)
     state, opt = init_train_state(params, tcfg)
     step = jax.jit(make_train_step(cfg, tcfg, opt, prec))
 
@@ -459,7 +471,8 @@ def bench_train(results, quick=False):
     flops_s1 = tower_fwd + 2 * f_fwd    # fwd + activation-grad bwd
     flops_s2 = tower_fwd + 3 * f_fwd    # + weight-grad pass
     results.append(_perf_fields(
-        {"metric": "llava_1p4b_stage1_train_tok_s",
+        {"metric": "llava_1p4b_stage1_train_tok_s"
+                   + ("" if rpol == "block" else f"_remat_{rpol}"),
          "value": round(toks / dt, 1), "unit": "tokens/sec/chip",
          "flops_basis": "analytic (scan bodies undercounted by XLA "
                         "cost analysis)"},
@@ -469,7 +482,7 @@ def bench_train(results, quick=False):
     # reference's finetune.sh workload. Same shapes; bf16 AdamW moments
     # keep 1.4B params+moments+grads ~11 GB on one chip.
     tcfg2 = TrainConfig(stage=2, learning_rate=2e-5, total_steps=100,
-                        remat=True, use_flash=True)
+                        remat=True, remat_policy=rpol, use_flash=True)
     state2, opt2 = init_train_state(params, tcfg2)
     step2 = jax.jit(make_train_step(cfg, tcfg2, opt2, prec))
 
@@ -484,7 +497,8 @@ def bench_train(results, quick=False):
                  [(px * (1.02 + 0.01 * i),) for i in range(iters)],
                  lambda m: float(m["loss"]))
     results.append(_perf_fields(
-        {"metric": "llava_1p4b_stage2_train_tok_s",
+        {"metric": "llava_1p4b_stage2_train_tok_s"
+                   + ("" if rpol == "block" else f"_remat_{rpol}"),
          "value": round(toks / dt2, 1),
          "unit": "tokens/sec/chip",
          "flops_basis": "analytic (scan bodies undercounted by XLA "
@@ -922,24 +936,171 @@ def bench_serve(results, quick=False):
                             "the 7B host-loop decode note"})
 
 
+def bench_serve_hetero(results, quick=False):
+    """Heterogeneous serving workload (VERDICT r3 #3): Poisson arrivals,
+    mixed prompt lengths and token budgets, measured per-request latency
+    (p50/p95) AND throughput on the shipped HTTP path. This is the
+    workload the inflight scheduler exists for — a short request must
+    not wait out a long neighbour. LVR_SERVE_MODE selects
+    wave | inflight | inflight_prefix (one process per mode; explicit
+    `--only serve_hetero`). All modes replay the SAME seeded schedule:
+    24 requests, exp(0.15 s) inter-arrival, text lengths 4-48 words,
+    budgets {8,16,32}, one shared image with a shared system preamble —
+    in prefix mode the preamble makes every admission after the first a
+    partial-prefix (or full) store hit."""
+    import base64
+    import json as _json
+    import threading
+    import urllib.request
+    from io import BytesIO
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        Precision)
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter \
+        import LlavaLMM
+    from law_of_vision_representation_in_mllms_tpu.models import (
+        llama, llava)
+    from law_of_vision_representation_in_mllms_tpu.serve import LMMServer
+
+    mode = os.environ.get("LVR_SERVE_MODE", "inflight")
+    prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                            intermediate_size=5632, num_layers=16,
+                            num_heads=16, num_kv_heads=16)
+    cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
+                                  decoder=dec)
+    params = llava.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    inflight = mode != "wave"
+    lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
+                   precision=prec, batch_size=8, gen_backend="greedy")
+    srv = LMMServer(lmm, model_name="llava-1.4b", port=0,
+                    max_batch=8, batch_window_ms=50, inflight=inflight,
+                    inflight_kwargs={"n_slots": 8, "prompt_cap": 128,
+                                     "gen_cap": 32, "chunk": 4,
+                                     "prefix_cache":
+                                         64 if mode == "inflight_prefix"
+                                         else 0,
+                                     "prefix_block": 64}
+                    if inflight else None)
+    srv.start_background()
+
+    rng = np.random.RandomState(17)
+    img = Image.fromarray(rng.randint(0, 255, (336, 336, 3),
+                                      dtype=np.uint8))
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    system = ("you are a careful visual assistant that answers with "
+              "short factual statements about the provided picture")
+
+    n = 12 if quick else 24
+    words = rng.randint(4, 49, size=n)        # mixed prompt lengths
+    budgets = rng.choice([8, 16, 32], size=n)  # mixed token budgets
+    gaps = rng.exponential(0.15, size=n)       # Poisson arrivals
+    arrivals = np.cumsum(gaps)
+
+    def payload(i, tag):
+        q = " ".join(f"w{(i * 7 + j) % 53}" for j in range(words[i]))
+        return {"max_tokens": int(budgets[i]),
+                "messages": [{"role": "user", "content": [
+                    {"type": "text",
+                     "text": f"{system}\n{tag}{i} {q}"},
+                    {"type": "image_url", "image_url": {
+                        "url": f"data:image/png;base64,{b64}"}}]}]}
+
+    def post(pl):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/chat/completions",
+            data=_json.dumps(pl).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return _json.loads(r.read())
+
+    # compile + warm every program shape OUTSIDE the measured window
+    # (all length buckets x budgets), twice for the relay
+    for tag in ("warm-a-", "warm-b-"):
+        threads = [threading.Thread(
+            target=post, args=(payload(i, tag),)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    lat = [None] * n
+    errs = []
+
+    def client(i, t0):
+        wait = t0 + arrivals[i] - time.perf_counter()
+        if wait > 0:
+            time.sleep(wait)
+        s0 = time.perf_counter()
+        try:
+            out = post(payload(i, "run-"))
+            assert out.get("choices")
+        except Exception as e:  # noqa: BLE001
+            errs.append((i, e))
+            return
+        lat[i] = time.perf_counter() - s0
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i, t0))
+               for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    assert not errs, errs
+    stats = srv.worker.engine.stats() if inflight else {}
+    if mode == "inflight_prefix":
+        # the shared preamble + image must actually reuse stored KV
+        assert stats.get("prefix_hits", 0) \
+            + stats.get("partial_hits", 0) >= n - 1, stats
+    srv.shutdown()
+    lat_arr = np.asarray([l for l in lat if l is not None])
+    results.append({
+        "metric": f"llava_1p4b_serve_hetero_{mode}",
+        "value": round(n / dt, 2), "unit": "samples/sec",
+        "p50_latency_s": round(float(np.percentile(lat_arr, 50)), 2),
+        "p95_latency_s": round(float(np.percentile(lat_arr, 95)), 2),
+        "mean_latency_s": round(float(lat_arr.mean()), 2),
+        "n_requests": n,
+        "note": "Poisson arrivals (exp 0.15 s), prompt lengths 4-48 "
+                "words + shared preamble, budgets {8,16,32} tokens, 8 "
+                "slots / max_batch 8; same seeded schedule across "
+                "modes. Latency includes queueing. Axon-relay dispatch "
+                "latency (~0.3-0.5 s/round-trip) rides every number."})
+    if stats:
+        print(f"engine stats: {stats}", flush=True)
+
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", choices=["towers", "diffusion", "a", "c",
                                        "decode", "decode7b", "prune",
-                                       "train", "serve", "spec"])
+                                       "train", "serve", "serve_hetero",
+                                       "spec"])
     args = ap.parse_args()
     results = []
     todo = {"towers": bench_towers, "diffusion": bench_diffusion,
             "a": bench_a_score, "c": bench_c_score, "decode": bench_decode,
             "decode7b": bench_decode_7b, "prune": bench_visual_prune,
             "train": bench_train, "serve": bench_serve,
+            "serve_hetero": bench_serve_hetero,
             "spec": bench_speculative}
     if args.only:
         todo = {args.only: todo[args.only]}
     else:
         del todo["decode7b"]          # explicit-only (slow at 13.4 GB)
         del todo["serve"]             # explicit-only (starts an HTTP server)
+        del todo["serve_hetero"]      # explicit-only (starts an HTTP server)
     for name, fn in todo.items():
         try:
             fn(results, quick=args.quick)

@@ -70,6 +70,14 @@ class ModelSection:
     # exact softmax). "xla_expclamp_fused" measured +14% on SD1.5@768
     # featurize; same clamp-85 exactness condition as the ViT opt-in.
     diffusion_attn_impl: Optional[str] = None
+    # Fast-activation opt-in for erf-GELU ViT towers (DINOv2/OpenCLIP):
+    # substitutes the tanh-approximation (x/2(1+tanh(.79(x+.044x^3)))) for
+    # the exact erf GELU — measured +18% DINOv2-L throughput (821 vs 695
+    # img/s, beating its A100-eager basis; benchmarks/zoo_sweep.py). The
+    # approximation's deviation under bf16 tower compute is at the bf16
+    # rounding floor (benchmarks/validate_fast_act.py fp32-oracle run).
+    # False (default) = exact erf parity.
+    tower_fast_act: bool = False
     checkpoint: Optional[str] = None       # orbax train-state dir
     tokenizer: Optional[str] = None        # HF tokenizer path (host-side)
     # ported tower weights, one path per tower-spec entry ('' = skip).

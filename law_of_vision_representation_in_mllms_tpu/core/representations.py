@@ -86,8 +86,15 @@ def render_config(rep_name: str, stage: int = 1, *,
     else:
         # measured production winner for every ViT tower (round-3
         # headline: 367 img/s CLIP-336 vs 278 exact; same bf16 accuracy
-        # vs the fp32 oracle — benchmarks/README.md kernel policy)
+        # vs the fp32 oracle — benchmarks/README.md kernel policy).
+        # Runtime-guarded: the adapter's first batch asserts logit
+        # headroom under the clamp (ops/clamp_guard.py).
         model["tower_attn_impl"] = "xla_expclamp_fused"
+        if "dinov2" in rep.tower or "laion" in rep.tower:
+            # erf-GELU towers: tanh-GELU substitution measured +18%
+            # DINOv2-L (821 img/s, above its A100 basis); deviation at
+            # the bf16 noise floor (benchmarks/validate_fast_act.py)
+            model["tower_fast_act"] = True
     train: Dict = {
         "stage": stage,
         "learning_rate": 1e-3 if stage == 1 else 2e-5,

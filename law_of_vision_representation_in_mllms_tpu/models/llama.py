@@ -256,11 +256,34 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
     return h, new_cache
 
 
+def _remat(body, policy: str | None):
+    """Per-block gradient checkpointing with a selectable save policy.
+
+    "block" (default): save only block boundaries — the backward re-runs
+    every block forward (the reference's --gradient_checkpointing). At
+    1.4B stage-2 that recompute is ~25% of step FLOPs (benchmarks/README
+    round-4 MFU accounting), so:
+    "dots": save non-batched dot outputs (q/k/v/o/gate/up/down matmul
+    results), recompute only elementwise ops and the batched attention
+    dots — near-zero recompute FLOPs for ~[4h+... ] x tokens x layers of
+    extra activation memory (the [B,H,S,S] attention logits are batched
+    dots and stay UNsaved).
+    """
+    if policy in (None, "block", "full"):
+        return jax.checkpoint(body)
+    if policy == "dots":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    raise ValueError(f"unknown remat_policy {policy!r}")
+
+
 def forward(params, cfg: LlamaConfig, embeds, positions, *,
             attn_mask=None, cache=None, cache_index=None,
             precision: Precision = DEFAULT_PRECISION,
             use_flash: bool = False, lora=None,
             lora_scaling: float = 1.0, remat: bool = False,
+            remat_policy: str | None = None,
             cp=None):
     """Run the trunk.
 
@@ -332,8 +355,9 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
             return h, ()
         if remat:
             # gradient checkpointing per block (reference:
-            # --gradient_checkpointing True, pretrain.sh:30)
-            body = jax.checkpoint(body)
+            # --gradient_checkpointing True, pretrain.sh:30);
+            # remat_policy="dots" saves matmul outputs (see _remat)
+            body = _remat(body, remat_policy)
         h, _ = lax.scan(body, h, (params["layers"], lora_xs))
         new_cache = None
     else:
@@ -348,7 +372,7 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
                                  lora=ll, lora_scaling=lora_scaling)
             return (h, ck, cv), ()
         if remat:
-            body = jax.checkpoint(body)
+            body = _remat(body, remat_policy)
         (h, nk, nv), _ = lax.scan(
             body, (h, cache["k"], cache["v"]),
             (params["layers"], lora_xs,

@@ -235,6 +235,7 @@ def dump_image_embeds(params, cfg: LlavaConfig, pixel_values,
 def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
             precision: Precision = DEFAULT_PRECISION,
             diffusion_apply=None, remat: bool = False,
+            remat_policy=None,
             use_flash: bool = False, lora_scaling: float = 1.0,
             cp=None, pp=None):
     """Training loss.
@@ -278,7 +279,8 @@ def loss_fn(params, cfg: LlavaConfig, batch: Dict[str, jnp.ndarray],
     else:
         h, _ = L.forward(params["decoder"], cfg.decoder, embeds, positions,
                          attn_mask=attn_mask, precision=precision,
-                         remat=remat, use_flash=use_flash,
+                         remat=remat, remat_policy=remat_policy,
+                         use_flash=use_flash,
                          lora=params.get("lora"),
                          lora_scaling=lora_scaling, cp=cp)
     logits = L.logits_fn(params["decoder"], h, precision)

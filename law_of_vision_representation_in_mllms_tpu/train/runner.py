@@ -58,6 +58,16 @@ def build_model(cfg: RunConfig, rng=None):
                     e.vit_config, attn_impl=cfg.model.tower_attn_impl))
             if e.kind == "vit" else e
             for e in spec.entries])
+    if cfg.model.tower_fast_act:
+        # erf-GELU -> tanh-GELU substitution (core/config.py rationale);
+        # only towers whose hidden_act is the exact erf "gelu" change
+        spec = dataclasses.replace(spec, entries=[
+            dataclasses.replace(
+                e, vit_config=dataclasses.replace(
+                    e.vit_config, hidden_act="gelu_tanh"))
+            if e.kind == "vit" and e.vit_config.hidden_act == "gelu"
+            else e
+            for e in spec.entries])
     if cfg.model.diffusion_attn_impl:
         # same opt-in for the UNet/DiT towers (+14% SD1.5@768 featurize);
         # trace-time switch — set before any diffusion tower is jitted

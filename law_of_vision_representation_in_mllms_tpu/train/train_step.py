@@ -42,6 +42,11 @@ class TrainConfig:
     b1: float = 0.9
     b2: float = 0.999
     remat: bool = False              # per-block gradient checkpointing
+    # remat save policy: "block" re-runs each block fwd in the backward
+    # (~25% extra FLOPs at 1.4B stage-2); "dots" saves matmul outputs and
+    # recomputes only elementwise + batched attention dots (more
+    # activation memory, near-zero recompute) — models/llama._remat
+    remat_policy: str = "block"
     use_flash: bool = False          # Pallas flash attention in training
     # microbatch gradient accumulation: the global batch splits into
     # `grad_accum` sequential microbatches inside one jitted step
@@ -216,6 +221,7 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
                                   diffusion_apply)
         return llava.loss_fn(params, model_cfg, batch, precision,
                              diffusion_apply, remat=train_cfg.remat,
+                             remat_policy=train_cfg.remat_policy,
                              use_flash=train_cfg.use_flash,
                              lora_scaling=train_cfg.lora_scaling, cp=cp,
                              pp=pp)

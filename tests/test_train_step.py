@@ -197,3 +197,23 @@ def test_grad_accum_parity(mesh8):
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
     np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-5,
                                atol=1e-7)
+
+
+def test_remat_dots_policy_matches_no_remat():
+    """remat_policy='dots' (save matmul outputs, recompute elementwise +
+    batched attention dots) changes memory/recompute, not math."""
+    cfg, params = _tiny(3)
+    batch = _batch(np.random.RandomState(3))
+    tcfg0 = TrainConfig(stage=2, learning_rate=1e-3, total_steps=10)
+    state0, opt0 = init_train_state(params, tcfg0)
+    step0 = jax.jit(make_train_step(cfg, tcfg0, opt0, FP32_PRECISION))
+    _, m0 = step0(state0, batch)
+    tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=10,
+                       remat=True, remat_policy="dots")
+    state, opt = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+    _, m = step(state, batch)
+    np.testing.assert_allclose(float(m["loss"]), float(m0["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m["grad_norm"]),
+                               float(m0["grad_norm"]), rtol=1e-5)

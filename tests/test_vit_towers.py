@@ -199,3 +199,19 @@ def test_bf16_tower_precision_quality():
            + 1e-8)
     cos = num / den
     assert cos.min() > 0.99, float(cos.min())
+
+
+def test_tower_fast_act_config_swaps_erf_gelu_only():
+    """model.tower_fast_act substitutes tanh-GELU only into erf-gelu
+    towers (DINOv2/OpenCLIP); quick-gelu CLIP towers are untouched."""
+    from law_of_vision_representation_in_mllms_tpu.core.config import (
+        RunConfig)
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        build_model)
+    cfg = RunConfig.from_dict({
+        "model": {"vision_tower":
+                  "facebook/dinov2-large.openai/clip-vit-large-patch14",
+                  "decoder": "tiny", "tower_fast_act": True}})
+    model_cfg, _ = build_model(cfg)
+    acts = [e.vit_config.hidden_act for e in model_cfg.tower_spec.entries]
+    assert acts == ["gelu_tanh", "quick_gelu"]
