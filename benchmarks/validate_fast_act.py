@@ -35,30 +35,35 @@ from law_of_vision_representation_in_mllms_tpu.models.vit import (
     VIT_PRESETS, ViTTower)
 
 
-def run(act: str, prec, px, key, preset="facebook/dinov2-large"):
+def run(act: str, prec, px, v, preset):
+    """Apply with SHARED weights `v` cast to the precision's param dtype
+    (initializing per-precision would sample different weights: the
+    flax initializers draw directly in param_dtype)."""
     cfg = VIT_PRESETS[preset]()
     cfg = dataclasses.replace(cfg, hidden_act=act,
                               attn_impl="xla_expclamp_fused")
     tower = ViTTower(cfg, select_layer=-2, select_feature="patch",
                      precision=prec)
-    v = jax.jit(tower.init)(key, px)
-    v = jax.tree.map(lambda x: x.astype(prec.param_dtype), v)
-    return np.asarray(jax.jit(tower.apply)(v, px), np.float32)
+    vv = jax.tree.map(lambda x: x.astype(prec.param_dtype), v)
+    return np.asarray(jax.jit(tower.apply)(vv, px), np.float32)
+
+
+def init_fp32(px, key, preset):
+    cfg = VIT_PRESETS[preset]()
+    tower = ViTTower(cfg, select_layer=-2, select_feature="patch",
+                     precision=FP32_PRECISION)
+    return jax.jit(tower.init)(key, px)
 
 
 def main():
     rng = np.random.RandomState(0)
     px = jnp.asarray(rng.randn(8, 224, 224, 3).astype(np.float32))
     key = jax.random.PRNGKey(0)
-    # NOTE on depth: 24 RANDOM-init blocks amplify bf16 rounding
-    # chaotically (both paths land rms ~2 vs fp32, equally); the
-    # oracle comparison is run at the 12-layer base depth where the
-    # bf16 noise floor is resolvable, and the tanh-vs-exact delta is
-    # reported at BOTH depths.
     for preset in ("facebook/dinov2-base", "facebook/dinov2-large"):
-        oracle = run("gelu", FP32_PRECISION, px, key, preset)
-        exact = run("gelu", BF16_TOWER_PRECISION, px, key, preset)
-        fast = run("gelu_tanh", BF16_TOWER_PRECISION, px, key, preset)
+        v = init_fp32(px, key, preset)
+        oracle = run("gelu", FP32_PRECISION, px, v, preset)
+        exact = run("gelu", BF16_TOWER_PRECISION, px, v, preset)
+        fast = run("gelu_tanh", BF16_TOWER_PRECISION, px, v, preset)
         std = oracle.std()
 
         def rms(a, b):

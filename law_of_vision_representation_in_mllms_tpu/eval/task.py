@@ -81,6 +81,9 @@ class TaskConfig:
     task: str
     dataset_path: str
     dataset_backend: str = "json"
+    # HF hub config name (the second load_dataset positional — e.g.
+    # gqa.yaml:2 dataset_name: testdev_balanced_instructions)
+    dataset_name: Optional[str] = None
     image_root: str = ""
     split: str = "test"
     output_type: str = "generate_until"         # | loglikelihood
@@ -130,6 +133,7 @@ class Task:
                     "json", data_files=cfg.dataset_path, split="train")
             else:
                 ds = datasets.load_dataset(cfg.dataset_path,
+                                           cfg.dataset_name,
                                            split=cfg.split)
             docs = list(ds)
         else:
