@@ -506,6 +506,44 @@ def bench_train(results, quick=False):
         flops_s2, dt2))
 
 
+def _random_int8_decoder(cfg):
+    """Random weight-only-int8 LLaMA decoder params (benchmarking: the
+    matmul weights are initialized DIRECTLY as int8 + per-channel scales
+    in one program — no 13.4 GB dense intermediate ever exists)."""
+    import jax
+    import jax.numpy as jnp
+
+    def _qinit(k):
+        d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+        nh, nkv, L = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+        keys = jax.random.split(k, 10)
+
+        def q(kk, *shape):
+            return {"q8": jax.random.randint(kk, shape, -127, 128,
+                                             jnp.int8),
+                    "scale": jnp.full(shape[:-2] + (1, shape[-1]),
+                                      2e-4, jnp.float32)}
+
+        return {
+            "embed": jax.random.normal(
+                keys[0], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
+            "layers": {
+                "wq": q(keys[1], L, d, nh * hd),
+                "wk": q(keys[2], L, d, nkv * hd),
+                "wv": q(keys[3], L, d, nkv * hd),
+                "wo": q(keys[4], L, nh * hd, d),
+                "gate": q(keys[5], L, d, i),
+                "up": q(keys[6], L, d, i),
+                "down": q(keys[7], L, i, d),
+                "rms1": jnp.ones((L, d), jnp.bfloat16),
+                "rms2": jnp.ones((L, d), jnp.bfloat16),
+            },
+            "final_norm": jnp.ones((d,), jnp.bfloat16),
+            "lm_head": q(keys[8], d, cfg.vocab_size),
+        }
+    return jax.jit(_qinit)(jax.random.PRNGKey(0))
+
+
 def bench_decode_7b(results, quick=False):
     """Flagship-scale (vicuna-7b) decoder on ONE v5e chip: 13.4 GB bf16
     params. Measures the 512-token flash prefill in-program, per-step
@@ -528,40 +566,10 @@ def bench_decode_7b(results, quick=False):
     cfg = llama.vicuna_7b()
     quant = os.environ.get("LVR_DECODE_QUANT", "")
     if quant == "int8":
-        # weight-only int8 decode (ops/quant.py): the matmul weights are
-        # initialized DIRECTLY as random int8 + per-channel scales (one
-        # program, no 13.4 GB dense intermediate), so resident params
-        # drop 13.4 -> ~6.9 GB and the param-read floor halves. Decode
+        # weight-only int8 decode (ops/quant.py): resident params drop
+        # 13.4 -> ~6.9 GB and the param-read floor halves. Decode
         # dynamics are identical to the dense bench (random argmax walk).
-        def _qinit(k):
-            d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
-            nh, nkv, L = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
-            keys = jax.random.split(k, 10)
-
-            def q(kk, *shape):
-                return {"q8": jax.random.randint(kk, shape, -127, 128,
-                                                 jnp.int8),
-                        "scale": jnp.full(shape[:-2] + (1, shape[-1]),
-                                          2e-4, jnp.float32)}
-
-            return {
-                "embed": jax.random.normal(
-                    keys[0], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
-                "layers": {
-                    "wq": q(keys[1], L, d, nh * hd),
-                    "wk": q(keys[2], L, d, nkv * hd),
-                    "wv": q(keys[3], L, d, nkv * hd),
-                    "wo": q(keys[4], L, nh * hd, d),
-                    "gate": q(keys[5], L, d, i),
-                    "up": q(keys[6], L, d, i),
-                    "down": q(keys[7], L, i, d),
-                    "rms1": jnp.ones((L, d), jnp.bfloat16),
-                    "rms2": jnp.ones((L, d), jnp.bfloat16),
-                },
-                "final_norm": jnp.ones((d,), jnp.bfloat16),
-                "lm_head": q(keys[8], d, cfg.vocab_size),
-            }
-        params = jax.jit(_qinit)(jax.random.PRNGKey(0))
+        params = _random_int8_decoder(cfg)
     else:
         params = jax.jit(
             lambda k: llama.init_params(k, cfg, jnp.bfloat16))(
@@ -757,22 +765,60 @@ def bench_speculative(results, quick=False):
         import decode_prompt_lookup
 
     prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
-                            intermediate_size=5632, num_layers=16,
-                            num_heads=16, num_kv_heads=16)
-    params = llama.init_params(jax.random.PRNGKey(0), dec, jnp.bfloat16)
-    b, l, new, g = 8, 512, 128, 8
+    # LVR_SPEC_7B=1: the flagship-scale speculative row (VERDICT r3 #2)
+    # — vicuna-7B with negotiated boundary layouts (the same AUTO-layout
+    # AOT contract as the 7B chunk program; default layouts hoist 3 GB
+    # of weight conversions out of the verify loop) and weight-only int8
+    # under LVR_DECODE_QUANT=int8.
+    spec_7b = os.environ.get("LVR_SPEC_7B", "0") == "1"
+    if spec_7b:
+        dec = llama.vicuna_7b()
+        if os.environ.get("LVR_DECODE_QUANT", "") == "int8":
+            params = _random_int8_decoder(dec)
+        else:
+            params = jax.jit(
+                lambda k: llama.init_params(k, dec, jnp.bfloat16))(
+                    jax.random.PRNGKey(0))
+        b = int(os.environ.get("LVR_DECODE_B", "4"))
+    else:
+        dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                                intermediate_size=5632, num_layers=16,
+                                num_heads=16, num_kv_heads=16)
+        params = llama.init_params(jax.random.PRNGKey(0), dec,
+                                   jnp.bfloat16)
+        b = 8
+    l, new, g = 512, 128, 8
     rng = np.random.RandomState(7)
     base = rng.randint(3, 32000, size=32)
     rep = np.tile(base, l // 32)[None].repeat(b, 0).astype(np.int32)
     rand = rng.randint(3, 32000, size=(b, l)).astype(np.int32)
 
     iters = 2 if quick else 4
-    for tag, ids_np in (("copyheavy", rep), ("random", rand)):
-        def run(ids):
-            out, rounds = decode_prompt_lookup(
-                params, dec, ids, max_new_tokens=new, draft_len=g,
+    if spec_7b:
+        from law_of_vision_representation_in_mllms_tpu.models import (
+            layouts as LY)
+
+        def fn(p, ids):
+            return decode_prompt_lookup(
+                p, dec, ids, max_new_tokens=new, draft_len=g,
                 eos_id=-1, precision=prec)
+        sds = jax.ShapeDtypeStruct
+        spec_c = jax.jit(
+            fn, in_shardings=(LY.auto_spec(LY.shape_spec(params)), None),
+        ).lower(LY.shape_spec(params),
+                sds((b, l), jnp.int32)).compile()
+        params = LY.relayout(params, spec_c.input_formats[0][0],
+                             consume=True)
+        runner = spec_c
+    else:
+        runner = lambda p, ids: decode_prompt_lookup(  # noqa: E731
+            p, dec, ids, max_new_tokens=new, draft_len=g,
+            eos_id=-1, precision=prec)
+    workloads = (("copyheavy", rep),) if spec_7b \
+        else (("copyheavy", rep), ("random", rand))
+    for tag, ids_np in workloads:
+        def run(ids):
+            out, rounds = runner(params, ids)
             return out, rounds
         # vary prompt VALUES per iteration (relay value-cache rule);
         # shifting preserves the repetition structure
@@ -788,13 +834,19 @@ def bench_speculative(results, quick=False):
         int(out[0, 0])
         dt = (time.perf_counter() - t0) / iters
         mean_rounds = float(np.mean([int(r) for r in rr]))
+        qsuf = "_int8" if (spec_7b and os.environ.get(
+            "LVR_DECODE_QUANT") == "int8") else ""
         results.append({
-            "metric": f"llava_1p4b_spec_decode_{tag}_tok_s",
+            "metric": (f"vicuna7b_spec_decode_{tag}_tok_s_b{b}{qsuf}"
+                       if spec_7b
+                       else f"llava_1p4b_spec_decode_{tag}_tok_s"),
             "value": round(b * new / dt, 1), "unit": "tokens/sec",
             "rounds_per_128_tokens": round(mean_rounds, 1),
-            "note": "prompt-lookup speculation, draft_len 8, b8, "
+            "note": f"prompt-lookup speculation, draft_len 8, b{b}, "
                     "512-tok prompt + 128 new (prefill included in the "
-                    "denominator); greedy-equivalent output"})
+                    "denominator); greedy-equivalent output"
+                    + ("; negotiated boundary layouts" if spec_7b
+                       else "")})
 
     # NOTE: a FULL-llava speculative composite (tower + splice + prefill
     # + while_loop decode in one jit) exceeds this environment's remote
@@ -829,13 +881,28 @@ def bench_serve(results, quick=False):
     from law_of_vision_representation_in_mllms_tpu.serve import LMMServer
 
     prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
-                            intermediate_size=5632, num_layers=16,
-                            num_heads=16, num_kv_heads=16)
+    # LVR_SERVE_7B=1: the FLAGSHIP-scale serving row (VERDICT r3 #10) —
+    # vicuna-7B decoder behind the inflight engine with negotiated
+    # layouts (the 7B contract) and weight-only int8 (6.9 GB resident;
+    # bf16 params + slot cache would not fit the 16 GB chip next to the
+    # tower). 4 slots, 16-token budgets.
+    serve_7b = os.environ.get("LVR_SERVE_7B", "0") == "1"
+    if serve_7b:
+        dec = llama.vicuna_7b()
+    else:
+        dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                                intermediate_size=5632, num_layers=16,
+                                num_heads=16, num_kv_heads=16)
     cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
                                   decoder=dec)
-    params = llava.init_params(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if serve_7b:
+        params = llava.init_params(jax.random.PRNGKey(0), cfg,
+                                   init_decoder=False)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        params["decoder"] = _random_int8_decoder(dec)
+    else:
+        params = llava.init_params(jax.random.PRNGKey(0), cfg)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     # LVR_SERVE_BACKEND selects the decode backend behind the server —
     # the same `model.gen_backend` knob `lvr serve` exposes — so the
     # chunked/speculative gains are measured on the shipped serving path
@@ -845,7 +912,7 @@ def bench_serve(results, quick=False):
     # engine (models/inflight.py, `lvr serve --inflight`) instead of the
     # wave batcher — 8 slots so the 8 concurrent clients all decode
     # simultaneously with per-slot positions.
-    inflight = os.environ.get("LVR_SERVE_INFLIGHT", "0") == "1"
+    inflight = os.environ.get("LVR_SERVE_INFLIGHT", "0") == "1" or serve_7b
     # LVR_SERVE_PREFIX=1: inflight + prompt-KV caching under a CANNED
     # workload — each client re-sends its own fixed prompt+image every
     # round (the retry / shared-system-prompt serving case), so warm
@@ -854,10 +921,13 @@ def bench_serve(results, quick=False):
     prefix = os.environ.get("LVR_SERVE_PREFIX", "0") == "1"
     inflight = inflight or prefix
     lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
-                   precision=prec, batch_size=8, gen_backend=backend)
-    srv = LMMServer(lmm, model_name="llava-1.4b", port=0,
+                   precision=prec, batch_size=8, gen_backend=backend,
+                   negotiate_layouts=serve_7b)
+    srv = LMMServer(lmm, model_name="vicuna-7b" if serve_7b
+                    else "llava-1.4b", port=0,
                     max_batch=8, batch_window_ms=50, inflight=inflight,
-                    inflight_kwargs={"n_slots": 8, "prompt_cap": 64,
+                    inflight_kwargs={"n_slots": 4 if serve_7b else 8,
+                                     "prompt_cap": 64,
                                      "gen_cap": 16, "chunk": 4,
                                      "prefix_cache": 64 if prefix else 0}
                     if inflight else None)
@@ -921,7 +991,9 @@ def bench_serve(results, quick=False):
         # the measured rounds must actually have admitted from the store
         assert st["prefix_hits"] >= 8 * rounds, st
     srv.shutdown()
-    results.append({"metric": "llava_1p4b_serve_http_samples_s"
+    results.append({"metric": ("vicuna7b_serve_http_samples_s_int8"
+                               if serve_7b
+                               else "llava_1p4b_serve_http_samples_s")
                               + ("" if backend == "greedy"
                                  else f"_{backend}")
                               + ("_prefix_cache" if prefix else
