@@ -429,8 +429,13 @@ def bench_train(results, quick=False):
     # boundaries: the backward skips the ~25%-of-step block-recompute
     # (the measured stage-2 MFU gap term — README round-4 accounting)
     rpol = os.environ.get("LVR_TRAIN_REMAT_POLICY", "block")
+    # LVR_TRAIN_ACCUM=2: sequential microbatches inside one step — b/2
+    # activation memory at the same global batch (lets remat=none fit)
+    accum = int(os.environ.get("LVR_TRAIN_ACCUM", "1"))
+    use_remat = rpol != "none"
     tcfg = TrainConfig(stage=1, learning_rate=1e-3, total_steps=100,
-                       remat=True, remat_policy=rpol, use_flash=True)
+                       remat=use_remat, remat_policy=rpol,
+                       use_flash=True, grad_accum=accum)
     state, opt = init_train_state(params, tcfg)
     step = jax.jit(make_train_step(cfg, tcfg, opt, prec))
 
@@ -472,7 +477,8 @@ def bench_train(results, quick=False):
     flops_s2 = tower_fwd + 3 * f_fwd    # + weight-grad pass
     results.append(_perf_fields(
         {"metric": "llava_1p4b_stage1_train_tok_s"
-                   + ("" if rpol == "block" else f"_remat_{rpol}"),
+                   + ("" if rpol == "block" else f"_remat_{rpol}")
+                   + ("" if accum == 1 else f"_accum{accum}"),
          "value": round(toks / dt, 1), "unit": "tokens/sec/chip",
          "flops_basis": "analytic (scan bodies undercounted by XLA "
                         "cost analysis)"},
@@ -482,7 +488,8 @@ def bench_train(results, quick=False):
     # reference's finetune.sh workload. Same shapes; bf16 AdamW moments
     # keep 1.4B params+moments+grads ~11 GB on one chip.
     tcfg2 = TrainConfig(stage=2, learning_rate=2e-5, total_steps=100,
-                        remat=True, remat_policy=rpol, use_flash=True)
+                        remat=use_remat, remat_policy=rpol,
+                        use_flash=True, grad_accum=accum)
     state2, opt2 = init_train_state(params, tcfg2)
     step2 = jax.jit(make_train_step(cfg, tcfg2, opt2, prec))
 
@@ -498,7 +505,8 @@ def bench_train(results, quick=False):
                  lambda m: float(m["loss"]))
     results.append(_perf_fields(
         {"metric": "llava_1p4b_stage2_train_tok_s"
-                   + ("" if rpol == "block" else f"_remat_{rpol}"),
+                   + ("" if rpol == "block" else f"_remat_{rpol}")
+                   + ("" if accum == 1 else f"_accum{accum}"),
          "value": round(toks / dt2, 1),
          "unit": "tokens/sec/chip",
          "flops_basis": "analytic (scan bodies undercounted by XLA "
