@@ -172,6 +172,48 @@ def bench_sd15(extra):
         extra["sd15_vs_baseline"] = round(img_s / a100_est, 2)
 
 
+def bench_dinov2(extra):
+    """DINOv2-L with the round-4 production config (fused no-max softmax
+    + tanh-GELU fast-act, `model.tower_fast_act`): the last ViT-zoo
+    family to beat its A100-eager basis (834 img/s, vs_baseline 1.04 —
+    benchmarks/README.md round-4 zoo decomposition; fp32-oracle
+    validation in benchmarks/validate_fast_act.py)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        BF16_TOWER_PRECISION)
+    from law_of_vision_representation_in_mllms_tpu.models.vit import (
+        VIT_PRESETS, ViTTower)
+
+    cfg = dataclasses.replace(VIT_PRESETS["facebook/dinov2-large"](),
+                              attn_impl="xla_expclamp_fused",
+                              hidden_act="gelu_tanh")
+    tower = ViTTower(cfg, select_layer=-2, select_feature="patch",
+                     precision=BF16_TOWER_PRECISION)
+    batch = 64
+    rng = np.random.RandomState(2)
+    px = jnp.asarray(rng.randn(batch, 224, 224, 3).astype(np.float32))
+    v = jax.jit(tower.init)(jax.random.PRNGKey(0), px)
+    v = jax.tree.map(lambda x: x.astype(jnp.bfloat16), v)
+    fn = jax.jit(lambda vv, p: tower.apply(vv, p))
+    float(jnp.sum(fn(v, px)))
+    float(jnp.sum(fn(v, px * 1.5)))
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(v, px * (1.01 + 0.003 * i))
+    _ = float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / iters
+    img_s = batch / dt
+    extra["dinov2l_fastact_img_s"] = round(img_s, 2)
+    flops = _cost_flops(fn, v, px)
+    if flops:
+        a100_est = A100_EAGER_TFLOPS * 1e12 / (flops / batch)
+        extra["dinov2l_vs_baseline"] = round(img_s / a100_est, 2)
+
+
 def main():
     extra = {}
     img_s = bench_clip(extra)
@@ -179,6 +221,10 @@ def main():
         bench_sd15(extra)
     except Exception as e:              # the headline must still print
         extra["sd15_error"] = type(e).__name__
+    try:
+        bench_dinov2(extra)
+    except Exception as e:
+        extra["dinov2_error"] = type(e).__name__
     print(json.dumps({
         "metric": "clip_l14_336_feature_extraction",
         "value": round(img_s, 2),
