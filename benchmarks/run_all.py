@@ -1047,12 +1047,24 @@ def bench_serve_hetero(results, quick=False):
     from law_of_vision_representation_in_mllms_tpu.serve import LMMServer
 
     mode = os.environ.get("LVR_SERVE_MODE", "inflight")
+    # LVR_HETERO_TINY=1: CPU smoke of the full control path (server,
+    # warmup, schedule replay, prefix-hit assertion) on a tiny model —
+    # run before burning TPU tunnel time on an untested flow
+    tiny = os.environ.get("LVR_HETERO_TINY", "0") == "1"
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
     prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
-                            intermediate_size=5632, num_layers=16,
-                            num_heads=16, num_kv_heads=16)
-    cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
-                                  decoder=dec)
+    if tiny:
+        dec = llama.LlamaConfig(vocab_size=1024, hidden_size=64,
+                                intermediate_size=128, num_layers=2,
+                                num_heads=4, num_kv_heads=4)
+        cfg = llava.LlavaConfig.build("debug/tiny-vit", decoder=dec)
+    else:
+        dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                                intermediate_size=5632, num_layers=16,
+                                num_heads=16, num_kv_heads=16)
+        cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
+                                      decoder=dec)
     params = llava.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     inflight = mode != "wave"
@@ -1060,7 +1072,7 @@ def bench_serve_hetero(results, quick=False):
                    precision=prec, batch_size=8, gen_backend="greedy")
     srv = LMMServer(lmm, model_name="llava-1.4b", port=0,
                     max_batch=8, batch_window_ms=50, inflight=inflight,
-                    inflight_kwargs={"n_slots": 8, "prompt_cap": 128,
+                    inflight_kwargs={"n_slots": 8, "prompt_cap": 192,
                                      "gen_cap": 32, "chunk": 4,
                                      "prefix_cache":
                                          64 if mode == "inflight_prefix"
@@ -1075,8 +1087,16 @@ def bench_serve_hetero(results, quick=False):
     buf = BytesIO()
     img.save(buf, format="PNG")
     b64 = base64.b64encode(buf.getvalue()).decode()
-    system = ("you are a careful visual assistant that answers with "
-              "short factual statements about the provided picture")
+    # long enough that the shared spliced prefix (template preamble +
+    # 576-token image span + this text) clears the NEXT prefix_block=64
+    # boundary past the image span — partial matches must round down to
+    # a position beyond idx_img + num_patches (inflight.py constraint)
+    system = ("you are a careful and precise visual assistant that "
+              "answers with short factual statements about the provided "
+              "picture and never speculates beyond what is visible "
+              "always keep answers brief plain and grounded in the "
+              "image content describe objects colors counts spatial "
+              "relations and any legible text exactly as seen")
 
     n = 12 if quick else 24
     words = rng.randint(4, 49, size=n)        # mixed prompt lengths
@@ -1086,12 +1106,16 @@ def bench_serve_hetero(results, quick=False):
 
     def payload(i, tag):
         q = " ".join(f"w{(i * 7 + j) % 53}" for j in range(words[i]))
+        # image part FIRST (llava convention): the spliced image span +
+        # shared preamble form the common KV prefix the partial-prefix
+        # store reuses (inflight._match_partial_prefix requires the
+        # image inside the shared part)
         return {"max_tokens": int(budgets[i]),
                 "messages": [{"role": "user", "content": [
-                    {"type": "text",
-                     "text": f"{system}\n{tag}{i} {q}"},
                     {"type": "image_url", "image_url": {
-                        "url": f"data:image/png;base64,{b64}"}}]}]}
+                        "url": f"data:image/png;base64,{b64}"}},
+                    {"type": "text",
+                     "text": f"{system}\n{tag}{i} {q}"}]}]}
 
     def post(pl):
         req = urllib.request.Request(
@@ -1143,7 +1167,8 @@ def bench_serve_hetero(results, quick=False):
             + stats.get("partial_hits", 0) >= n - 1, stats
     srv.shutdown()
     lat_arr = np.asarray([l for l in lat if l is not None])
-    results.append({
+    row_sink = [] if tiny else results     # tiny smoke: print, don't persist
+    row_sink.append({
         "metric": f"llava_1p4b_serve_hetero_{mode}",
         "value": round(n / dt, 2), "unit": "samples/sec",
         "p50_latency_s": round(float(np.percentile(lat_arr, 50)), 2),
@@ -1155,6 +1180,8 @@ def bench_serve_hetero(results, quick=False):
                 "slots / max_batch 8; same seeded schedule across "
                 "modes. Latency includes queueing. Axon-relay dispatch "
                 "latency (~0.3-0.5 s/round-trip) rides every number."})
+    if tiny:
+        print("TINY SMOKE OK", json.dumps(row_sink[0]), flush=True)
     if stats:
         print(f"engine stats: {stats}", flush=True)
 

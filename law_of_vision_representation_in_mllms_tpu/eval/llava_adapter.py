@@ -85,7 +85,15 @@ class LlavaLMM(LMM):
     # ------------------------------------------------------------------
 
     def _prompt(self, context: str) -> str:
-        text = IMAGE_PLACEHOLDER + "\n" + context
+        """Prepend the image marker ONLY when the context doesn't carry
+        one already (`lmms_eval/models/llava.py` image_tokens handling):
+        serve-path contexts place '<image>' themselves (one per image
+        part), and a second marker would splice garbage — one -200
+        sentinel must match one pixel batch."""
+        if IMAGE_PLACEHOLDER in context:
+            text = context
+        else:
+            text = IMAGE_PLACEHOLDER + "\n" + context
         return self.template.prompt_for_generation([("human", text)])
 
     def _pixels(self, requests: List[Instance], pad_to: int = 0):
