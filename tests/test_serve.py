@@ -491,3 +491,27 @@ def test_inflight_sse_streams_live_tokens():
         assert sum(1 for c in content if c) >= 2, content
     finally:
         srv.shutdown()
+
+
+def test_prompt_single_image_marker():
+    """Serve-path contexts carry their own '<image>' marker; the adapter
+    must not prepend a second one (one -200 sentinel per pixel batch —
+    a duplicate spliced a junk token into every HTTP image request)."""
+    from types import SimpleNamespace
+    from law_of_vision_representation_in_mllms_tpu.data import (
+        SimpleTokenizer, get_template)
+    from law_of_vision_representation_in_mllms_tpu.data.preprocess import (
+        tokenizer_image_token)
+    from law_of_vision_representation_in_mllms_tpu.eval.llava_adapter \
+        import LlavaLMM
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IMAGE_TOKEN_INDEX)
+
+    dummy = SimpleNamespace(template=get_template("v1"))
+    tok = SimpleTokenizer()
+    for ctx in ("<image>\nwhat is this", "sys preamble\n<image>\nquery",
+                "plain text question"):
+        prompt = LlavaLMM._prompt(dummy, ctx)
+        ids = tokenizer_image_token(prompt, tok)
+        n_markers = sum(1 for i in ids if i == IMAGE_TOKEN_INDEX)
+        assert n_markers == 1, (ctx, n_markers)
