@@ -214,6 +214,18 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
     axis does not divide the accumulation factor."""
 
     def loss(params, batch):
+        # stop_gradient on FROZEN weights (same label tree the optimizer
+        # freezes with): activation grads still flow THROUGH the frozen
+        # decoder to the projector, but XLA never emits the frozen
+        # weight-grad matmuls the optimizer would discard via set_to_zero.
+        # At 1.4B stage-1 that pass is ~1/3 of the hardware FLOPs
+        # (benchmarks/README round-4 accounting). This also matches HF/
+        # deepspeed clipping semantics (`train.py:1024-1031` freezes via
+        # requires_grad=False, so frozen params never enter the grad-norm).
+        labels = _freeze_labels(params, train_cfg.stage)
+        params = jax.tree.map(
+            lambda p, lab: jax.lax.stop_gradient(p) if lab == "freeze"
+            else p, params, labels)
         if train_cfg.switch_sigma:
             from ..models.switch import switch_loss_fn
             return switch_loss_fn(params, model_cfg, batch,
@@ -260,20 +272,36 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
         l, grads = grad_fn(params_in, batch)
         gnorm = optax.global_norm(grads)
         # production guard (absent in the reference): skip the update when
-        # the loss/grads go non-finite instead of poisoning the params
+        # the loss/grads go non-finite instead of poisoning the params.
+        # lax.cond instead of per-leaf where-blends: the skip branch is a
+        # true no-op, so the finite path never pays the two extra
+        # full-param-size HBM passes (zeroing grads + blending params)
+        # the where formulation cost — and a skipped step no longer
+        # decays the AdamW moments or applies weight decay.
         finite = jnp.isfinite(l) & jnp.isfinite(gnorm)
-        grads = jax.tree.map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         opt_in = state["opt_state"]
         if opt_to_device is not None:
             opt_in = jax.device_put(opt_in, opt_to_device)
-        updates, opt_state = opt.update(grads, opt_in, params_in)
+
+        def _apply(operand):
+            grads_, opt_in_, params_ = operand
+            updates, opt_state_ = opt.update(grads_, opt_in_, params_)
+            return optax.apply_updates(params_, updates), opt_state_
+
+        def _skip(operand):
+            _, opt_in_, params_ = operand
+            # advance the schedule counts (the integer scalars in the
+            # optax state) without touching params or moments — HF
+            # Trainer parity: lr_scheduler.step() runs even when the
+            # AMP/overflow optimizer step is skipped
+            return params_, jax.tree.map(
+                lambda x: x + 1 if (x.ndim == 0 and jnp.issubdtype(
+                    x.dtype, jnp.integer)) else x, opt_in_)
+
+        params, opt_state = jax.lax.cond(
+            finite, _apply, _skip, (grads, opt_in, params_in))
         if opt_to_host is not None:
             opt_state = jax.device_put(opt_state, opt_to_host)
-        params = optax.apply_updates(params_in, updates)
-        params = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old), params,
-            params_in)
         if params_to_host is not None:
             params = jax.device_put(params, params_to_host)
         new_state = {"params": params, "opt_state": opt_state,
