@@ -486,7 +486,10 @@ def bench_train(results, quick=False):
 
     # stage-2 full finetune (decoder+projector train, tower frozen) — the
     # reference's finetune.sh workload. Same shapes; bf16 AdamW moments
-    # keep 1.4B params+moments+grads ~11 GB on one chip.
+    # keep 1.4B params+moments+grads ~11 GB on one chip. Free the stage-1
+    # state/program first: stage-2 peak (params+moments+grads+remat
+    # activations) plus a live stage-1 state can RESOURCE_EXHAUST the chip.
+    del state, opt, step, one
     tcfg2 = TrainConfig(stage=2, learning_rate=2e-5, total_steps=100,
                         remat=use_remat, remat_policy=rpol,
                         use_flash=True, grad_accum=accum)

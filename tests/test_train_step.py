@@ -217,3 +217,43 @@ def test_remat_dots_policy_matches_no_remat():
                                rtol=1e-6)
     np.testing.assert_allclose(float(m["grad_norm"]),
                                float(m0["grad_norm"]), rtol=1e-5)
+
+
+def test_nonfinite_batch_skips_update_then_recovers():
+    """The production guard: a NaN-poisoned batch must (a) report
+    skipped_nonfinite=1, (b) leave params AND optimizer moments bit-exact
+    (the select-zero formulation applies +0), and (c) not poison later
+    steps. The schedule count still advances (HF-Trainer AMP parity)."""
+    cfg, params = _tiny(3)
+    tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=50)
+    state, opt = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+
+    rng = np.random.RandomState(3)
+    clean = _batch(rng)
+    state, m0 = step(state, clean)
+    assert float(m0["skipped_nonfinite"]) == 0.0
+
+    params_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                                 state["params"])
+    poisoned = dict(clean)
+    px = np.asarray(clean["pixel_values"][0]).copy()
+    px[0, 0, 0, 0] = np.nan
+    poisoned["pixel_values"] = [jnp.asarray(px)]
+    state, m1 = step(state, poisoned)
+    assert float(m1["skipped_nonfinite"]) == 1.0
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # moments stay finite (grads were select-zeroed before opt.update)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(state["opt_state"]))
+
+    # recovery: the next clean step trains normally
+    state, m2 = step(state, clean)
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m2["loss"]))
+    # decoder weights moved on the clean step
+    before_wq = params_before["decoder"]["layers"]["wq"]
+    after_wq = np.asarray(state["params"]["decoder"]["layers"]["wq"])
+    assert np.abs(after_wq - before_wq).max() > 0
