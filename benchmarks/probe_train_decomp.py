@@ -34,7 +34,7 @@ from law_of_vision_representation_in_mllms_tpu.models import llama, llava
 from law_of_vision_representation_in_mllms_tpu.models.splice import (
     IGNORE_INDEX, IMAGE_TOKEN_INDEX)
 from law_of_vision_representation_in_mllms_tpu.train.train_step import (
-    TrainConfig, init_train_state, make_train_step)
+    TrainConfig, init_train_state, make_train_step, _freeze_labels)
 
 
 def main():
@@ -47,9 +47,10 @@ def main():
     params = llava.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     rpol = os.environ.get("LVR_TRAIN_REMAT_POLICY", "block")
+    fused = os.environ.get("LVR_TRAIN_FUSED_OPT", "1") == "1"
     tcfg = TrainConfig(stage=2, learning_rate=2e-5, total_steps=100,
                        remat=rpol != "none", remat_policy=rpol,
-                       use_flash=True)
+                       use_flash=True, fused_optimizer=fused)
     state, opt = init_train_state(params, tcfg)
 
     b, l = 8, 64
@@ -67,6 +68,14 @@ def main():
                 "pixel_values": [pxv]}
 
     def loss(p, pxv):
+        # SAME freeze as make_train_step's loss: stage-2 stop-gradients the
+        # frozen tower weights, so P2's backward matches the real step's
+        # (without this, P2 pays tower weight-grad matmuls the step never
+        # emits and T_opt = P3 - P2 goes negative).
+        labels = _freeze_labels(p, tcfg.stage)
+        p = jax.tree.map(
+            lambda w, lab: jax.lax.stop_gradient(w) if lab == "freeze"
+            else w, p, labels)
         return llava.loss_fn(p, cfg, batch_of(pxv), prec,
                              remat=tcfg.remat, remat_policy=rpol,
                              use_flash=True)
@@ -85,14 +94,17 @@ def main():
           f"(bwd = {(t_vg-t_fwd)*1e3:.1f} ms, "
           f"bwd/fwd = {(t_vg-t_fwd)/t_fwd:.2f})", flush=True)
 
-    step = jax.jit(make_train_step(cfg, tcfg, opt, prec))
+    step = jax.jit(make_train_step(cfg, tcfg, opt, prec),
+                   donate_argnums=(0,))
+    sref = [state]
 
     def one(pxv):
-        _, m = step(state, batch_of(pxv))
+        sref[0], m = step(sref[0], batch_of(pxv))
         return m
     t_step = _timed(one, (px,), variants, lambda m: float(m["loss"]))
     toks = b * (l - 1 + cfg.num_patches)
-    print(f"P3 full step           : {t_step*1e3:7.1f} ms "
+    print(f"P3 full step ({'fused' if fused else 'optax'})   : "
+          f"{t_step*1e3:7.1f} ms "
           f"(opt+guard = {(t_step-t_vg)*1e3:.1f} ms) "
           f"-> {toks/t_step:.0f} tok/s", flush=True)
 

@@ -437,7 +437,8 @@ def bench_train(results, quick=False):
                        remat=use_remat, remat_policy=rpol,
                        use_flash=True, grad_accum=accum)
     state, opt = init_train_state(params, tcfg)
-    step = jax.jit(make_train_step(cfg, tcfg, opt, prec))
+    step = jax.jit(make_train_step(cfg, tcfg, opt, prec),
+                   donate_argnums=(0,))
 
     b, l = 8, 64
     rng = np.random.RandomState(5)
@@ -447,12 +448,15 @@ def bench_train(results, quick=False):
     labels[:, :2] = IGNORE_INDEX
     px = jnp.asarray(rng.randn(b, 336, 336, 3).astype(np.float32))
 
+    sref = [state]
+
     def one(pxv):
         batch = {"input_ids": jnp.asarray(ids),
                  "labels": jnp.asarray(labels),
                  "text_mask": jnp.ones((b, l), bool),
                  "pixel_values": [pxv]}
-        _, metrics = step(state, batch)
+        # the step donates its input state; thread the new one through
+        sref[0], metrics = step(sref[0], batch)
         return metrics
     iters = 2 if quick else 5
     dt = _timed(one, (px,),
@@ -489,23 +493,36 @@ def bench_train(results, quick=False):
     # keep 1.4B params+moments+grads ~11 GB on one chip. Free the stage-1
     # state/program first: stage-2 peak (params+moments+grads+remat
     # activations) plus a live stage-1 state can RESOURCE_EXHAUST the chip.
-    del state, opt, step, one
+    del state, opt, step, one, sref
     tcfg2 = TrainConfig(stage=2, learning_rate=2e-5, total_steps=100,
                         remat=use_remat, remat_policy=rpol,
                         use_flash=True, grad_accum=accum)
     state2, opt2 = init_train_state(params, tcfg2)
-    step2 = jax.jit(make_train_step(cfg, tcfg2, opt2, prec))
+    step2 = jax.jit(make_train_step(cfg, tcfg2, opt2, prec),
+                    donate_argnums=(0,))
+
+    sref2 = [state2]
 
     def one2(pxv):
         batch = {"input_ids": jnp.asarray(ids),
                  "labels": jnp.asarray(labels),
                  "text_mask": jnp.ones((b, l), bool),
                  "pixel_values": [pxv]}
-        _, metrics = step2(state2, batch)
+        sref2[0], metrics = step2(sref2[0], batch)
         return metrics
-    dt2 = _timed(one2, (px,),
-                 [(px * (1.02 + 0.01 * i),) for i in range(iters)],
-                 lambda m: float(m["loss"]))
+    try:
+        dt2 = _timed(one2, (px,),
+                     [(px * (1.02 + 0.01 * i),) for i in range(iters)],
+                     lambda m: float(m["loss"]))
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" in str(e):
+            # stage-2 (params+moments+grads+activations) does not fit
+            # under this remat/accum combination — a legitimate sweep
+            # outcome (e.g. remat=none), not a suite failure
+            print(f"stage-2 skipped (OOM) under remat={rpol} "
+                  f"accum={accum}", file=sys.stderr)
+            return
+        raise
     results.append(_perf_fields(
         {"metric": "llava_1p4b_stage2_train_tok_s"
                    + ("" if rpol == "block" else f"_remat_{rpol}")
@@ -517,9 +534,9 @@ def bench_train(results, quick=False):
         flops_s2, dt2))
 
 
-def _random_int8_decoder(cfg):
-    """Random weight-only-int8 LLaMA decoder params (benchmarking: the
-    matmul weights are initialized DIRECTLY as int8 + per-channel scales
+def _random_quant_decoder(cfg, bits=8, group_size=128):
+    """Random weight-only-quantized LLaMA decoder params (benchmarking:
+    the matmul weights are initialized DIRECTLY as int8/int4 + scales
     in one program — no 13.4 GB dense intermediate ever exists)."""
     import jax
     import jax.numpy as jnp
@@ -530,6 +547,18 @@ def _random_int8_decoder(cfg):
         keys = jax.random.split(k, 10)
 
         def q(kk, *shape):
+            if bits == 4:
+                # packed nibbles (ops/quant leaf format): [..., di//2, do]
+                pshape = shape[:-2] + (shape[-2] // 2, shape[-1])
+                k1, k2 = jax.random.split(kk)
+                lo = jax.random.randint(k1, pshape, -7, 8, jnp.int8)
+                hi = jax.random.randint(k2, pshape, -7, 8, jnp.int8)
+                packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                                        jnp.left_shift(hi, 4))
+                return {"q4": packed.astype(jnp.int8),
+                        "scale": jnp.full(
+                            shape[:-2] + (shape[-2] // group_size,
+                                          shape[-1]), 4e-3, jnp.float32)}
             return {"q8": jax.random.randint(kk, shape, -127, 128,
                                              jnp.int8),
                     "scale": jnp.full(shape[:-2] + (1, shape[-1]),
@@ -555,6 +584,11 @@ def _random_int8_decoder(cfg):
     return jax.jit(_qinit)(jax.random.PRNGKey(0))
 
 
+def _random_int8_decoder(cfg):
+    """Back-compat alias (probe_decode_bw imports this name)."""
+    return _random_quant_decoder(cfg, bits=8)
+
+
 def bench_decode_7b(results, quick=False):
     """Flagship-scale (vicuna-7b) decoder on ONE v5e chip: 13.4 GB bf16
     params. Measures the 512-token flash prefill in-program, per-step
@@ -576,11 +610,13 @@ def bench_decode_7b(results, quick=False):
     prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     cfg = llama.vicuna_7b()
     quant = os.environ.get("LVR_DECODE_QUANT", "")
-    if quant == "int8":
-        # weight-only int8 decode (ops/quant.py): resident params drop
-        # 13.4 -> ~6.9 GB and the param-read floor halves. Decode
-        # dynamics are identical to the dense bench (random argmax walk).
-        params = _random_int8_decoder(cfg)
+    if quant in ("int8", "int4"):
+        # weight-only int8/int4 decode (ops/quant.py): resident params
+        # drop 13.4 -> ~6.9 / ~3.6 GB and the param-read floor shrinks
+        # with them. Decode dynamics are identical to the dense bench
+        # (random argmax walk).
+        params = _random_quant_decoder(cfg, bits=4 if quant == "int4"
+                                       else 8)
     else:
         params = jax.jit(
             lambda k: llama.init_params(k, cfg, jnp.bfloat16))(
@@ -611,7 +647,7 @@ def bench_decode_7b(results, quick=False):
     prefill = jax.jit(_prefill)
 
     iters = 2 if quick else 4
-    qsuf = "_int8" if quant == "int8" else ""
+    qsuf = f"_{quant}" if quant else ""
     dt = _timed(lambda i: prefill(params, i), (ids,),
                 [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
                 lambda o: int(o[1][0]))

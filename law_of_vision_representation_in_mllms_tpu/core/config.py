@@ -98,6 +98,11 @@ class TrainSection:
     max_length: int = 2048
     bf16: bool = True
     gradient_checkpointing: bool = False
+    # remat save policy when gradient_checkpointing is on: "block" or
+    # "dots" (models/llama._remat)
+    remat_policy: str = "block"
+    # single-fusion AdamW (train_step.FusedAdamW); False = optax chain
+    fused_optimizer: bool = True
     group_by_modality_length: bool = False
     # LoRA finetune (`finetune_lora.sh`: lora_r 128, lora_alpha 256)
     lora_enable: bool = False

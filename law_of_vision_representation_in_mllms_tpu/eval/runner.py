@@ -35,10 +35,12 @@ def build_lmm(cfg: RunConfig) -> LlavaLMM:
     from ..train.runner import build_model, build_tokenizer
     precision = DEFAULT_PRECISION if cfg.train.bf16 else FP32_PRECISION
     model_cfg, params = build_model(cfg)
-    if cfg.model.quantize == "int8":
+    if cfg.model.quantize in ("int8", "int4"):
         from ..ops.quant import quantize_decoder
         params = dict(params)
-        params["decoder"] = quantize_decoder(params["decoder"])
+        params["decoder"] = quantize_decoder(
+            params["decoder"],
+            bits=4 if cfg.model.quantize == "int4" else 8)
     elif cfg.model.quantize:
         raise ValueError(f"unknown model.quantize {cfg.model.quantize!r}")
     tokenizer = build_tokenizer(cfg)

@@ -188,7 +188,7 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
     every decode step, doubling HBM traffic). lora: optional per-layer
     low-rank factor dict (models/lora.py)."""
     from .lora import lora_matmul
-    from ..ops.quant import int8_matmul, is_quantized
+    from ..ops.quant import quant_matmul, is_quantized
     b, s, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cd = prec.compute_dtype
@@ -197,10 +197,10 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
     def mm(x_, name):
         w = lp[name]
         if is_quantized(w):
-            # weight-only int8 (ops/quant.py): decode reads int8 bytes
-            # from HBM; scale applies after the dot. LoRA deltas stay
-            # dense on top.
-            y = int8_matmul(x_, w)
+            # weight-only int8/int4 (ops/quant.py): decode reads the
+            # quantized bytes from HBM; scales apply after the dot(s).
+            # LoRA deltas stay dense on top.
+            y = quant_matmul(x_, w)
             a = lora.get(f"{name}_a")
             if a is not None:
                 y = y + ((x_ @ a.astype(cd)) @ lora[f"{name}_b"].astype(cd)
@@ -384,10 +384,10 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
 
 
 def logits_fn(params, hidden, precision: Precision = DEFAULT_PRECISION):
-    from ..ops.quant import int8_matmul, is_quantized
+    from ..ops.quant import quant_matmul, is_quantized
     w = params["lm_head"]
     if is_quantized(w):
-        return int8_matmul(hidden, w).astype(jnp.float32)
+        return quant_matmul(hidden, w).astype(jnp.float32)
     return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
 
 

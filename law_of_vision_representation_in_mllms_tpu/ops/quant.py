@@ -57,7 +57,8 @@ def dequantize_int8(qw: Dict[str, Any], dtype=jnp.float32):
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and "q8" in leaf and "scale" in leaf
+    return isinstance(leaf, dict) and "scale" in leaf and (
+        "q8" in leaf or "q4" in leaf)
 
 
 def int8_matmul(x, qw: Dict[str, Any]):
@@ -69,21 +70,131 @@ def int8_matmul(x, qw: Dict[str, Any]):
         (1,) * (y.ndim - 1) + (-1,))
 
 
+def quantize_int4(w, axis: int = -2,
+                  group_size: int | None = 128) -> Dict[str, Any]:
+    """Symmetric int4 quantization with grouped scales.
+
+    Weights are stored PACKED: two 4-bit codes per int8 byte, adjacent
+    contraction rows sharing a byte (row 2i in the low nibble, 2i+1 in
+    the high), so the decode matvec streams 4 bits/weight — half the
+    int8 floor, a quarter of bf16. The unpack (arithmetic shifts +
+    interleave) is elementwise and fuses into the dot's operand read
+    like the int8 convert; no low-precision `dot_general` is ever
+    emitted. (Native `jnp.int4` S4 storage would be cleaner, but S4
+    array dispatch crashes this environment's remote backend with a
+    shard_arg recursion — benchmarks/probe_int4.py history.)
+
+    `group_size` scales blocks of `group_size` contraction rows
+    independently (the standard accuracy fix for 4-bit round-to-nearest;
+    bitsandbytes' 4-bit blockwise scheme is the reference counterpart,
+    `llava/train/train.py:915-923` BitsAndBytesConfig). `None` means one
+    scale per output channel (G=1). Symmetric range is [-7, 7]: -8 is
+    excluded so the grid is symmetric, matching the amax/7 scale.
+
+    Leaf format: {"q4": int8 [..., di//2, do] (packed), "scale":
+    f32 [..., G, do]} with di % (2*group_size or 2) == 0; `axis` must be
+    the contracting dim -2.
+    """
+    if axis != -2:
+        raise ValueError("int4 quantization expects the contracting dim "
+                         "at axis=-2")
+    wf = jnp.asarray(w, jnp.float32)
+    di, do = wf.shape[-2], wf.shape[-1]
+    if di % 2:
+        raise ValueError(f"int4 packing needs an even contraction dim, "
+                         f"got {di}")
+    # clamp: a group can never exceed the contraction dim (tiny test
+    # models keep the production default group_size=128)
+    g = di if group_size is None else min(int(group_size), di)
+    if di % g or g % 2:
+        raise ValueError(f"group_size {g} must be even and divide "
+                         f"di={di}")
+    lead = wf.shape[:-2]
+    wg = wf.reshape(*lead, di // g, g, do)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)       # [...,G,1,do]
+    scale = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(*lead, di // 2, 2, do)
+    lo, hi = q[..., 0, :], q[..., 1, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return {"q4": packed, "scale": scale[..., 0, :].astype(jnp.float32)}
+
+
+def _unpack_int4(packed, dtype):
+    """[..., di//2, do] packed int8 -> [..., di, do] values in `dtype`.
+    Arithmetic shifts sign-extend: low nibble via <<4 then >>4, high via
+    >>4. Pure elementwise + reshape — a fusible dot-operand producer."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    inter = jnp.stack([lo, hi], axis=-2)          # [..., di//2, 2, do]
+    return inter.reshape(*packed.shape[:-2],
+                         packed.shape[-2] * 2,
+                         packed.shape[-1]).astype(dtype)
+
+
+def dequantize_int4(qw: Dict[str, Any], dtype=jnp.float32):
+    q, scale = qw["q4"], qw["scale"]
+    di, do = q.shape[-2] * 2, q.shape[-1]
+    ng = scale.shape[-2]
+    w = _unpack_int4(q, dtype)
+    wg = w.reshape(*q.shape[:-2], ng, di // ng, do)
+    return (wg * scale[..., :, None, :].astype(dtype)).reshape(
+        *q.shape[:-2], di, do)
+
+
+def int4_matmul(x, qw: Dict[str, Any]):
+    """`x @ dequant(qw)` with grouped scales applied after per-group
+    partial dots: y = sum_G scale[G] * (x_G @ q_G). For G == 1 this is
+    the same post-dot scaling as the int8 path; for G > 1 the partial
+    sums are one batched dot with G as the batch dim (decode x is tiny,
+    so the [..., G, do] intermediate is negligible)."""
+    q, scale = qw["q4"], qw["scale"]
+    di, do = q.shape[-2] * 2, q.shape[-1]
+    ng = scale.shape[-2]
+    s = scale.astype(x.dtype)
+    w = _unpack_int4(q, x.dtype)
+    if ng == 1:
+        y = x @ w
+        return y * s.reshape((1,) * (y.ndim - 1) + (-1,))
+    g = di // ng
+    xg = x.reshape(*x.shape[:-1], ng, g)
+    wg = w.reshape(ng, g, do)
+    y = jnp.einsum("...Gg,Ggo->...Go", xg, wg)
+    return jnp.sum(y * s, axis=-2)
+
+
+def quant_matmul(x, qw: Dict[str, Any]):
+    """Dispatch on the quantized-leaf format (int8 or int4)."""
+    return int4_matmul(x, qw) if "q4" in qw else int8_matmul(x, qw)
+
+
 def quantize_decoder(params: Dict[str, Any],
                      targets=DECODER_TARGETS,
-                     quantize_lm_head: bool = True) -> Dict[str, Any]:
+                     quantize_lm_head: bool = True,
+                     bits: int = 8,
+                     group_size: int | None = 128) -> Dict[str, Any]:
     """Quantize a LLaMA decoder param tree's matmul weights in place
     (returns a new tree; embed/norms stay dense). Stacked [L, di, do]
-    layer weights get per-(layer, output-channel) scales [L, 1, do]."""
+    layer weights get per-(layer, output-channel) scales [L, 1, do]
+    (int8) or per-(layer, group, output-channel) [L, G, do] (int4)."""
+    if bits == 8:
+        def qfn(w):
+            return quantize_int8(w, axis=-2)
+    elif bits == 4:
+        def qfn(w):
+            return quantize_int4(w, axis=-2, group_size=group_size)
+    else:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     out = dict(params)
     layers = dict(params["layers"])
     for t in targets:
         if t in layers and not is_quantized(layers[t]):
-            layers[t] = quantize_int8(layers[t], axis=-2)
+            layers[t] = qfn(layers[t])
     out["layers"] = layers
     if quantize_lm_head and "lm_head" in out \
             and not is_quantized(out["lm_head"]):
-        out["lm_head"] = quantize_int8(out["lm_head"], axis=-2)
+        out["lm_head"] = qfn(out["lm_head"])
     return out
 
 

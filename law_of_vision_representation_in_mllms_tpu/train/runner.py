@@ -207,6 +207,8 @@ def run_training(cfg: RunConfig) -> int:
                        warmup_ratio=cfg.train.warmup_ratio,
                        total_steps=total,
                        remat=cfg.train.gradient_checkpointing,
+                       remat_policy=cfg.train.remat_policy,
+                       fused_optimizer=cfg.train.fused_optimizer,
                        grad_accum=cfg.train.grad_accum,
                        lora_rank=cfg.train.lora_r if cfg.train.lora_enable
                        else 0,
@@ -232,12 +234,17 @@ def run_training(cfg: RunConfig) -> int:
         diffusion_apply = make_diffusion_apply(
             precision=precision,
             config_overrides=model_cfg.featurizer_overrides)
+    # donate the state: params/moments update in place (the old state is
+    # dead the moment the step returns), halving train-state peak HBM —
+    # at 1.4B stage-2 the non-donated step kept two full state copies
+    # (~18 GB) live across the update
     step_fn = jax.jit(make_train_step(model_cfg, tcfg, opt, precision,
                                       diffusion_apply, opt_to_device=opt_dev,
                                       opt_to_host=opt_host,
                                       params_to_device=p_dev,
                                       params_to_host=p_host, mesh=mesh,
-                                      cp=cp, pp=pp))
+                                      cp=cp, pp=pp),
+                      donate_argnums=(0,))
 
     logger = MetricsLogger(cfg.train.output_dir, "train",
                            every=cfg.train.logging_steps)

@@ -60,6 +60,10 @@ class TrainConfig:
     # "Switch" representation-steering ablation (train_switch.py:895-898):
     # nonzero sigma expects params["switch"]; ONLY W trains
     switch_sigma: float = 0.0
+    # single-fusion AdamW (FusedAdamW below) instead of the optax
+    # chain+apply_updates pipeline; False keeps the optax path (the
+    # parity oracle in tests/test_train_step.py)
+    fused_optimizer: bool = True
 
     @property
     def lora_scaling(self) -> float:
@@ -85,14 +89,113 @@ def _freeze_labels(params, stage: int):
     return labels
 
 
-def make_optimizer(params, cfg: TrainConfig):
-    schedule = optax.warmup_cosine_decay_schedule(
+def _make_schedule(cfg: TrainConfig):
+    return optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=cfg.learning_rate,
         warmup_steps=max(1, int(cfg.warmup_ratio * cfg.total_steps)),
         decay_steps=cfg.total_steps, end_value=0.0)
+
+
+class FusedAdamW:
+    """AdamW with clip + nonfinite guard + schedule folded into ONE
+    elementwise fusion per leaf: read {g, mu, nu, p}, write
+    {mu', nu', p'}.
+
+    Motivation (measured, benchmarks/probe_train_decomp.py): the optax
+    pipeline `multi_transform(chain(clip_by_global_norm, adamw))` +
+    select-zero guard + `apply_updates` costs 69 ms of the 325 ms 1.4B
+    stage-2 step — it materializes the clipped-grad tree, promotes the
+    updates tree to fp32 through bias correction (2x param bytes), and
+    re-reads the params in apply_updates. The HBM floor for the update
+    is ~20 GB ≈ 36 ms at the measured 619 GB/s sustained read
+    (benchmarks/probe_decode_bw.py). Fusing the whole per-leaf update
+    into one kernel reaches for that floor.
+
+    Semantics mirror the optax chain exactly (parity-tested in
+    tests/test_train_step.py):
+    - clip: g *= max_grad_norm / max(gnorm, max_grad_norm);
+    - AdamW bias correction at t = count+1 (optax scale_by_adam), eps
+      1e-8 after the sqrt, additive weight decay wd*p, and
+      lr = schedule(count) read at the PRE-increment count (optax
+      scale_by_schedule);
+    - frozen leaves (the `_freeze_labels` tree) carry no moments
+      (optax.MaskedNode, the same sentinel optax.masked stores) and
+      never move;
+    - nonfinite guard: the clip scale select-zeros the grads before the
+      moment update and the applied delta select-zeros, so a skipped
+      step applies +0 and decays the moments once — identical to the
+      select-zero formulation this replaces;
+    - moments are stored in the param dtype (bf16 moments at bf16
+      params, like optax mu_dtype=None); per-leaf math runs in fp32 and
+      casts back (optax promotes to fp32 through bias correction too).
+    """
+
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.schedule = _make_schedule(cfg)
+
+    def init(self, params):
+        labels = _freeze_labels(params, self.cfg.stage)
+
+        def moment(p, lab):
+            return jnp.zeros_like(p) if lab == "train" \
+                else optax.MaskedNode()
+        mu = jax.tree.map(moment, params, labels)
+        return {"count": jnp.zeros((), jnp.int32), "mu": mu,
+                "nu": jax.tree.map(jnp.copy, mu)}
+
+    def apply(self, params, grads, state, finite, gnorm):
+        """(params, grads, opt_state, finite-flag, global_norm(grads))
+        -> (new_params, new_opt_state)."""
+        cfg = self.cfg
+        labels = _freeze_labels(params, cfg.stage)
+        count = state["count"]
+        lr = self.schedule(count).astype(jnp.float32)
+        t = count + 1
+        c1 = 1.0 - jnp.asarray(cfg.b1, jnp.float32) ** t
+        c2 = 1.0 - jnp.asarray(cfg.b2, jnp.float32) ** t
+        mgn = jnp.asarray(cfg.max_grad_norm, jnp.float32)
+        scale = mgn / jnp.maximum(gnorm.astype(jnp.float32), mgn)
+        fin = finite.astype(jnp.float32)
+
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        lab_l = treedef.flatten_up_to(labels)
+        g_l = treedef.flatten_up_to(grads)
+        mu_l = treedef.flatten_up_to(state["mu"])
+        nu_l = treedef.flatten_up_to(state["nu"])
+        new_p, new_mu, new_nu = [], [], []
+        for p, lab, g, m, v in zip(leaves, lab_l, g_l, mu_l, nu_l):
+            if lab != "train":
+                new_p.append(p)
+                new_mu.append(m)
+                new_nu.append(v)
+                continue
+            # a true select, not scale*0: NaN grads must not reach the
+            # moments (NaN * 0 == NaN)
+            g32 = jnp.where(finite, g.astype(jnp.float32) * scale, 0.0)
+            m32 = cfg.b1 * m.astype(jnp.float32) + (1.0 - cfg.b1) * g32
+            v32 = cfg.b2 * v.astype(jnp.float32) + (1.0 - cfg.b2) * (g32
+                                                                     * g32)
+            u = (m32 / c1) / (jnp.sqrt(v32 / c2) + 1e-8)
+            if cfg.weight_decay:
+                u = u + cfg.weight_decay * p.astype(jnp.float32)
+            # `fin` (not lax.select) so the zero fuses multiplicatively
+            delta = (-lr * fin) * u
+            new_p.append((p.astype(jnp.float32) + delta).astype(p.dtype))
+            new_mu.append(m32.astype(m.dtype))
+            new_nu.append(v32.astype(v.dtype))
+        return (jax.tree_util.tree_unflatten(treedef, new_p),
+                {"count": t,
+                 "mu": jax.tree_util.tree_unflatten(treedef, new_mu),
+                 "nu": jax.tree_util.tree_unflatten(treedef, new_nu)})
+
+
+def make_optimizer(params, cfg: TrainConfig):
+    if cfg.fused_optimizer:
+        return FusedAdamW(cfg)
     adamw = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2,
+        optax.adamw(_make_schedule(cfg), b1=cfg.b1, b2=cfg.b2,
                     weight_decay=cfg.weight_decay),
     )
     return optax.multi_transform(
@@ -285,17 +388,23 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
         # deviation is that a skipped step also decays the AdamW moments
         # once (zero-grad update) — benign for a rare overflow event.
         finite = jnp.isfinite(l) & jnp.isfinite(gnorm)
-        grads = jax.tree.map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         opt_in = state["opt_state"]
         if opt_to_device is not None:
             opt_in = jax.device_put(opt_in, opt_to_device)
-        updates, opt_state = opt.update(grads, opt_in, params_in)
-        updates = jax.tree.map(
-            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        if isinstance(opt, FusedAdamW):
+            # guard + clip + AdamW + apply in one fusion per leaf
+            params, opt_state = opt.apply(params_in, grads, opt_in,
+                                          finite, gnorm)
+        else:
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            updates, opt_state = opt.update(grads, opt_in, params_in)
+            updates = jax.tree.map(
+                lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
+                updates)
+            params = optax.apply_updates(params_in, updates)
         if opt_to_host is not None:
             opt_state = jax.device_put(opt_state, opt_to_host)
-        params = optax.apply_updates(params_in, updates)
         if params_to_host is not None:
             params = jax.device_put(params, params_to_host)
         new_state = {"params": params, "opt_state": opt_state,

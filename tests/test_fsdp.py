@@ -28,6 +28,12 @@ from law_of_vision_representation_in_mllms_tpu.train.train_step import (
     shard_batch_specs)
 
 
+def _is_moment(keystr: str, which: str) -> bool:
+    """Match the moment subtree in either state layout: optax namedtuple
+    attrs (`.mu[...]`) or the FusedAdamW dict (`['mu'][...]`)."""
+    return f".{which}" in keystr or f"['{which}']" in keystr
+
+
 def _tiny_cfg():
     vit_cfg = ViTConfig(image_size=28, patch_size=14, hidden_size=32,
                         num_layers=2, num_heads=4, intermediate_size=64)
@@ -128,7 +134,7 @@ def test_zero3_step_parity_with_replicated(mesh8):
     def grab(path, leaf):
         nonlocal wq_mu_sharding
         ks = jax.tree_util.keystr(path)
-        if ".mu" in ks and "wq" in ks:
+        if _is_moment(ks, "mu") and "wq" in ks:
             wq_mu_sharding = leaf.sharding
     jax.tree_util.tree_map_with_path(grab, state3["opt_state"])
     assert wq_mu_sharding is not None
@@ -149,8 +155,8 @@ def test_zero2_params_replicated_moments_sharded(mesh8):
     found = []
     def check_o(path, leaf):
         ks = jax.tree_util.keystr(path)
-        if (".mu" in ks or ".nu" in ks) and leaf.size >= 1 << 10 \
-                and leaf.ndim:
+        if (_is_moment(ks, "mu") or _is_moment(ks, "nu")) \
+                and leaf.size >= 1 << 10 and leaf.ndim:
             found.append(_has_axis(leaf.sharding.spec, "data"))
     jax.tree_util.tree_map_with_path(check_o, state["opt_state"])
     assert found and all(found), found
@@ -214,7 +220,8 @@ def test_offload_opt_state_parity(mesh8):
     # placement, so assert on the initial state)
     mus = [leaf for path, leaf in
            jax.tree_util.tree_flatten_with_path(s_off["opt_state"])[0]
-           if ".mu" in jax.tree_util.keystr(path) and leaf.size >= 1 << 12]
+           if _is_moment(jax.tree_util.keystr(path), "mu")
+           and leaf.size >= 1 << 12]
     assert mus and all(m.sharding.memory_kind == "pinned_host" for m in mus)
     batch = _tiny_batch()
     b = jax.device_put(batch, shard_batch_specs(batch, mesh8))

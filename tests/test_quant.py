@@ -153,3 +153,108 @@ def test_build_lmm_quantize_knob(tmp_path):
     lmm = build_lmm(cfg)
     assert is_quantized(lmm.params["decoder"]["layers"]["wq"])
     assert is_quantized(lmm.params["decoder"]["lm_head"])
+
+
+# ---- int4 (grouped scales) ----
+
+def test_int4_roundtrip_error_bound():
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        dequantize_int4, quantize_int4)
+    rng = np.random.RandomState(6)
+    w = rng.randn(128, 64).astype(np.float32) * 0.02
+    q = quantize_int4(jnp.asarray(w), group_size=32)
+    # packed: two 4-bit codes per int8 byte along the contraction
+    assert q["q4"].dtype == jnp.int8 and q["q4"].shape == (64, 64)
+    assert q["scale"].shape == (4, 64)
+    deq = np.asarray(dequantize_int4(q))
+    # symmetric per-(group, channel): |err| <= scale/2 per element
+    scale = np.asarray(q["scale"])                       # [G, do]
+    bound = np.repeat(scale, 32, axis=0) / 2 + 1e-9      # [di, do]
+    assert (np.abs(deq - w) <= bound).all()
+
+
+def test_int4_exact_for_representable_weights():
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        dequantize_int4, quantize_int4)
+    rng = np.random.RandomState(7)
+    ints = rng.randint(-7, 8, size=(64, 16)).astype(np.float32)
+    ints[0] = 7.0
+    ints[32] = 7.0          # pin each group's max so scales recover
+    w = ints * 0.003
+    q = quantize_int4(jnp.asarray(w), group_size=32)
+    np.testing.assert_allclose(np.asarray(dequantize_int4(q)), w,
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_int4_matmul_matches_dequant_matmul():
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        dequantize_int4, int4_matmul, quantize_int4)
+    rng = np.random.RandomState(8)
+    w = rng.randn(96, 32).astype(np.float32) * 0.05
+    x = rng.randn(3, 5, 96).astype(np.float32)
+    for gs in (None, 32):
+        q = quantize_int4(jnp.asarray(w), group_size=gs)
+        got = np.asarray(int4_matmul(jnp.asarray(x), q))
+        ref = np.asarray(x @ np.asarray(dequantize_int4(q)))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_int4_grouped_scales_beat_per_channel():
+    """The accuracy rationale for group_size: outlier rows stop
+    inflating the whole channel's scale."""
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        dequantize_int4, quantize_int4)
+    rng = np.random.RandomState(9)
+    w = rng.randn(128, 8).astype(np.float32) * 0.01
+    w[0] += 1.0                      # one outlier row per channel
+    wj = jnp.asarray(w)
+    err_pc = np.abs(np.asarray(dequantize_int4(
+        quantize_int4(wj, group_size=None))) - w).mean()
+    err_g = np.abs(np.asarray(dequantize_int4(
+        quantize_int4(wj, group_size=32))) - w).mean()
+    assert err_g < err_pc / 2
+
+
+def test_int4_generate_matches_dense_on_representable_weights():
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        dequantize_int4, quantize_int4)
+    cfg, params = _tiny()
+    gs = 4   # tiny hidden sizes; any divisor works
+    dec = dict(params["decoder"])
+    layers = dict(dec["layers"])
+    for t in DECODER_TARGETS:
+        layers[t] = dequantize_int4(
+            quantize_int4(layers[t], group_size=gs), jnp.float32)
+    dec["layers"] = layers
+    dec["lm_head"] = dequantize_int4(
+        quantize_int4(dec["lm_head"], group_size=gs), jnp.float32)
+    params = dict(params)
+    params["decoder"] = dec
+    qparams = dict(params)
+    qparams["decoder"] = quantize_decoder(params["decoder"], bits=4,
+                                          group_size=gs)
+    ids, mask, px = _req(np.random.RandomState(10), 2, 9)
+    common = dict(max_new_tokens=8, eos_id=3, precision=FP32_PRECISION,
+                  use_flash=False)
+    dense = np.asarray(M.generate_greedy(params, cfg, ids, mask, px,
+                                         **common))
+    quant = np.asarray(M.generate_greedy(qparams, cfg, ids, mask, px,
+                                         **common))
+    assert dense.tolist() == quant.tolist()
+
+
+def test_build_lmm_quantize_int4_knob(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        is_quantized)
+    from test_cli_runners import _tiny_train_config
+    from law_of_vision_representation_in_mllms_tpu.core.config import (
+        RunConfig)
+    from law_of_vision_representation_in_mllms_tpu.eval.runner import (
+        build_lmm)
+    d = _tiny_train_config(tmp_path)
+    d["model"]["vision_tower"] = "debug/tiny-vit"
+    d["model"]["quantize"] = "int4"
+    cfg = RunConfig.from_dict(d)
+    lmm = build_lmm(cfg)
+    assert "q4" in lmm.params["decoder"]["layers"]["wq"]
+    assert is_quantized(lmm.params["decoder"]["lm_head"])

@@ -257,3 +257,40 @@ def test_nonfinite_batch_skips_update_then_recovers():
     before_wq = params_before["decoder"]["layers"]["wq"]
     after_wq = np.asarray(state["params"]["decoder"]["layers"]["wq"])
     assert np.abs(after_wq - before_wq).max() > 0
+
+
+def test_fused_adamw_matches_optax_chain():
+    """FusedAdamW (default) vs the optax chain it replaces: same params
+    after several steps, both stages, with weight decay and warmup in
+    play. fp32 so the comparison is numerics, not rounding."""
+    for stage in (1, 2):
+        cfg, params = _tiny(7)
+        kw = dict(stage=stage, learning_rate=1e-3, weight_decay=0.01,
+                  total_steps=20, warmup_ratio=0.1)
+        s_f, opt_f = init_train_state(params, TrainConfig(**kw))
+        s_o, opt_o = init_train_state(params,
+                                      TrainConfig(fused_optimizer=False,
+                                                  **kw))
+        step_f = jax.jit(make_train_step(cfg, TrainConfig(**kw), opt_f,
+                                         FP32_PRECISION))
+        step_o = jax.jit(make_train_step(
+            cfg, TrainConfig(fused_optimizer=False, **kw), opt_o,
+            FP32_PRECISION))
+        rng = np.random.RandomState(11)
+        for i in range(3):
+            b = _batch(rng)
+            s_f, m_f = step_f(s_f, b)
+            s_o, m_o = step_o(s_o, b)
+            np.testing.assert_allclose(float(m_f["loss"]),
+                                       float(m_o["loss"]), rtol=1e-6)
+        for a, b2 in zip(jax.tree.leaves(s_f["params"]),
+                         jax.tree.leaves(s_o["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       rtol=2e-5, atol=2e-7)
+        # frozen subtrees carry no moments in either formulation
+        import optax as _ox
+        frozen_mu = s_f["opt_state"]["mu"]["towers"]
+        assert all(isinstance(x, _ox.MaskedNode)
+                   for x in jax.tree.leaves(
+                       frozen_mu, is_leaf=lambda n: isinstance(
+                           n, _ox.MaskedNode)))
