@@ -54,13 +54,18 @@ def main():
 
     grads = jax.jit(lambda p: jax.tree.map(
         lambda x: x * 1e-3 + 1e-6, p))(params)
+    def fetch(t):
+        # the axon relay defers execution until data is FETCHED
+        # (block_until_ready is not sufficient — bench.py note)
+        return float(jax.tree.leaves(t)[0].reshape(-1)[0])
+
     out = triad(params, grads, jnp.bfloat16(0.001))
-    jax.block_until_ready(out)
+    fetch(out)
     best = None
     for i in range(4):
         t0 = time.perf_counter()
         out = triad(out, grads, jnp.bfloat16(0.001 + 1e-4 * i))
-        jax.block_until_ready(out)
+        fetch(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     bw1 = 3 * nbytes / best / 1e9
@@ -85,14 +90,12 @@ def main():
 
     gn = jnp.float32(0.5)
     p2, s2 = apply(ptree, gtree, state, gn)
-    jax.block_until_ready(p2)
+    fetch(p2)
     best = None
     for i in range(4):
-        p2, s2 = apply(p2, gtree, s2, gn + 0.01 * i)
-        jax.block_until_ready(p2)
         t0 = time.perf_counter()
         p2, s2 = apply(p2, gtree, s2, gn + 0.1 + 0.01 * i)
-        jax.block_until_ready(p2)
+        fetch(p2)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     traffic = 7 * nbytes + nbytes      # r: g,m,v,p + gnorm re-read; w: m,v,p

@@ -493,6 +493,10 @@ def bench_train(results, quick=False):
     # keep 1.4B params+moments+grads ~11 GB on one chip. Free the stage-1
     # state/program first: stage-2 peak (params+moments+grads+remat
     # activations) plus a live stage-1 state can RESOURCE_EXHAUST the chip.
+    # The stage-1 step DONATES its state, so the original `params` buffers
+    # are dead — recover the live params from the final state before
+    # dropping it (moments/step are freed; params stay referenced).
+    params = sref[0]["params"]
     del state, opt, step, one, sref
     tcfg2 = TrainConfig(stage=2, learning_rate=2e-5, total_steps=100,
                         remat=use_remat, remat_policy=rpol,
@@ -820,8 +824,10 @@ def bench_speculative(results, quick=False):
     spec_7b = os.environ.get("LVR_SPEC_7B", "0") == "1"
     if spec_7b:
         dec = llama.vicuna_7b()
-        if os.environ.get("LVR_DECODE_QUANT", "") == "int8":
-            params = _random_int8_decoder(dec)
+        q = os.environ.get("LVR_DECODE_QUANT", "")
+        if q in ("int8", "int4"):
+            params = _random_quant_decoder(dec, bits=4 if q == "int4"
+                                           else 8)
         else:
             params = jax.jit(
                 lambda k: llama.init_params(k, dec, jnp.bfloat16))(
@@ -881,8 +887,8 @@ def bench_speculative(results, quick=False):
         int(out[0, 0])
         dt = (time.perf_counter() - t0) / iters
         mean_rounds = float(np.mean([int(r) for r in rr]))
-        qsuf = "_int8" if (spec_7b and os.environ.get(
-            "LVR_DECODE_QUANT") == "int8") else ""
+        qv = os.environ.get("LVR_DECODE_QUANT", "")
+        qsuf = f"_{qv}" if (spec_7b and qv in ("int8", "int4")) else ""
         results.append({
             "metric": (f"vicuna7b_spec_decode_{tag}_tok_s_b{b}{qsuf}"
                        if spec_7b

@@ -237,14 +237,19 @@ def run_training(cfg: RunConfig) -> int:
     # donate the state: params/moments update in place (the old state is
     # dead the moment the step returns), halving train-state peak HBM —
     # at 1.4B stage-2 the non-donated step kept two full state copies
-    # (~18 GB) live across the update
+    # (~18 GB) live across the update and the optimizer pass measured
+    # 2.3x slower (benchmarks/probe_train_decomp round-4 log). NOT with
+    # host offload: donating pinned_host buffers trips jit's aliasing
+    # ("memory kind mismatch" — the in-jit device_put round-trip means
+    # the state was never two device copies there anyway).
+    donate = (0,) if (opt_host is None and p_host is None) else ()
     step_fn = jax.jit(make_train_step(model_cfg, tcfg, opt, precision,
                                       diffusion_apply, opt_to_device=opt_dev,
                                       opt_to_host=opt_host,
                                       params_to_device=p_dev,
                                       params_to_host=p_host, mesh=mesh,
                                       cp=cp, pp=pp),
-                      donate_argnums=(0,))
+                      donate_argnums=donate)
 
     logger = MetricsLogger(cfg.train.output_dir, "train",
                            every=cfg.train.logging_steps)
