@@ -104,6 +104,13 @@ def render_config(rep_name: str, stage: int = 1, *,
         "max_length": 2048,
         "bf16": True,
         "gradient_checkpointing": True,
+        # measured production winner (round 4, fused+donated optimizer):
+        # saving matmul outputs instead of block boundaries drops the
+        # backward's block recompute — stage-2 18.4k vs 16.8k tok/s
+        # (0.614 vs 0.560 MFU), stage-1 25.6k vs 22.9k. Costs more
+        # activation HBM than "block"; on RESOURCE_EXHAUSTED set
+        # train.remat_policy: block (benchmarks/README.md train log).
+        "remat_policy": "dots",
         "group_by_modality_length": stage == 2,
         "output_dir": output_dir or f"checkpoints/stage{stage}_{slug}",
     }
