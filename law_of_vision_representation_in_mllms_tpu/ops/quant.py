@@ -74,15 +74,20 @@ def quantize_int4(w, axis: int = -2,
                   group_size: int | None = 128) -> Dict[str, Any]:
     """Symmetric int4 quantization with grouped scales.
 
-    Weights are stored PACKED: two 4-bit codes per int8 byte, adjacent
-    contraction rows sharing a byte (row 2i in the low nibble, 2i+1 in
-    the high), so the decode matvec streams 4 bits/weight — half the
-    int8 floor, a quarter of bf16. The unpack (arithmetic shifts +
-    interleave) is elementwise and fuses into the dot's operand read
-    like the int8 convert; no low-precision `dot_general` is ever
-    emitted. (Native `jnp.int4` S4 storage would be cleaner, but S4
-    array dispatch crashes this environment's remote backend with a
-    shard_arg recursion — benchmarks/probe_int4.py history.)
+    Weights are stored PACKED: two 4-bit codes per int8 byte. Within
+    each scale group of `gsz` contraction rows, row j (j < gsz/2)
+    shares a byte with row j + gsz/2 — j in the low nibble, its
+    partner in the high — so each group's packed tile unpacks into two
+    CONTIGUOUS row halves, never an even/odd interleave. That layout
+    is what lets the Pallas decode kernel (`ops/int4_kernel.py`)
+    compute `x_lo @ lo + x_hi @ hi` per group straight from the packed
+    VMEM tile: 4 bits/weight is all that crosses HBM — half the int8
+    floor, a quarter of bf16. (XLA alone does NOT fuse a shift-based
+    unpack into the dot's operand read the way it fuses the int8
+    convert; it materializes the bf16 tree, measured 7x slower —
+    benchmarks/README.md round-4 int4 note. Native `jnp.int4` S4
+    storage would be cleaner, but S4 array dispatch crashes this
+    environment's remote backend with a shard_arg recursion.)
 
     `group_size` scales blocks of `group_size` contraction rows
     independently (the standard accuracy fix for 4-bit round-to-nearest;
@@ -114,30 +119,33 @@ def quantize_int4(w, axis: int = -2,
     amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)       # [...,G,1,do]
     scale = jnp.maximum(amax, 1e-12) / 7.0
     q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
-    q = q.reshape(*lead, di // 2, 2, do)
-    lo, hi = q[..., 0, :], q[..., 1, :]
+    lo, hi = q[..., : g // 2, :], q[..., g // 2:, :]          # [...,G,g/2,do]
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
+    packed = packed.reshape(*lead, di // 2, do)
     return {"q4": packed, "scale": scale[..., 0, :].astype(jnp.float32)}
 
 
-def _unpack_int4(packed, dtype):
-    """[..., di//2, do] packed int8 -> [..., di, do] values in `dtype`.
-    Arithmetic shifts sign-extend: low nibble via <<4 then >>4, high via
-    >>4. Pure elementwise + reshape — a fusible dot-operand producer."""
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
-    hi = jnp.right_shift(packed, 4)
-    inter = jnp.stack([lo, hi], axis=-2)          # [..., di//2, 2, do]
-    return inter.reshape(*packed.shape[:-2],
-                         packed.shape[-2] * 2,
-                         packed.shape[-1]).astype(dtype)
+def _unpack_int4(packed, ng: int, dtype):
+    """[..., di//2, do] packed int8 -> [..., di, do] values in `dtype`,
+    undoing the per-group half-split: byte row j of group G holds
+    contraction row G*gsz + j in the low nibble and G*gsz + gsz/2 + j in
+    the high. Arithmetic shifts sign-extend: low nibble via <<4 then
+    >>4, high via >>4. Pure elementwise + reshape."""
+    lead = packed.shape[:-2]
+    dh, do = packed.shape[-2], packed.shape[-1]
+    pg = packed.reshape(*lead, ng, dh // ng, do)
+    lo = jnp.right_shift(jnp.left_shift(pg, 4), 4)
+    hi = jnp.right_shift(pg, 4)
+    w = jnp.concatenate([lo, hi], axis=-2)        # [..., G, gsz, do]
+    return w.reshape(*lead, 2 * dh, do).astype(dtype)
 
 
 def dequantize_int4(qw: Dict[str, Any], dtype=jnp.float32):
     q, scale = qw["q4"], qw["scale"]
     di, do = q.shape[-2] * 2, q.shape[-1]
     ng = scale.shape[-2]
-    w = _unpack_int4(q, dtype)
+    w = _unpack_int4(q, ng, dtype)
     wg = w.reshape(*q.shape[:-2], ng, di // ng, do)
     return (wg * scale[..., :, None, :].astype(dtype)).reshape(
         *q.shape[:-2], di, do)
@@ -145,15 +153,24 @@ def dequantize_int4(qw: Dict[str, Any], dtype=jnp.float32):
 
 def int4_matmul(x, qw: Dict[str, Any]):
     """`x @ dequant(qw)` with grouped scales applied after per-group
-    partial dots: y = sum_G scale[G] * (x_G @ q_G). For G == 1 this is
-    the same post-dot scaling as the int8 path; for G > 1 the partial
-    sums are one batched dot with G as the batch dim (decode x is tiny,
-    so the [..., G, do] intermediate is negligible)."""
+    partial dots: y = sum_G scale[G] * (x_G @ q_G).
+
+    On TPU, production shapes route through the Pallas kernel
+    (`ops/int4_kernel.py`) that unpacks nibbles in-register so only the
+    packed 4-bit bytes cross HBM. Elsewhere (and for tiny test shapes)
+    the XLA formulation below runs: for G == 1 the same post-dot
+    scaling as the int8 path; for G > 1 one batched dot with G as the
+    batch dim (decode x is tiny, so [..., G, do] is negligible)."""
     q, scale = qw["q4"], qw["scale"]
     di, do = q.shape[-2] * 2, q.shape[-1]
     ng = scale.shape[-2]
+    if q.ndim == 2 and jax.default_backend() == "tpu":
+        from .int4_kernel import int4_matmul_kernel, kernel_supported
+        if kernel_supported(q, scale):
+            y = int4_matmul_kernel(x.reshape(-1, di), q, scale)
+            return y.reshape(*x.shape[:-1], do)
     s = scale.astype(x.dtype)
-    w = _unpack_int4(q, x.dtype)
+    w = _unpack_int4(q, ng, x.dtype)
     if ng == 1:
         y = x @ w
         return y * s.reshape((1,) * (y.ndim - 1) + (-1,))

@@ -243,6 +243,38 @@ def test_int4_generate_matches_dense_on_representable_weights():
     assert dense.tolist() == quant.tolist()
 
 
+def test_int4_kernel_matches_xla_path():
+    """Pallas decode kernel (interpret mode on CPU) vs the XLA
+    formulation, on a production-shaped tile (gsz=128 -> hg=64 passes
+    the lane/sublane gate)."""
+    from law_of_vision_representation_in_mllms_tpu.ops.int4_kernel import (
+        int4_matmul_kernel, kernel_supported)
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        dequantize_int4, quantize_int4)
+    rng = np.random.RandomState(11)
+    w = rng.randn(256, 256).astype(np.float32) * 0.05
+    q = quantize_int4(jnp.asarray(w), group_size=128)
+    assert kernel_supported(q["q4"], q["scale"])
+    # x exactly bf16-representable so kernel (bf16 operands, f32
+    # accumulate) and f32 reference agree to float rounding
+    x = np.asarray(jnp.asarray(
+        rng.randn(3, 256).astype(np.float32)).astype(jnp.bfloat16)
+    ).astype(np.float32)
+    got = np.asarray(int4_matmul_kernel(
+        jnp.asarray(x), q["q4"], q["scale"], interpret=True))
+    ref = x @ np.asarray(dequantize_int4(q))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_int4_kernel_gate_rejects_tiny_shapes():
+    from law_of_vision_representation_in_mllms_tpu.ops.int4_kernel import (
+        kernel_supported)
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        quantize_int4)
+    q = quantize_int4(jnp.ones((64, 16)), group_size=32)   # gsz=32 < 128
+    assert not kernel_supported(q["q4"], q["scale"])
+
+
 def test_build_lmm_quantize_int4_knob(tmp_path):
     from law_of_vision_representation_in_mllms_tpu.ops.quant import (
         is_quantized)
@@ -258,3 +290,22 @@ def test_build_lmm_quantize_int4_knob(tmp_path):
     lmm = build_lmm(cfg)
     assert "q4" in lmm.params["decoder"]["layers"]["wq"]
     assert is_quantized(lmm.params["decoder"]["lm_head"])
+
+
+def test_int4_kernel_large_m_branch_matches():
+    """M>64 routes the single K=gsz dot (prefill shape); parity vs the
+    dequantized reference."""
+    from law_of_vision_representation_in_mllms_tpu.ops.int4_kernel import (
+        int4_matmul_kernel)
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        dequantize_int4, quantize_int4)
+    rng = np.random.RandomState(12)
+    w = rng.randn(256, 128).astype(np.float32) * 0.05
+    q = quantize_int4(jnp.asarray(w), group_size=128)
+    x = np.asarray(jnp.asarray(
+        rng.randn(96, 256).astype(np.float32)).astype(jnp.bfloat16)
+    ).astype(np.float32)
+    got = np.asarray(int4_matmul_kernel(
+        jnp.asarray(x), q["q4"], q["scale"], interpret=True))
+    ref = x @ np.asarray(dequantize_int4(q))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
