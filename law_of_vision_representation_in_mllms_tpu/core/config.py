@@ -108,6 +108,12 @@ class TrainSection:
     lora_enable: bool = False
     lora_r: int = 128
     lora_alpha: float = 256.0
+    # QLoRA: quantize the FROZEN decoder base to "int4"/"int8"
+    # (ops/quant.py weight-only; reference `train.py:908-932`
+    # BitsAndBytesConfig load_in_{4,8}bit + peft). Requires a frozen
+    # decoder (stage 1 or lora_enable); the 4-bit base cuts resident
+    # decoder bytes 4x vs bf16 while adapters/projector train dense.
+    quantize_base: Optional[str] = None
     # "Switch" steering ablation (train_switch.py): only W trains
     switch_enable: bool = False
     switch_sigma: float = 1.0

@@ -191,6 +191,21 @@ def run_training(cfg: RunConfig) -> int:
         raise ValueError(
             f"microbatch {cfg.train.batch_size // cfg.train.grad_accum} "
             f"must divide over the data axis ({n_data} ways)")
+    if cfg.train.quantize_base:
+        # QLoRA / quantized-frozen-base training (`train.py:908-932`
+        # load_in_{4,8}bit + peft): the decoder must be frozen — the
+        # integer weights cannot take gradient updates.
+        if not (cfg.train.lora_enable or cfg.train.stage == 1):
+            raise ValueError(
+                "train.quantize_base requires a frozen decoder "
+                "(stage 1 or lora_enable)")
+        from ..ops.quant import quantize_decoder
+        bits = {"int8": 8, "int4": 4}.get(cfg.train.quantize_base)
+        if bits is None:
+            raise ValueError(
+                f"train.quantize_base must be int4/int8, got "
+                f"{cfg.train.quantize_base!r}")
+        params["decoder"] = quantize_decoder(params["decoder"], bits=bits)
     if cfg.train.lora_enable:
         from ..models.lora import LoraConfig, init_lora
         params["lora"] = init_lora(

@@ -223,8 +223,21 @@ def param_partition_tree(params, model_cfg: llava.LlavaConfig, mesh: Mesh,
         from ..parallel.pipeline import pp_layer_specs
         dec_specs["layers"] = pp_layer_specs(dec_specs)
     specs = jax.tree.map(lambda leaf: P(*([None] * jnp.ndim(leaf))), params)
+
+    from ..ops.quant import is_quantized
+
+    def dec_spec(leaf, s):
+        # quantized frozen base (QLoRA): the packed codes keep the dense
+        # weight's TP spec (same axis order, halved contraction dim);
+        # the grouped scales replicate (tiny, and their group axis need
+        # not divide the mesh)
+        if is_quantized(leaf):
+            return {k: (s if k in ("q8", "q4") else
+                        P(*([None] * jnp.ndim(v))))
+                    for k, v in leaf.items()}
+        return s
     specs["decoder"] = jax.tree.map(
-        lambda leaf, s: s, params["decoder"], dec_specs)
+        dec_spec, params["decoder"], dec_specs, is_leaf=is_quantized)
     if zero >= 3:
         specs = fsdp.fsdp_param_specs(params, specs, mesh,
                                       min_size=min_size)
@@ -341,10 +354,24 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
                              lora_scaling=train_cfg.lora_scaling, cp=cp,
                              pp=pp)
 
+    def sanitize(grads, params):
+        # QLoRA (int4/int8 frozen base + LoRA adapters, reference
+        # `train.py:908-932` bitsandbytes + peft): the quantized frozen
+        # weights are integer leaves, so `allow_int=True` hands back
+        # float0 grads for them. Replace those with scalar f32 zeros so
+        # global_norm / accumulation / the nonfinite guard treat the
+        # tree uniformly; the optimizer never reads them (the label
+        # tree freezes the whole decoder whenever LoRA is present).
+        return jax.tree.map(
+            lambda g, p: jnp.zeros((), jnp.float32)
+            if jnp.issubdtype(jnp.asarray(p).dtype, jnp.integer) else g,
+            grads, params)
+
     def grad_fn(params, batch):
         a = train_cfg.grad_accum
         if a <= 1:
-            return jax.value_and_grad(loss)(params, batch)
+            l, g = jax.value_and_grad(loss, allow_int=True)(params, batch)
+            return l, sanitize(g, params)
         # microbatch the global batch: lax.scan keeps compile size flat in
         # `a` and the accumulator buffers live in-place
 
@@ -359,10 +386,14 @@ def make_train_step(model_cfg: llava.LlavaConfig, train_cfg: TrainConfig,
 
         def body(carry, mb):
             l_acc, g_acc = carry
-            l, g = jax.value_and_grad(loss)(params, mb)
-            return (l_acc + l, jax.tree.map(jnp.add, g_acc, g)), ()
+            l, g = jax.value_and_grad(loss, allow_int=True)(params, mb)
+            return (l_acc + l,
+                    jax.tree.map(jnp.add, g_acc, sanitize(g, params))), ()
 
-        zeros = jax.tree.map(jnp.zeros_like, params)
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros((), jnp.float32)
+            if jnp.issubdtype(jnp.asarray(p).dtype, jnp.integer)
+            else jnp.zeros_like(p), params)
         (l_sum, g_sum), _ = jax.lax.scan(body, (jnp.zeros(()), zeros),
                                          micro)
         inv = 1.0 / a

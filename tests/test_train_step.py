@@ -294,3 +294,128 @@ def test_fused_adamw_matches_optax_chain():
                    for x in jax.tree.leaves(
                        frozen_mu, is_leaf=lambda n: isinstance(
                            n, _ox.MaskedNode)))
+
+
+def _int4_representable(params, gs=4):
+    """Round every decoder matmul weight (+lm_head) to its int4 grid so a
+    quantized run and a dense run compute identical numbers."""
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        DECODER_TARGETS, dequantize_int4, quantize_int4)
+    dec = dict(params["decoder"])
+    layers = dict(dec["layers"])
+    for t in DECODER_TARGETS:
+        layers[t] = dequantize_int4(quantize_int4(layers[t],
+                                                  group_size=gs),
+                                    jnp.float32)
+    dec["layers"] = layers
+    dec["lm_head"] = dequantize_int4(quantize_int4(dec["lm_head"],
+                                                   group_size=gs),
+                                     jnp.float32)
+    out = dict(params)
+    out["decoder"] = dec
+    return out
+
+
+def test_qlora_int4_base_matches_dense_frozen_base():
+    """QLoRA (reference `train.py:908-932` load_in_4bit + peft): training
+    with an int4-quantized frozen decoder base must walk the same loss
+    trajectory and the same adapter updates as the dense run, when the
+    dense base sits exactly on the int4 grid."""
+    from law_of_vision_representation_in_mllms_tpu.models.lora import (
+        LoraConfig, init_lora)
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        quantize_decoder)
+    gs = 4
+    cfg, params = _tiny(11)
+    params = _int4_representable(params, gs)
+    lora = init_lora(jax.random.PRNGKey(99), cfg.decoder,
+                     LoraConfig(rank=2, alpha=4.0))
+    # break the zero-init symmetry so adapter grads are nonzero from
+    # step one (B starts at zero; give A real values, keep B zero)
+    lora = {k: (v + 0.01 if k.endswith("_a") else v)
+            for k, v in lora.items()}
+    tcfg = TrainConfig(stage=2, learning_rate=1e-2, total_steps=20,
+                       lora_rank=2, lora_alpha=4.0)
+
+    def run(base_params):
+        p = dict(base_params)
+        p["lora"] = jax.tree.map(jnp.copy, lora)
+        state, opt = init_train_state(p, tcfg)
+        step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+        batch = _batch(np.random.RandomState(5))
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    qparams = dict(params)
+    qparams["decoder"] = quantize_decoder(params["decoder"], bits=4,
+                                          group_size=gs)
+    dense_losses, dense_state = run(params)
+    q_losses, q_state = run(qparams)
+
+    np.testing.assert_allclose(q_losses, dense_losses, rtol=1e-5)
+    assert dense_losses[-1] < dense_losses[0], dense_losses
+    # adapters took the same updates (the quant path associates the
+    # per-group dots differently, so float rounding differs at ~1e-7
+    # per step; AdamW's 1/sqrt(v) amplifies that near zero)
+    for (ka, a), (kb, b) in zip(
+            sorted(dense_state["params"]["lora"].items()),
+            sorted(q_state["params"]["lora"].items())):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+    # the quantized base is bit-identical after training (frozen ints)
+    for a, b in zip(jax.tree.leaves(qparams["decoder"]),
+                    jax.tree.leaves(q_state["params"]["decoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_qlora_grad_accum_runs_with_int_base():
+    """Microbatched accumulation over a quantized frozen base: the int
+    leaves take scalar-zero grad placeholders through the scan."""
+    from law_of_vision_representation_in_mllms_tpu.models.lora import (
+        LoraConfig, init_lora)
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        quantize_decoder)
+    cfg, params = _tiny(12)
+    params = dict(params)
+    params["decoder"] = quantize_decoder(params["decoder"], bits=4,
+                                         group_size=4)
+    params["lora"] = init_lora(jax.random.PRNGKey(7), cfg.decoder,
+                               LoraConfig(rank=2, alpha=4.0))
+    tcfg = TrainConfig(stage=2, learning_rate=1e-2, total_steps=20,
+                       lora_rank=2, lora_alpha=4.0, grad_accum=2)
+    state, opt = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+    batch = _batch(np.random.RandomState(6))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["skipped_nonfinite"]) == 0.0
+
+
+def test_qlora_sharded_step_on_mesh(mesh8):
+    """Quantized frozen base under TP(2) x DP(4): the packed codes carry
+    the dense weight's TP spec, scales replicate."""
+    from law_of_vision_representation_in_mllms_tpu.models.lora import (
+        LoraConfig, init_lora)
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        quantize_decoder)
+    cfg, params = _tiny(13, heads=4, kv=2, hidden=32)
+    params = dict(params)
+    params["decoder"] = quantize_decoder(params["decoder"], bits=8)
+    params["lora"] = init_lora(jax.random.PRNGKey(8), cfg.decoder,
+                               LoraConfig(rank=2, alpha=4.0))
+    tcfg = TrainConfig(stage=2, learning_rate=1e-3, total_steps=10,
+                       lora_rank=2, lora_alpha=4.0)
+    shardings = param_shardings(params, cfg, mesh8)
+    params = jax.device_put(params, shardings)
+    state, opt = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt, FP32_PRECISION))
+    batch = _batch(np.random.RandomState(7), b=8)
+    batch = jax.device_put(batch, shard_batch_specs(batch, mesh8))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    q8 = state["params"]["decoder"]["layers"]["wq"]["q8"]
+    assert len(q8.sharding.device_set) == 8
