@@ -267,3 +267,30 @@ def test_consolidate_cli(tmp_path):
     with np.load(tmp_path / "flat.npz") as z:
         np.testing.assert_allclose(z["decoder/wq"],
                                    state["params"]["decoder"]["wq"])
+
+
+def test_train_runner_qlora_int4(tmp_path):
+    """End-to-end QLoRA run (reference finetune_lora.sh + train.py:908-932
+    load_in_4bit): stage-1 feature-cached data with an int4-quantized
+    frozen decoder base; losses finite, checkpoint written, base stays
+    packed."""
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        run_training)
+    d = _tiny_train_config(tmp_path)
+    d["train"].update({"lora_enable": True, "lora_r": 2,
+                       "lora_alpha": 4.0, "quantize_base": "int4"})
+    rc = run_training(RunConfig.from_dict(d))
+    assert rc == 0
+    lines = open(tmp_path / "out" / "train.jsonl").read().strip().split("\n")
+    losses = [json.loads(ln)["loss"] for ln in lines]
+    assert losses and all(np.isfinite(l) for l in losses), losses
+
+
+def test_train_runner_quantize_base_requires_frozen_decoder(tmp_path):
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        run_training)
+    d = _tiny_train_config(tmp_path)
+    d["train"].update({"stage": 2, "quantize_base": "int4"})
+    import pytest
+    with pytest.raises(ValueError, match="frozen decoder"):
+        run_training(RunConfig.from_dict(d))
