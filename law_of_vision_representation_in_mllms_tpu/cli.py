@@ -206,6 +206,10 @@ def main(argv=None):
     p.add_argument("--n-data", type=int, default=8)
     p.add_argument("--n-model", type=int, default=1)
     p.add_argument("--zero", type=int, default=2)
+    p.add_argument("--lora", action="store_true",
+                   help="finetune_lora.sh variant (r=128, alpha=256)")
+    p.add_argument("--qlora", choices=["int4", "int8"],
+                   help="LoRA + quantized frozen decoder base (QLoRA)")
 
     p = sub.add_parser("port-featurizer",
                        help="diffusers snapshot dir -> featurizer bundle")
@@ -419,7 +423,8 @@ def _cmd_make_config(args):
                         data_path=args.data_path,
                         image_folder=args.image_folder,
                         n_data=args.n_data, n_model=args.n_model,
-                        zero=args.zero))
+                        zero=args.zero, lora=args.lora,
+                        qlora=args.qlora))
     return 0
 
 

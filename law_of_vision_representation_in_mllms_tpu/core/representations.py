@@ -60,12 +60,17 @@ def render_config(rep_name: str, stage: int = 1, *,
                   output_dir: Optional[str] = None,
                   data_path: str = "", image_folder: str = "",
                   n_data: int = 8, n_model: int = 1, zero: int = 2,
-                  pretrain_mm_mlp_adapter: Optional[str] = None) -> str:
+                  pretrain_mm_mlp_adapter: Optional[str] = None,
+                  lora: bool = False,
+                  qlora: Optional[str] = None) -> str:
     """RunConfig YAML for one representation x training stage.
 
     Stage-1/2 hyperparameters follow `scripts/v1_5/train/pretrain.sh` /
     `finetune.sh` (lr 1e-3 vs 2e-5, global batch 256 vs 128, plain vs v1
-    template, projector-only vs full finetune)."""
+    template, projector-only vs full finetune). `lora=True` emits the
+    `finetune_lora.sh` variant (lora_r 128, lora_alpha 256, lr 2e-4);
+    `qlora` additionally stores the frozen decoder base int4/int8
+    (`train.py:908-932` load_in_{4,8}bit + peft equivalent)."""
     rep = REPRESENTATIONS[rep_name]
     slug = rep_name.lower().replace("+", "_").replace(".", "")
     model: Dict = {
@@ -117,6 +122,18 @@ def render_config(rep_name: str, stage: int = 1, *,
     if stage == 2:
         train["pretrain_mm_mlp_adapter"] = (
             pretrain_mm_mlp_adapter or f"checkpoints/stage1_{slug}")
+    if lora or qlora:
+        # finetune_lora.sh: --lora_enable True --lora_r 128
+        # --lora_alpha 256 --learning_rate 2e-4
+        train["lora_enable"] = True
+        train["lora_r"] = 128
+        train["lora_alpha"] = 256.0
+        if stage == 2:
+            train["learning_rate"] = 2e-4
+    if qlora:
+        if qlora not in ("int4", "int8"):
+            raise ValueError(f"qlora must be int4/int8, got {qlora!r}")
+        train["quantize_base"] = qlora
     data = {
         "data_path": data_path or (
             "data/blip_laion_cc_sbu_558k.json" if stage == 1

@@ -294,3 +294,17 @@ def test_train_runner_quantize_base_requires_frozen_decoder(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="frozen decoder"):
         run_training(RunConfig.from_dict(d))
+
+
+def test_make_config_qlora(capsys):
+    """--qlora emits the finetune_lora.sh hyperparams + quantize_base and
+    the result parses into a valid RunConfig."""
+    rc = cli_main(["make-config", "CLIP336", "--stage", "2",
+                   "--qlora", "int4"])
+    assert rc == 0
+    raw = yaml.safe_load(capsys.readouterr().out)
+    cfg = RunConfig.from_dict(raw)
+    assert cfg.train.lora_enable and cfg.train.lora_r == 128
+    assert cfg.train.lora_alpha == 256.0
+    assert cfg.train.learning_rate == 2e-4
+    assert cfg.train.quantize_base == "int4"
