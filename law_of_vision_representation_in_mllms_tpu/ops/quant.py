@@ -29,6 +29,7 @@ A quantized weight is a dict leaf `{"q8": int8 [..., di, do],
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -151,23 +152,54 @@ def dequantize_int4(qw: Dict[str, Any], dtype=jnp.float32):
         *q.shape[:-2], di, do)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _int4_kernel_mm(x2, q, scale, interpret=False):
+    from .int4_kernel import int4_matmul_kernel
+    return int4_matmul_kernel(x2, q, scale, interpret=interpret)
+
+
+def _int4_kernel_mm_fwd(x2, q, scale, interpret=False):
+    # residuals must be jax types: carry x2's dtype via a 0-size array
+    return (_int4_kernel_mm(x2, q, scale, interpret),
+            (q, scale, jnp.zeros((0,), x2.dtype)))
+
+
+def _int4_kernel_mm_bwd(interpret, res, dy):
+    # QLoRA training (train.quantize_base): the frozen int4 base needs
+    # dL/dx to reach earlier layers and the adapters. dx = dy @ W^T with
+    # W dequantized by XLA (a bf16 materialize per backward matmul —
+    # ~5% of a 7B train step; the fwd still streams packed bytes via
+    # the Pallas kernel). q is frozen int storage: float0 cotangent.
+    q, scale, xproto = res
+    xdt = xproto.dtype
+    import numpy as _np
+    w = dequantize_int4({"q4": q, "scale": scale}, xdt)
+    dx = (dy.astype(xdt) @ w.T).astype(xdt)
+    return (dx, _np.zeros(q.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+_int4_kernel_mm.defvjp(_int4_kernel_mm_fwd, _int4_kernel_mm_bwd)
+
+
 def int4_matmul(x, qw: Dict[str, Any]):
     """`x @ dequant(qw)` with grouped scales applied after per-group
     partial dots: y = sum_G scale[G] * (x_G @ q_G).
 
     On TPU, production shapes route through the Pallas kernel
     (`ops/int4_kernel.py`) that unpacks nibbles in-register so only the
-    packed 4-bit bytes cross HBM. Elsewhere (and for tiny test shapes)
-    the XLA formulation below runs: for G == 1 the same post-dot
-    scaling as the int8 path; for G > 1 one batched dot with G as the
-    batch dim (decode x is tiny, so [..., G, do] is negligible)."""
+    packed 4-bit bytes cross HBM (differentiable w.r.t. x via the
+    custom VJP above — the QLoRA train path). Elsewhere (and for tiny
+    test shapes) the XLA formulation below runs: for G == 1 the same
+    post-dot scaling as the int8 path; for G > 1 one batched dot with G
+    as the batch dim (decode x is tiny, so [..., G, do] is negligible)."""
     q, scale = qw["q4"], qw["scale"]
     di, do = q.shape[-2] * 2, q.shape[-1]
     ng = scale.shape[-2]
     if q.ndim == 2 and jax.default_backend() == "tpu":
-        from .int4_kernel import int4_matmul_kernel, kernel_supported
+        from .int4_kernel import kernel_supported
         if kernel_supported(q, scale):
-            y = int4_matmul_kernel(x.reshape(-1, di), q, scale)
+            y = _int4_kernel_mm(x.reshape(-1, di), q, scale, False)
             return y.reshape(*x.shape[:-1], do)
     s = scale.astype(x.dtype)
     w = _unpack_int4(q, ng, x.dtype)

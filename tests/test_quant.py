@@ -309,3 +309,33 @@ def test_int4_kernel_large_m_branch_matches():
         jnp.asarray(x), q["q4"], q["scale"], interpret=True))
     ref = x @ np.asarray(dequantize_int4(q))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_int4_kernel_vjp_matches_xla_grad():
+    """The kernel path's custom VJP (QLoRA train: dL/dx through the
+    frozen int4 base, ops/quant._int4_kernel_mm_bwd) vs jax.grad of the
+    XLA dequant-matmul formulation, interpret mode on CPU."""
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        _int4_kernel_mm, dequantize_int4, quantize_int4)
+    rng = np.random.RandomState(13)
+    w = rng.randn(256, 128).astype(np.float32) * 0.05
+    q = quantize_int4(jnp.asarray(w), group_size=128)
+    x = np.asarray(jnp.asarray(
+        rng.randn(6, 256).astype(np.float32)).astype(jnp.bfloat16)
+    ).astype(np.float32)
+    t = jnp.asarray(rng.randn(6, 128).astype(np.float32))
+
+    def via_kernel(xv):
+        return jnp.sum(_int4_kernel_mm(xv, q["q4"], q["scale"], True) * t)
+
+    def via_xla(xv):
+        return jnp.sum((xv @ dequantize_int4(q, jnp.float32)) * t)
+
+    gk = jax.grad(via_kernel)(jnp.asarray(x))
+    gx = jax.grad(via_xla)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               rtol=2e-3, atol=2e-3)
+    # scale cotangent exists (zeros); the int codes get float0
+    gs = jax.grad(lambda s: jnp.sum(_int4_kernel_mm(
+        jnp.asarray(x), q["q4"], s, True)))(q["scale"])
+    assert not np.any(np.asarray(gs))
