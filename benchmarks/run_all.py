@@ -594,6 +594,7 @@ def bench_train_7b(results, quick=False):
     prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     tiny = bool(os.environ.get("LVR_TRAIN7B_TINY"))   # CPU smoke test
     if tiny:
+        jax.config.update("jax_platforms", "cpu")
         dec = llama.LlamaConfig(vocab_size=512, hidden_size=256,
                                 intermediate_size=512, num_layers=2,
                                 num_heads=4, num_kv_heads=4)
