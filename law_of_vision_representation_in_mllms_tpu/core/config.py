@@ -60,6 +60,13 @@ class ModelSection:
     # Halves the decode param-read HBM floor and resident weight bytes
     # at 7B. None (default) = exact bf16 reference parity.
     quantize: Optional[str] = None
+    # KV-cache quantization for generation ("int8" | None): int8 codes +
+    # per-(slot, head) scales (ops/quant.quantize_kv). Halves the decode
+    # cache's resident bytes and per-step attention read — the round-4
+    # roofline's b8 bottleneck term. Composes with `quantize`. With the
+    # flash prefill (TPU) prompt K/V compute exactly; only the cache
+    # storage is int8. None (default) = exact bf16 cache parity.
+    kv_quant: Optional[str] = None
     # ViT-tower attention impl override (None = measured per-backend
     # default). "xla_expclamp_fused" is the fastest CLIP-336 path on v5e
     # (+33% end-to-end: 370.6 vs 278 img/s; "xla_expclamp" without the

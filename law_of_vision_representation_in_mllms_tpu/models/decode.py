@@ -91,7 +91,8 @@ class ChunkedGreedyDecoder:
             txt = L.embed_tokens(params["decoder"], ids, prec)
             embeds = splice_embeds(plan, txt, img)
             cache = L.init_cache(cfg.decoder, b, l_out + gen_cap,
-                                 prec.compute_dtype)
+                                 prec.compute_dtype,
+                                 quant=cfg.kv_quant)
             slot_valid = jnp.concatenate(
                 [plan.attn_mask, jnp.zeros((b, gen_cap), bool)], axis=1)
             h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
@@ -144,7 +145,8 @@ class ChunkedGreedyDecoder:
         p_shapes = LY.shape_spec(self.params)
         cache_s = jax.eval_shape(
             lambda: L.init_cache(cfg.decoder, b, l_out + gen_cap,
-                                 prec.compute_dtype))
+                                 prec.compute_dtype,
+                                 quant=cfg.kv_quant))
         sds = jax.ShapeDtypeStruct
         tok_s, pos_s = sds((b,), jnp.int32), sds((b,), jnp.int32)
         done_s, pmask_s = sds((b,), jnp.bool_), sds((b, l_out), jnp.bool_)

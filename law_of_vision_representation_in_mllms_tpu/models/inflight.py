@@ -171,7 +171,8 @@ class InflightEngine:
         self.t_max = self.l_out_max + gen_cap
 
         self.cache = L.init_cache(cfg.decoder, n_slots, self.t_max,
-                                  precision.compute_dtype)
+                                  precision.compute_dtype,
+                                  quant=cfg.kv_quant)
         self._prefill_fns: Dict = {}
         self._step_fn = None
         self._install_fns: Dict[int, callable] = {}
@@ -233,7 +234,8 @@ class InflightEngine:
             txt = L.embed_tokens(params["decoder"], ids, prec)
             embeds = splice_embeds(plan, txt, img)
             b = ids.shape[0]
-            cache = L.init_cache(cfg.decoder, b, t_max, prec.compute_dtype)
+            cache = L.init_cache(cfg.decoder, b, t_max, prec.compute_dtype,
+                                 quant=cfg.kv_quant)
             l_out = embeds.shape[1]
             slot_valid = jnp.concatenate(
                 [plan.attn_mask,
@@ -279,11 +281,14 @@ class InflightEngine:
 
         def fn(global_cache, local_cache, src, slot):
             def upd(g, lo):
+                # rank-agnostic (batch is axis 1): int8 caches carry 4-D
+                # scale leaves alongside the 5-D code buffers
                 row = lax.dynamic_slice(
-                    lo, (0, src, 0, 0, 0),
+                    lo, (0, src) + (0,) * (lo.ndim - 2),
                     (lo.shape[0], 1) + lo.shape[2:])
                 return lax.dynamic_update_slice(
-                    g, row.astype(g.dtype), (0, slot, 0, 0, 0))
+                    g, row.astype(g.dtype),
+                    (0, slot) + (0,) * (lo.ndim - 2))
             return jax.tree.map(upd, global_cache, local_cache)
 
         if not self.negotiate_layouts:
@@ -294,7 +299,8 @@ class InflightEngine:
         from . import layouts as LY
         local_shapes = LY.shape_spec(jax.eval_shape(
             lambda: L.init_cache(self.cfg.decoder, k, self.t_max,
-                                 self.precision.compute_dtype)))
+                                 self.precision.compute_dtype,
+                                 quant=self.cfg.kv_quant)))
         zi = jax.ShapeDtypeStruct((), jnp.int32)
         inst_c = jax.jit(
             fn, donate_argnums=(0,),
@@ -316,7 +322,8 @@ class InflightEngine:
         def fn(local, src):
             return jax.tree.map(
                 lambda lo: lax.dynamic_slice(
-                    lo, (0, src, 0, 0, 0), (lo.shape[0], 1) + lo.shape[2:]),
+                    lo, (0, src) + (0,) * (lo.ndim - 2),
+                    (lo.shape[0], 1) + lo.shape[2:]),
                 local)
 
         if not self.negotiate_layouts:
@@ -328,7 +335,8 @@ class InflightEngine:
         self._install(1)
         local_shapes = LY.shape_spec(jax.eval_shape(
             lambda: L.init_cache(self.cfg.decoder, k, self.t_max,
-                                 self.precision.compute_dtype)))
+                                 self.precision.compute_dtype,
+                                 quant=self.cfg.kv_quant)))
         zi = jax.ShapeDtypeStruct((), jnp.int32)
         self._extract_fns[k] = jax.jit(
             fn,
@@ -454,7 +462,8 @@ class InflightEngine:
         sds = jax.ShapeDtypeStruct
         row_shapes = LY.shape_spec(jax.eval_shape(
             lambda: L.init_cache(cfg.decoder, 1, self.t_max,
-                                 prec.compute_dtype)))
+                                 prec.compute_dtype,
+                                 quant=cfg.kv_quant)))
         self._suffix_fns[s_buck] = jax.jit(
             fn,
             in_shardings=(self._param_formats,
@@ -877,7 +886,8 @@ class InflightEngine:
                 self._active[:] = False
                 self.cache = L.init_cache(self.cfg.decoder, self.n_slots,
                                           self.t_max,
-                                          self.precision.compute_dtype)
+                                          self.precision.compute_dtype,
+                                          quant=self.cfg.kv_quant)
                 if self._cache_formats is not None:
                     from . import layouts as LY
                     self.cache = LY.relayout(self.cache,

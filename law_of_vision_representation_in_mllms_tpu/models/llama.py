@@ -145,21 +145,42 @@ def apply_rope(x, cos, sin):
             + rotated.astype(jnp.float32) * sin[..., None, :]).astype(x.dtype)
 
 
-def _attention(q, k, v, mask, accum_dtype=jnp.float32):
+def _attention(q, k, v, mask, accum_dtype=jnp.float32,
+               k_scale=None, v_scale=None):
     """q [B,S,H,Dh], k/v [B,T,KV,Dh], mask [B,1,S,T] bool.
 
     Grouped-query attention without materializing repeated KV heads: query
     head h reads kv head h // (H/KV) (HF repeat_interleave semantics) via a
     reshape, so the KV cache is only ever touched at its true size — on the
-    decode path this halves (or better) cache HBM traffic for GQA models."""
+    decode path this halves (or better) cache HBM traffic for GQA models.
+
+    KV-cache quantization (`ops/quant.quantize_kv`): when k/v arrive as
+    int8 codes with per-(slot, head) scales k_scale/v_scale [B,T,KV],
+    the int8->bf16 convert fuses into the QK^T / PV dot's operand read
+    (int8 bytes are what crosses HBM; int8 dot_general is never emitted
+    — it wedges this environment's remote compiler). The K scale is
+    per key slot, so it commutes with the contraction and applies to
+    the logits' key axis; the V scale folds into probs before the PV
+    dot. Both applications are fp32 and happen before the existing
+    bf16 probs cast, so the only added noise is the int8 grid itself."""
     b, s, nh, dh = q.shape
     nkv = k.shape[2]
     scale = dh ** -0.5
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)
+    if v.dtype != q.dtype:
+        v = v.astype(q.dtype)
     if nkv == nh:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=accum_dtype) * scale
+        if k_scale is not None:
+            logits = logits * jnp.transpose(k_scale, (0, 2, 1)
+                                            )[:, :, None, :].astype(
+                                                logits.dtype)
         logits = jnp.where(mask, logits, jnp.asarray(-1e30, accum_dtype))
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if v_scale is not None:
+            probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
                          preferred_element_type=accum_dtype)
         return out.astype(q.dtype)
@@ -167,9 +188,16 @@ def _attention(q, k, v, mask, accum_dtype=jnp.float32):
     qg = q.reshape(b, s, nkv, g, dh)
     logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
                         preferred_element_type=accum_dtype) * scale
+    if k_scale is not None:
+        logits = logits * jnp.transpose(k_scale, (0, 2, 1)
+                                        )[:, :, None, None, :].astype(
+                                            logits.dtype)
     logits = jnp.where(mask[:, :, None], logits,
                        jnp.asarray(-1e30, accum_dtype))
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if v_scale is not None:
+        probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None,
+                                                          None, :]
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(q.dtype), v,
                      preferred_element_type=accum_dtype)
     return out.reshape(b, s, nh, dh).astype(q.dtype)
@@ -180,13 +208,17 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
            lora_scaling: float = 1.0, ring=None, ring_mask=None):
     """One decoder block.
 
-    cache: optional (ck_all, cv_all, layer_idx) where ck/cv are the FULL
-    stacked [L,B,Tmax,KV,Dh] buffers and layer_idx selects this block's
-    slice. The new k/v are written in place at (layer_idx, :, cache_index)
-    — a [B,S,KV,Dh]-sized write per layer per step, NOT a rewrite of the
-    whole buffer (the round-1 scan-over-cache design stacked a fresh cache
-    every decode step, doubling HBM traffic). lora: optional per-layer
-    low-rank factor dict (models/lora.py)."""
+    cache: optional (ck_all, cv_all, ks_all, vs_all, layer_idx) where
+    ck/cv are the FULL stacked [L,B,Tmax,KV,Dh] buffers and layer_idx
+    selects this block's slice. The new k/v are written in place at
+    (layer_idx, :, cache_index) — a [B,S,KV,Dh]-sized write per layer per
+    step, NOT a rewrite of the whole buffer (the round-1 scan-over-cache
+    design stacked a fresh cache every decode step, doubling HBM
+    traffic). ks_all/vs_all are the per-(slot, head) scale buffers
+    [L,B,Tmax,KV] of a quantized cache (init_cache(quant="int8")), or
+    None for the dense bf16 cache: fresh K/V quantize on write, and
+    attention reads int8 codes + scales (see _attention). lora: optional
+    per-layer low-rank factor dict (models/lora.py)."""
     from .lora import lora_matmul
     from ..ops.quant import quant_matmul, is_quantized
     b, s, d = h.shape
@@ -215,17 +247,38 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    k_sc = v_sc = None
     if cache is not None:
-        ck_all, cv_all, li = cache
+        ck_all, cv_all, ks_all, vs_all, li = cache
+        if ks_all is not None:
+            # int8 KV cache: quantize the fresh block on write; the
+            # attention read below is int8 codes + per-slot scales
+            from ..ops.quant import quantize_kv
+            kw, ks = quantize_kv(k)
+            vw, vs = quantize_kv(v)
+            ks_all = lax.dynamic_update_slice(
+                ks_all, ks[None].astype(ks_all.dtype),
+                (li, 0, cache_index, 0))
+            vs_all = lax.dynamic_update_slice(
+                vs_all, vs[None].astype(vs_all.dtype),
+                (li, 0, cache_index, 0))
+            k_sc = lax.dynamic_index_in_dim(ks_all, li, 0, keepdims=False)
+            v_sc = lax.dynamic_index_in_dim(vs_all, li, 0, keepdims=False)
+        else:
+            kw, vw = k, v
         ck_all = lax.dynamic_update_slice(
-            ck_all, k[None].astype(ck_all.dtype), (li, 0, cache_index, 0, 0))
+            ck_all, kw[None].astype(ck_all.dtype),
+            (li, 0, cache_index, 0, 0))
         cv_all = lax.dynamic_update_slice(
-            cv_all, v[None].astype(cv_all.dtype), (li, 0, cache_index, 0, 0))
+            cv_all, vw[None].astype(cv_all.dtype),
+            (li, 0, cache_index, 0, 0))
         # attention reads the cache at its stored dtype; the einsum promotes
-        # (bf16 cache x bf16/f32 q) without materializing a converted copy
+        # (bf16/int8 cache x bf16/f32 q) without materializing a converted
+        # copy
         k_all = lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
         v_all = lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
-        new_cache = (ck_all, cv_all)
+        new_cache = ((ck_all, cv_all) if ks_all is None
+                     else (ck_all, cv_all, ks_all, vs_all))
     else:
         k_all, v_all = k, v
         new_cache = None
@@ -247,7 +300,8 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
             vf = jnp.repeat(vf, rep, axis=2)
         attn = flash_mha_trainable(q, kf, vf, causal=True)
     else:
-        attn = _attention(q, k_all, v_all, mask, prec.accum_dtype)
+        attn = _attention(q, k_all, v_all, mask, prec.accum_dtype,
+                          k_scale=k_sc, v_scale=v_sc)
     h = h + mm(attn.reshape(b, s, nh * hd), "wo")
 
     x = rms_norm(h, lp["rms2"], cfg.rms_eps)
@@ -293,7 +347,10 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
       attn_mask: [B, T] bool validity of key positions, where T is S
         (no cache) or the cache length. Combined with causality.
       cache: optional dict with "k","v" [L, B, Tmax, KV, Dh] and the new
-        entries are written at cache_index.
+        entries are written at cache_index. An int8 cache
+        (init_cache(quant="int8")) carries "k_scale","v_scale"
+        [L, B, Tmax, KV] too; fresh K/V quantize on write and attention
+        reads codes + scales (_attention docstring).
       cp: optional `ops.ring_attention.ContextParallel` — run attention
         sequence-parallel over cp.seq_axis (ring K/V rotation; no-cache
         passes only). Like the flash path, causality is over array order
@@ -348,8 +405,8 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
         def body(carry, xs):
             h = carry
             lp, ll = xs
-            h, _ = _layer(cfg, h, lp, cos, sin, mask, None, None, precision,
-                          use_flash=flash_ok, lora=ll,
+            h, _ = _layer(cfg, h, lp, cos, sin, mask, None, None,
+                          precision, use_flash=flash_ok, lora=ll,
                           lora_scaling=lora_scaling, ring=ring,
                           ring_mask=ring_mask)
             return h, ()
@@ -364,20 +421,37 @@ def forward(params, cfg: LlamaConfig, embeds, positions, *,
         # the cache rides the CARRY (in-place slot writes), not the scan
         # ys — stacking ys would write the full [L,B,T,KV,Dh] buffer every
         # decode step
-        def body(carry, xs):
-            h, ck, cv = carry
-            lp, ll, li = xs
-            h, (ck, cv) = _layer(cfg, h, lp, cos, sin, mask, (ck, cv, li),
-                                 cache_index, precision, use_flash=flash_ok,
-                                 lora=ll, lora_scaling=lora_scaling)
-            return (h, ck, cv), ()
-        if remat:
-            body = _remat(body, remat_policy)
-        (h, nk, nv), _ = lax.scan(
-            body, (h, cache["k"], cache["v"]),
-            (params["layers"], lora_xs,
-             jnp.arange(cfg.num_layers, dtype=jnp.int32)))
-        new_cache = {"k": nk, "v": nv}
+        layer_xs = (params["layers"], lora_xs,
+                    jnp.arange(cfg.num_layers, dtype=jnp.int32))
+        if "k_scale" in cache:             # int8 KV cache (quantize_kv)
+            def body(carry, xs):
+                h, ck, cv, ks, vs = carry
+                lp, ll, li = xs
+                h, (ck, cv, ks, vs) = _layer(
+                    cfg, h, lp, cos, sin, mask, (ck, cv, ks, vs, li),
+                    cache_index, precision, use_flash=flash_ok,
+                    lora=ll, lora_scaling=lora_scaling)
+                return (h, ck, cv, ks, vs), ()
+            if remat:
+                body = _remat(body, remat_policy)
+            (h, nk, nv, nks, nvs), _ = lax.scan(
+                body, (h, cache["k"], cache["v"],
+                       cache["k_scale"], cache["v_scale"]), layer_xs)
+            new_cache = {"k": nk, "v": nv, "k_scale": nks, "v_scale": nvs}
+        else:
+            def body(carry, xs):
+                h, ck, cv = carry
+                lp, ll, li = xs
+                h, (ck, cv) = _layer(
+                    cfg, h, lp, cos, sin, mask, (ck, cv, None, None, li),
+                    cache_index, precision, use_flash=flash_ok,
+                    lora=ll, lora_scaling=lora_scaling)
+                return (h, ck, cv), ()
+            if remat:
+                body = _remat(body, remat_policy)
+            (h, nk, nv), _ = lax.scan(
+                body, (h, cache["k"], cache["v"]), layer_xs)
+            new_cache = {"k": nk, "v": nv}
 
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     return h, new_cache
@@ -399,9 +473,21 @@ def embed_tokens(params, input_ids, precision: Precision = DEFAULT_PRECISION):
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16):
+               dtype=jnp.bfloat16, quant: Optional[str] = None):
+    """Decode KV cache. quant="int8" stores codes + per-(slot, head)
+    scales (`ops/quant.quantize_kv`): halves cache HBM bytes — both
+    resident and the per-step attention read, the term the round-4
+    decode roofline identified as the b8 bottleneck. The scale buffers
+    are Dh=128x smaller than the codes (f32 [L,B,T,KV])."""
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quant is None:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quant != "int8":
+        raise ValueError(f"unknown kv cache quant {quant!r}")
+    return {"k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32)}
 
 
 def causal_lm_loss(logits, labels, ignore_index: int = -100):

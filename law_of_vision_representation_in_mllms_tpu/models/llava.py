@@ -49,6 +49,13 @@ class LlavaConfig:
     # count -> static shapes; visual_keep=None (default) is exact parity.
     visual_keep: Optional[int] = None
     prune_score: str = "auto"            # auto | saliency | norm
+    # KV-cache quantization for generation ("int8" | None): int8 codes +
+    # per-(slot, head) scales (ops/quant.quantize_kv) halve the decode
+    # cache's resident bytes AND its per-step attention read — the term
+    # the round-4 decode roofline flagged as the b8 bottleneck. With the
+    # flash prefill (TPU default) prompt K/V are computed exactly and
+    # only the CACHE is quantized; None = exact bf16 cache parity.
+    kv_quant: Optional[str] = None
 
     @classmethod
     def build(cls, tower: str, decoder: Optional[L.LlamaConfig] = None,
@@ -327,7 +334,8 @@ def generate_greedy(params, cfg: LlavaConfig, input_ids, text_mask,
 
     l_out = embeds.shape[1]
     t_max = l_out + max_new_tokens
-    cache = L.init_cache(cfg.decoder, b, t_max, precision.compute_dtype)
+    cache = L.init_cache(cfg.decoder, b, t_max,
+                          precision.compute_dtype, quant=cfg.kv_quant)
     slot_valid = jnp.concatenate(
         [plan.attn_mask, jnp.zeros((b, max_new_tokens), bool)], axis=1)
 
@@ -412,7 +420,8 @@ def generate_beam(params, cfg: LlavaConfig, input_ids, text_mask,
 
     l_out = embeds.shape[1]
     t_max = l_out + T
-    cache = L.init_cache(cfg.decoder, b, t_max, precision.compute_dtype)
+    cache = L.init_cache(cfg.decoder, b, t_max,
+                          precision.compute_dtype, quant=cfg.kv_quant)
     slot_valid = jnp.concatenate(
         [plan.attn_mask, jnp.zeros((b, T), bool)], axis=1)
     h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
@@ -581,7 +590,8 @@ def generate_speculative(params, cfg: LlavaConfig, input_ids, text_mask,
     l_out = embeds.shape[1]
     gen_cap = max_new_tokens + g + 1
     t_max = l_out + gen_cap
-    cache = L.init_cache(cfg.decoder, b, t_max, precision.compute_dtype)
+    cache = L.init_cache(cfg.decoder, b, t_max,
+                          precision.compute_dtype, quant=cfg.kv_quant)
     h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
                          plan.positions,
                          attn_mask=jnp.concatenate(

@@ -73,12 +73,13 @@ def pad_after_eos(out, eos_id):
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "max_new_tokens", "draft_len", "eos_id", "precision",
-    "use_flash"))
+    "use_flash", "kv_quant"))
 def decode_prompt_lookup(params, cfg: L.LlamaConfig, input_ids,
                          *, max_new_tokens: int, draft_len: int = 8,
                          eos_id: int = 2,
                          precision: Precision = DEFAULT_PRECISION,
-                         use_flash: bool = False):
+                         use_flash: bool = False,
+                         kv_quant: str | None = None):
     """Greedy-equivalent decode with prompt-lookup speculation.
 
     Args:
@@ -96,7 +97,7 @@ def decode_prompt_lookup(params, cfg: L.LlamaConfig, input_ids,
     toks = jnp.zeros((b, t_max), jnp.int32)
     toks = lax.dynamic_update_slice(toks, input_ids, (0, 0))
 
-    cache = L.init_cache(cfg, b, t_max, cd)
+    cache = L.init_cache(cfg, b, t_max, cd, quant=kv_quant)
     emb = L.embed_tokens(params, input_ids, precision)
     pos = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
     h, cache = L.forward(params, cfg, emb, pos,

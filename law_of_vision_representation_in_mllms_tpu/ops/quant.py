@@ -62,6 +62,28 @@ def is_quantized(leaf) -> bool:
         "q8" in leaf or "q4" in leaf)
 
 
+def quantize_kv(x):
+    """Per-(token, head) symmetric int8 quantization of attention K/V.
+
+    x: [..., Dh] (typically [B, S, KV, Dh] — one fresh K or V block on
+    its way into the decode cache). Returns ``(codes int8 [..., Dh],
+    scale f32 [...])`` with ``scale = maxabs/127`` over the head dim.
+
+    Rationale (benchmarks/README.md round-4 decode roofline): at 7B the
+    per-step KV-cache read is the term that drags int8-weight decode to
+    58% of achievable at b8 — per-token scales halve those bytes while
+    keeping the dots bf16 (the int8->bf16 convert fuses into the QK^T /
+    PV operand read exactly like the int8 weight path above; int8
+    dot_general is never emitted). Per-(token, head) granularity is the
+    standard near-lossless choice: each scale covers one Dh=128 vector.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-20) / 127.0
+    codes = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return codes, scale
+
+
 def int8_matmul(x, qw: Dict[str, Any]):
     """`x @ dequant(qw)` with the per-channel scale applied after the
     dot (mathematically identical; keeps the convert fusible into the

@@ -119,7 +119,8 @@ def build_model(cfg: RunConfig, rng=None):
         select_feature=cfg.model.select_feature,
         featurizer_overrides=overrides or None,
         visual_keep=cfg.model.visual_keep,
-        prune_score=cfg.model.prune_score)
+        prune_score=cfg.model.prune_score,
+        kv_quant=cfg.model.kv_quant)
     params = llava.init_params(rng or jax.random.PRNGKey(cfg.train.seed),
                                model_cfg)
     for i, tp in enumerate(tower_params):

@@ -334,3 +334,33 @@ def test_inflight_partial_prefix_negotiated():
         assert eng.partial_hits == 1
     finally:
         eng.shutdown()
+
+
+def test_inflight_kv_quant_int8():
+    """The engine runs on an int8 KV cache (cfg.kv_quant): the global
+    cache, local prefill caches, and the prompt-KV store all carry the
+    4-D scale leaves (the splice/extract tree ops are rank-agnostic),
+    and per-request outputs match generate_greedy under the SAME
+    quantized cache."""
+    import dataclasses
+    cfg, params = _tiny(21)
+    cfg = dataclasses.replace(cfg, kv_quant="int8")
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=4,
+                         precision=FP32_PRECISION, use_flash=False,
+                         prefix_cache=4)
+    try:
+        assert eng.cache["k"].dtype == jnp.int8
+        assert eng.cache["k_scale"].shape == eng.cache["k"].shape[:-1]
+        rng = np.random.RandomState(22)
+        reqs = [_request(rng, l) for l in (8, 8, 12)]
+        refs = [_reference(params, cfg, *r, 8, eos) for r in reqs]
+        for r, want in zip(reqs, refs):
+            assert eng.submit(*r, 8).result(timeout=120).tolist() == want
+        # repeat the first prompt: served from the quantized KV store
+        assert eng.submit(*reqs[0], 8).result(
+            timeout=120).tolist() == refs[0]
+        assert eng.prefix_hits == 1
+    finally:
+        eng.shutdown()

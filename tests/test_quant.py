@@ -339,3 +339,122 @@ def test_int4_kernel_vjp_matches_xla_grad():
     gs = jax.grad(lambda s: jnp.sum(_int4_kernel_mm(
         jnp.asarray(x), q["q4"], s, True)))(q["scale"])
     assert not np.any(np.asarray(gs))
+
+
+# ---------------------------------------------------------------------------
+# int8 KV-cache quantization (ops/quant.quantize_kv + llama int8 cache)
+# ---------------------------------------------------------------------------
+
+def test_quantize_kv_grid_roundtrip_exact():
+    """Vectors already on an int8 grid roundtrip losslessly."""
+    from law_of_vision_representation_in_mllms_tpu.ops.quant import (
+        quantize_kv)
+    rng = np.random.RandomState(0)
+    codes = rng.randint(-127, 128, size=(2, 3, 2, 8)).astype(np.float32)
+    codes[..., 0] = 127.0                      # pin maxabs per vector
+    scale = 0.03125
+    x = jnp.asarray(codes * scale)
+    q, s = quantize_kv(x)
+    np.testing.assert_array_equal(np.asarray(q), codes.astype(np.int8))
+    np.testing.assert_allclose(np.asarray(s), scale, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(q).astype(np.float32)
+                               * np.asarray(s)[..., None],
+                               np.asarray(x), rtol=1e-6)
+
+
+def _decode_logits(cfg, params, batch, kv_quant, steps=4):
+    """Prefill + `steps` cached greedy decode steps; returns the stacked
+    per-step logits and tokens (the quantized cache path under test)."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg, kv_quant=kv_quant)
+    ids, mask = batch["input_ids"], batch["text_mask"]
+    b, l = ids.shape
+    from law_of_vision_representation_in_mllms_tpu.models.splice import (
+        IGNORE_INDEX, splice_plan, splice_embeds)
+    plan = splice_plan(ids, jnp.full_like(ids, IGNORE_INDEX), mask,
+                       cfg.num_patches)
+    img = M.encode_images(params, cfg, batch["pixel_values"],
+                          FP32_PRECISION)
+    txt = L.embed_tokens(params["decoder"], ids, FP32_PRECISION)
+    embeds = splice_embeds(plan, txt, img)
+    l_out = embeds.shape[1]
+    t_max = l_out + steps
+    cache = L.init_cache(cfg.decoder, b, t_max, jnp.float32,
+                         quant=cfg.kv_quant)
+    slot_valid = jnp.concatenate(
+        [plan.attn_mask, jnp.zeros((b, steps), bool)], axis=1)
+    h, cache = L.forward(params["decoder"], cfg.decoder, embeds,
+                         plan.positions, attn_mask=slot_valid, cache=cache,
+                         cache_index=0, precision=FP32_PRECISION)
+    n_valid = jnp.sum(plan.attn_mask, axis=1)
+    h_last = jnp.take_along_axis(
+        h, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
+    tok = jnp.argmax(
+        L.logits_fn(params["decoder"], h_last[:, None], FP32_PRECISION)
+        [:, -1], axis=-1).astype(jnp.int32)
+    pos = n_valid
+    outs, toks = [], []
+    for t in range(steps):
+        emb = L.embed_tokens(params["decoder"], tok[:, None],
+                             FP32_PRECISION)
+        sv = jnp.concatenate(
+            [plan.attn_mask,
+             jnp.broadcast_to(jnp.arange(steps) <= t, (b, steps))], axis=1)
+        h, cache = L.forward(params["decoder"], cfg.decoder, emb,
+                             pos[:, None], attn_mask=sv, cache=cache,
+                             cache_index=l_out + t,
+                             precision=FP32_PRECISION)
+        logits = L.logits_fn(params["decoder"], h, FP32_PRECISION)[:, -1]
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs.append(np.asarray(logits))
+        toks.append(np.asarray(tok))
+        pos = pos + 1
+    if cfg.kv_quant:
+        assert cache["k"].dtype == jnp.int8
+        assert cache["k_scale"].shape == cache["k"].shape[:-1]
+    return np.stack(outs), np.stack(toks)
+
+
+def test_kv_quant_decode_logits_close_mha():
+    from test_splice_llava import _tiny_batch, _tiny_llava
+    cfg, params = _tiny_llava(3)
+    batch = _tiny_batch(cfg, np.random.RandomState(3), b=2, l=6)
+    dense, tok_d = _decode_logits(cfg, params, batch, None)
+    quant, tok_q = _decode_logits(cfg, params, batch, "int8")
+    # int8 per-vector quantization noise on K/V perturbs logits at the
+    # ~1% level; greedy tokens agree on this fixed seed
+    err = np.abs(quant - dense).max() / (np.abs(dense).max() + 1e-9)
+    assert err < 0.05, err
+    np.testing.assert_array_equal(tok_q, tok_d)
+
+
+def test_kv_quant_decode_logits_close_gqa():
+    cfg, params = _tiny(seed=5, heads=4, kv=2)
+    from test_train_step import _batch
+    batch = _batch(np.random.RandomState(5), b=2, l=8)
+    dense, tok_d = _decode_logits(cfg, params, batch, None)
+    quant, tok_q = _decode_logits(cfg, params, batch, "int8")
+    err = np.abs(quant - dense).max() / (np.abs(dense).max() + 1e-9)
+    assert err < 0.05, err
+    np.testing.assert_array_equal(tok_q, tok_d)
+
+
+def test_kv_quant_generate_paths_agree():
+    """generate_greedy and the chunked decoder share the int8-cache math
+    bit-for-bit (same contract as the dense chunked-parity test)."""
+    import dataclasses
+    from law_of_vision_representation_in_mllms_tpu.models.decode import (
+        ChunkedGreedyDecoder)
+    from test_splice_llava import _tiny_batch, _tiny_llava
+    cfg, params = _tiny_llava(1)
+    cfg = dataclasses.replace(cfg, kv_quant="int8")
+    batch = _tiny_batch(cfg, np.random.RandomState(1), b=2, l=6)
+    want = np.asarray(M.generate_greedy(
+        params, cfg, batch["input_ids"], batch["text_mask"],
+        batch["pixel_values"], max_new_tokens=7, eos_id=0,
+        precision=FP32_PRECISION))
+    dec = ChunkedGreedyDecoder(params, cfg, eos_id=0,
+                               precision=FP32_PRECISION, chunk=3)
+    got = dec.generate(batch["input_ids"], batch["text_mask"],
+                       batch["pixel_values"], max_new_tokens=7)
+    np.testing.assert_array_equal(got, want)
