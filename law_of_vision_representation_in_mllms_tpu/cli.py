@@ -266,6 +266,13 @@ def main(argv=None):
     p.add_argument("--top", type=int, default=1)
 
     args = parser.parse_args(argv)
+    # LVR_PLATFORM=cpu forces the JAX backend (the JAX_PLATFORMS env var
+    # is swallowed by this environment's site hook — CLAUDE.md); used by
+    # CPU smoke tests of TPU-targeted pipelines
+    import os as _os0
+    if _os0.environ.get("LVR_PLATFORM"):
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os0.environ["LVR_PLATFORM"])
     # multi-host launch (TPU pod / multi-process): LVR_DISTRIBUTED=1
     # initializes the jax runtime before any backend use — the
     # deepspeed-launcher / init_process_group step of the reference

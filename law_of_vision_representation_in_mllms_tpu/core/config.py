@@ -18,6 +18,12 @@ import yaml
 class ModelSection:
     vision_tower: str = "openai/clip-vit-large-patch14-336"
     decoder: str = "vicuna-7b"             # vicuna-7b | tiny | path
+    # depth override for the decoder preset (None = preset depth). The
+    # tower/projector phases of the law pipeline (extract-embeds ->
+    # a-score) never run the decoder blocks — a 2-layer vicuna-width
+    # decoder gives the TRUE 4096-dim LLM embedding space without
+    # initializing 13.4 GB of unused random blocks.
+    decoder_layers: Optional[int] = None
     projector_type: str = "mlp2x_gelu"
     select_layer: int = -2
     select_feature: str = "patch"

@@ -112,6 +112,8 @@ def build_model(cfg: RunConfig, rng=None):
         dec = llama.tiny()
     else:
         raise ValueError(f"unknown decoder {cfg.model.decoder}")
+    if cfg.model.decoder_layers:
+        dec = dataclasses.replace(dec, num_layers=cfg.model.decoder_layers)
     model_cfg = llava.LlavaConfig(
         tower_spec=spec, decoder=dec,
         projector_type=cfg.model.projector_type,
