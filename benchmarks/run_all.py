@@ -1490,11 +1490,17 @@ def bench_serve_hetero(results, quick=False):
     workload the inflight scheduler exists for — a short request must
     not wait out a long neighbour. LVR_SERVE_MODE selects
     wave | inflight | inflight_prefix (one process per mode; explicit
-    `--only serve_hetero`). All modes replay the SAME seeded schedule:
-    24 requests, exp(0.15 s) inter-arrival, text lengths 4-48 words,
-    budgets {8,16,32}, one shared image with a shared system preamble —
-    in prefix mode the preamble makes every admission after the first a
-    partial-prefix (or full) store hit."""
+    `--only serve_hetero`). All modes replay the SAME seeded schedules:
+    LVR_HETERO_N requests per seed (default 24; the statistical rows use
+    200) x LVR_HETERO_SEEDS (comma list, default "17"), exp(0.15 s)
+    inter-arrival, text lengths 4-48 words, budgets {8,16,32}, one
+    shared image with a shared system preamble — in prefix mode the
+    preamble makes every admission after the first a partial-prefix (or
+    full) store hit. Reports per-seed p50/p95/p99 + throughput and the
+    cross-seed mean/min/max (VERDICT r4 weak #6: the round-4 row was one
+    24-request single-seed run). LVR_HETERO_7B=1 serves vicuna-7B with
+    weight-only int8 + negotiated layouts (4 slots) instead of the
+    1.4B."""
     import base64
     import json as _json
     import threading
@@ -1521,25 +1527,43 @@ def bench_serve_hetero(results, quick=False):
     if tiny:
         jax.config.update("jax_platforms", "cpu")
     prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    hetero_7b = os.environ.get("LVR_HETERO_7B", "0") == "1"
     if tiny:
         dec = llama.LlamaConfig(vocab_size=1024, hidden_size=64,
                                 intermediate_size=128, num_layers=2,
                                 num_heads=4, num_kv_heads=4)
         cfg = llava.LlavaConfig.build("debug/tiny-vit", decoder=dec)
+    elif hetero_7b:
+        dec = llama.vicuna_7b()
+        cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
+                                      decoder=dec)
     else:
         dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
                                 intermediate_size=5632, num_layers=16,
                                 num_heads=16, num_kv_heads=16)
         cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
                                       decoder=dec)
-    params = llava.init_params(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if hetero_7b:
+        # int8 weights (6.9 GB resident: bf16 would not fit next to the
+        # slot cache) + negotiated layouts — the 7B serving contract
+        params = llava.init_params(jax.random.PRNGKey(0), cfg,
+                                   init_decoder=False)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        params["decoder"] = _random_int8_decoder(dec)
+    else:
+        params = llava.init_params(jax.random.PRNGKey(0), cfg)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     inflight = mode != "wave"
+    n_slots = 4 if hetero_7b else 8
     lmm = LlavaLMM(params, cfg, SimpleTokenizer(), get_template("v1"),
-                   precision=prec, batch_size=8, gen_backend="greedy")
-    srv = LMMServer(lmm, model_name="llava-1.4b", port=0,
-                    max_batch=8, batch_window_ms=50, inflight=inflight,
-                    inflight_kwargs={"n_slots": 8, "prompt_cap": 192,
+                   precision=prec, batch_size=n_slots,
+                   gen_backend="greedy", negotiate_layouts=hetero_7b)
+    srv = LMMServer(lmm, model_name="vicuna-7b" if hetero_7b
+                    else "llava-1.4b", port=0,
+                    max_batch=n_slots, batch_window_ms=50,
+                    inflight=inflight,
+                    inflight_kwargs={"n_slots": n_slots,
+                                     "prompt_cap": 192,
                                      "gen_cap": 32, "chunk": 4,
                                      "prefix_cache":
                                          64 if mode == "inflight_prefix"
@@ -1565,13 +1589,17 @@ def bench_serve_hetero(results, quick=False):
               "image content describe objects colors counts spatial "
               "relations and any legible text exactly as seen")
 
-    n = 12 if quick else 24
-    words = rng.randint(4, 49, size=n)        # mixed prompt lengths
-    budgets = rng.choice([8, 16, 32], size=n)  # mixed token budgets
-    gaps = rng.exponential(0.15, size=n)       # Poisson arrivals
-    arrivals = np.cumsum(gaps)
+    n = int(os.environ.get("LVR_HETERO_N", "12" if quick else "24"))
+    seeds = [int(x) for x in
+             os.environ.get("LVR_HETERO_SEEDS", "17").split(",")]
 
-    def payload(i, tag):
+    def schedule(seed):
+        r = np.random.RandomState(seed)
+        return (r.randint(4, 49, size=n),          # mixed prompt lengths
+                r.choice([8, 16, 32], size=n),     # mixed token budgets
+                np.cumsum(r.exponential(0.15, size=n)))  # Poisson arrivals
+
+    def payload(i, tag, words, budgets):
         q = " ".join(f"w{(i * 7 + j) % 53}" for j in range(words[i]))
         # image part FIRST (llava convention): the spliced image span +
         # shared preamble form the common KV prefix the partial-prefix
@@ -1592,61 +1620,92 @@ def bench_serve_hetero(results, quick=False):
         with urllib.request.urlopen(req, timeout=600) as r:
             return _json.loads(r.read())
 
-    # compile + warm every program shape OUTSIDE the measured window
-    # (all length buckets x budgets), twice for the relay
+    # compile + warm every program shape OUTSIDE the measured window:
+    # the engine buckets prompt lengths, so sweep the word-length range
+    # at every budget (covers all buckets any seed can hit), twice for
+    # the relay
+    warm_words = np.asarray([4, 12, 20, 28, 36, 48] * 3)
+    warm_budgets = np.asarray([8, 16, 32]).repeat(6)
     for tag in ("warm-a-", "warm-b-"):
         threads = [threading.Thread(
-            target=post, args=(payload(i, tag),)) for i in range(n)]
+            target=post, args=(payload(i, tag, warm_words, warm_budgets),))
+            for i in range(len(warm_words))]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
 
-    lat = [None] * n
-    errs = []
+    per_seed = []
+    for seed in seeds:
+        words, budgets, arrivals = schedule(seed)
+        lat = [None] * n
+        errs = []
 
-    def client(i, t0):
-        wait = t0 + arrivals[i] - time.perf_counter()
-        if wait > 0:
-            time.sleep(wait)
-        s0 = time.perf_counter()
-        try:
-            out = post(payload(i, "run-"))
-            assert out.get("choices")
-        except Exception as e:  # noqa: BLE001
-            errs.append((i, e))
-            return
-        lat[i] = time.perf_counter() - s0
+        def client(i, t0):
+            wait = t0 + arrivals[i] - time.perf_counter()
+            if wait > 0:
+                time.sleep(wait)
+            s0 = time.perf_counter()
+            try:
+                out = post(payload(i, f"run{seed}-", words, budgets))
+                assert out.get("choices")
+            except Exception as e:  # noqa: BLE001
+                errs.append((i, e))
+                return
+            lat[i] = time.perf_counter() - s0
 
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(i, t0))
-               for i in range(n)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
-    assert not errs, errs
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i, t0))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        assert not errs, errs[:3]
+        lat_arr = np.asarray([l for l in lat if l is not None])
+        per_seed.append({
+            "seed": seed, "samples_s": round(n / dt, 2),
+            "p50_s": round(float(np.percentile(lat_arr, 50)), 2),
+            "p95_s": round(float(np.percentile(lat_arr, 95)), 2),
+            "p99_s": round(float(np.percentile(lat_arr, 99)), 2),
+            "mean_s": round(float(lat_arr.mean()), 2)})
+
     stats = srv.worker.engine.stats() if inflight else {}
     if mode == "inflight_prefix":
         # the shared preamble + image must actually reuse stored KV
         assert stats.get("prefix_hits", 0) \
-            + stats.get("partial_hits", 0) >= n - 1, stats
+            + stats.get("partial_hits", 0) >= len(seeds) * (n - 1), stats
     srv.shutdown()
-    lat_arr = np.asarray([l for l in lat if l is not None])
+
+    def agg(key):
+        v = [ps[key] for ps in per_seed]
+        out = {key: round(float(np.mean(v)), 2)}
+        if len(v) > 1:
+            out[key.replace("_s", "_minmax_s")] = [min(v), max(v)]
+        return out
+
     row_sink = [] if tiny else results     # tiny smoke: print, don't persist
-    row_sink.append({
-        "metric": f"llava_1p4b_serve_hetero_{mode}",
-        "value": round(n / dt, 2), "unit": "samples/sec",
-        "p50_latency_s": round(float(np.percentile(lat_arr, 50)), 2),
-        "p95_latency_s": round(float(np.percentile(lat_arr, 95)), 2),
-        "mean_latency_s": round(float(lat_arr.mean()), 2),
-        "n_requests": n,
-        "note": "Poisson arrivals (exp 0.15 s), prompt lengths 4-48 "
-                "words + shared preamble, budgets {8,16,32} tokens, 8 "
-                "slots / max_batch 8; same seeded schedule across "
-                "modes. Latency includes queueing. Axon-relay dispatch "
-                "latency (~0.3-0.5 s/round-trip) rides every number."})
+    row = {"metric": ("llava_7b_int8_serve_hetero_" if hetero_7b
+                      else "llava_1p4b_serve_hetero_") + mode,
+           "value": round(float(np.mean([ps["samples_s"]
+                                         for ps in per_seed])), 2),
+           "unit": "samples/sec",
+           "n_requests": n, "seeds": seeds,
+           "note": "Poisson arrivals (exp 0.15 s), prompt lengths 4-48 "
+                   "words + shared preamble, budgets {8,16,32} tokens, "
+                   f"{n_slots} slots / max_batch {n_slots}; same seeded "
+                   "schedules across modes; cross-seed mean (per-seed "
+                   "breakdown attached). Latency includes queueing. "
+                   "Axon-relay dispatch latency (~0.3-0.5 s/round-trip) "
+                   "rides every number."}
+    for k in ("p50_s", "p95_s", "p99_s", "mean_s"):
+        row.update(agg(k))
+    if len(per_seed) > 1:
+        v = [ps["samples_s"] for ps in per_seed]
+        row["samples_s_minmax"] = [min(v), max(v)]
+    row["per_seed"] = per_seed
+    row_sink.append(row)
     if tiny:
         print("TINY SMOKE OK", json.dumps(row_sink[0]), flush=True)
     if stats:
