@@ -308,3 +308,18 @@ def test_make_config_qlora(capsys):
     assert cfg.train.lora_alpha == 256.0
     assert cfg.train.learning_rate == 2e-4
     assert cfg.train.quantize_base == "int4"
+
+
+def test_decoder_layers_override():
+    """model.decoder_layers gives a shallow vicuna-WIDTH decoder (true
+    4096-dim projector/embedding space without 32 unused random blocks)
+    — the pipeline bench's embed/a/c phase contract."""
+    from law_of_vision_representation_in_mllms_tpu.train.runner import (
+        build_model)
+    cfg = RunConfig.from_dict({
+        "model": {"vision_tower": "debug/tiny-vit",
+                  "decoder": "vicuna-7b", "decoder_layers": 2}})
+    model_cfg, params = build_model(cfg)
+    assert model_cfg.decoder.hidden_size == 4096
+    assert model_cfg.decoder.num_layers == 2
+    assert params["decoder"]["layers"]["wq"].shape[0] == 2
