@@ -817,7 +817,12 @@ def bench_decode_7b(results, quick=False):
     # int8 param read; int8 codes halve it (the round-4 roofline's b8
     # bottleneck term). Composes with LVR_DECODE_QUANT.
     kvq = os.environ.get("LVR_KV_QUANT") or None
-    l, n_new = 512, 33
+    # LVR_DECODE_L shrinks the prompt window: the same decode program
+    # over a tiny cache isolates the per-step cache/attention term BY
+    # MEASUREMENT (step@l512 - step@l48 = the T~545-slot read+attend
+    # cost) instead of by roofline guesswork
+    l = int(os.environ.get("LVR_DECODE_L", "512"))
+    n_new = 33
     t_max = l + n_new
     rng = np.random.RandomState(3)
     ids = jnp.asarray(rng.randint(1, 32000, size=(b, l)).astype(np.int32))
@@ -838,7 +843,8 @@ def bench_decode_7b(results, quick=False):
     prefill = jax.jit(_prefill)
 
     iters = 2 if quick else 4
-    qsuf = (f"_{quant}" if quant else "") + ("_kv8" if kvq else "")
+    qsuf = ((f"_{quant}" if quant else "") + ("_kv8" if kvq else "")
+            + ("" if l == 512 else f"_l{l}"))
     dt = _timed(lambda i: prefill(params, i), (ids,),
                 [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
                 lambda o: int(o[1][0]))
