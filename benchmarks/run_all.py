@@ -1042,6 +1042,10 @@ def bench_speculative(results, quick=False):
     rand = rng.randint(3, 32000, size=(b, l)).astype(np.int32)
 
     iters = 2 if quick else 4
+    # LVR_KV_QUANT=int8: int8 KV cache inside the speculative loop (the
+    # verify forward writes/reads the quantized cache; composes with
+    # LVR_DECODE_QUANT weight quant, same contract as bench_decode_7b)
+    kvq = os.environ.get("LVR_KV_QUANT") or None
     if spec_7b:
         from law_of_vision_representation_in_mllms_tpu.models import (
             layouts as LY)
@@ -1049,7 +1053,7 @@ def bench_speculative(results, quick=False):
         def fn(p, ids):
             return decode_prompt_lookup(
                 p, dec, ids, max_new_tokens=new, draft_len=g,
-                eos_id=-1, precision=prec)
+                eos_id=-1, precision=prec, kv_quant=kvq)
         sds = jax.ShapeDtypeStruct
         spec_c = jax.jit(
             fn, in_shardings=(LY.auto_spec(LY.shape_spec(params)), None),
@@ -1061,7 +1065,7 @@ def bench_speculative(results, quick=False):
     else:
         runner = lambda p, ids: decode_prompt_lookup(  # noqa: E731
             p, dec, ids, max_new_tokens=new, draft_len=g,
-            eos_id=-1, precision=prec)
+            eos_id=-1, precision=prec, kv_quant=kvq)
     workloads = (("copyheavy", rep),) if spec_7b \
         else (("copyheavy", rep), ("random", rand))
     for tag, ids_np in workloads:
@@ -1084,6 +1088,8 @@ def bench_speculative(results, quick=False):
         mean_rounds = float(np.mean([int(r) for r in rr]))
         qv = os.environ.get("LVR_DECODE_QUANT", "")
         qsuf = f"_{qv}" if (spec_7b and qv in ("int8", "int4")) else ""
+        if kvq == "int8":
+            qsuf += "_kv8"
         results.append({
             "metric": (f"vicuna7b_spec_decode_{tag}_tok_s_b{b}{qsuf}"
                        if spec_7b
