@@ -82,6 +82,27 @@ def test_speculative_accepts_on_repetitive_prompt():
     assert int(rounds) < 16, f"no drafts accepted ({int(rounds)} rounds)"
 
 
+def test_speculative_int8_kv_cache_equals_greedy():
+    """kv_quant='int8' inside the speculative loop (the verify forward
+    writes/reads the quantized cache) must stay greedy-equivalent: in
+    fp32 compute the per-(slot,head) scales round-trip argmax-stably on
+    a tiny model, and acceptance must still happen on repetitive input
+    (the bench_speculative LVR_KV_QUANT path)."""
+    cfg, params = _tiny(seed=3)
+    rng = np.random.RandomState(1)
+    base = rng.randint(3, 97, size=8)
+    ids = jnp.asarray(np.tile(base, 6)[None], jnp.int32)
+    dense, rounds_dense = decode_prompt_lookup(
+        params, cfg, ids, max_new_tokens=16, draft_len=8,
+        precision=FP32_PRECISION)
+    kv8, rounds_kv8 = decode_prompt_lookup(
+        params, cfg, ids, max_new_tokens=16, draft_len=8,
+        precision=FP32_PRECISION, kv_quant="int8")
+    np.testing.assert_array_equal(np.asarray(kv8), np.asarray(dense))
+    assert int(rounds_kv8) < 16, \
+        f"no drafts accepted with int8 KV ({int(rounds_kv8)} rounds)"
+
+
 def test_speculative_eos_padding():
     """After the first eos, output is eos-padded exactly like greedy."""
     cfg, params = _tiny(seed=5)
