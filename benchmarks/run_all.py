@@ -1549,6 +1549,15 @@ def bench_serve_hetero(results, quick=False):
         dec = llama.vicuna_7b()
         cfg = llava.LlavaConfig.build("openai/clip-vit-large-patch14-336",
                                       decoder=dec)
+        # int8 KV cache: at 7B every prefix-store entry is a full
+        # prompt-length KV row (l_out_max=767 -> ~800 MB in bf16, ~400 MB
+        # int8) and the first hetero run OOM'd mid-warmup filling a
+        # 64-entry bf16 store next to the 6.7 GB int8 weights; int8 cache
+        # + the 4-entry LRU below keep the store ~1.6 GB. Partial-prefix
+        # hits only need ONE stored entry sharing the preamble, so a
+        # small LRU does not cost hits.
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, kv_quant="int8")
     else:
         dec = llama.LlamaConfig(vocab_size=32000, hidden_size=2048,
                                 intermediate_size=5632, num_layers=16,
@@ -1578,7 +1587,8 @@ def bench_serve_hetero(results, quick=False):
                                      "prompt_cap": 192,
                                      "gen_cap": 32, "chunk": 4,
                                      "prefix_cache":
-                                         64 if mode == "inflight_prefix"
+                                         (4 if hetero_7b else 64)
+                                         if mode == "inflight_prefix"
                                          else 0,
                                      "prefix_block": 64}
                     if inflight else None)
@@ -1629,8 +1639,15 @@ def bench_serve_hetero(results, quick=False):
             f"http://127.0.0.1:{srv.port}/v1/chat/completions",
             data=_json.dumps(pl).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=600) as r:
-            return _json.loads(r.read())
+        try:
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            # surface the server-side error message (the 400 body) —
+            # without this the first 7B OOM showed up as 18 opaque
+            # "Bad Request" tracebacks
+            body = e.read().decode(errors="replace")[:500]
+            raise RuntimeError(f"HTTP {e.code}: {body}") from None
 
     # compile + warm every program shape OUTSIDE the measured window:
     # the engine buckets prompt lengths, so sweep the word-length range
