@@ -101,6 +101,12 @@ def main(argv=None):
                    help="--prefix-cache: partial-prefix reuse granularity "
                         "in spliced KV positions (shared system prompts "
                         "prefill only their text suffix)")
+    p.add_argument("--prefix-cache-mb", type=int, default=0,
+                   help="--prefix-cache: byte budget for the prompt-KV "
+                        "store in MB (0 = entry-count bound only). At 7B "
+                        "one stored prompt row is ~800 MB bf16 / ~400 MB "
+                        "with model.kv_quant=int8 — bound by bytes, not "
+                        "entries, when serving large models")
 
     p = sub.add_parser("sam-masks",
                        help="GeoAware foreground masks via box-prompted "
@@ -625,6 +631,8 @@ def _cmd_serve(args):
                          "chunk": args.decode_chunk_serve,
                          "prefix_cache": args.prefix_cache,
                          "prefix_block": args.prefix_block,
+                         "prefix_cache_bytes":
+                             args.prefix_cache_mb * (1 << 20),
                      } if args.inflight else None)
     print(f"serving {args.model} on http://{args.host}:{srv.port}/v1",
           file=sys.stderr)

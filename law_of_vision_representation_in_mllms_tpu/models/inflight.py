@@ -144,6 +144,7 @@ class InflightEngine:
                  diffusion_apply=None, use_flash: Optional[bool] = None,
                  negotiate_layouts: bool = False,
                  prefix_cache: int = 0, prefix_block: int = 64,
+                 prefix_cache_bytes: int = 0,
                  sample_seed: int = 0):
         """``negotiate_layouts=True`` compiles the slot-step program with
         AUTO boundary layouts and relays out the params + cache ONCE into
@@ -181,6 +182,12 @@ class InflightEngine:
         # n_valid, prow, valid token ids, pixel hash, image-token index)
         self.prefix_cache = prefix_cache
         self.prefix_block = prefix_block
+        # optional BYTE budget for the store (0 = entry-count bound
+        # only). At 7B one stored prompt row is ~800 MB bf16 / ~400 MB
+        # int8, so an entry-count LRU alone scales with model size until
+        # it OOMs the chip; a byte budget is the production bound.
+        self.prefix_cache_bytes = prefix_cache_bytes
+        self._prefix_bytes = 0
         self._prefix_store: "OrderedDict[bytes, tuple]" = OrderedDict()
         self.prefix_hits = 0
         self.partial_hits = 0
@@ -344,6 +351,32 @@ class InflightEngine:
             out_shardings=self._local_cache_formats[1],
         ).lower(local_shapes, zi).compile()
         return self._extract_fns[k]
+
+    @staticmethod
+    def _entry_nbytes(entry: tuple) -> int:
+        """Device+host bytes one stored prompt entry holds (the KV row
+        tree dominates; quantized caches count their packed bytes)."""
+        import jax as _jax
+        n = 0
+        for leaf in _jax.tree.leaves(entry):
+            if hasattr(leaf, "nbytes"):
+                n += int(leaf.nbytes)
+        return n
+
+    def _store_put(self, key: bytes, entry: tuple) -> None:
+        """Insert into the prompt-KV LRU and evict to BOTH bounds: the
+        entry-count cap (`prefix_cache`) and, when set, the byte budget
+        (`prefix_cache_bytes`). The newest entry always survives — a
+        single over-budget entry would otherwise empty the store and
+        kill partial-prefix reuse entirely."""
+        self._prefix_store[key] = entry
+        self._prefix_bytes += self._entry_nbytes(entry)
+        while len(self._prefix_store) > 1 and (
+                len(self._prefix_store) > self.prefix_cache
+                or (self.prefix_cache_bytes > 0
+                    and self._prefix_bytes > self.prefix_cache_bytes)):
+            _, old = self._prefix_store.popitem(last=False)
+            self._prefix_bytes -= self._entry_nbytes(old)
 
     @staticmethod
     def _prefix_key(req: _Request) -> bytes:
@@ -605,7 +638,8 @@ class InflightEngine:
                 "queued": self._q.qsize(),
                 "prefix_hits": self.prefix_hits,
                 "partial_hits": self.partial_hits,
-                "prefix_entries": len(self._prefix_store)}
+                "prefix_entries": len(self._prefix_store),
+                "prefix_bytes": self._prefix_bytes}
 
     def shutdown(self):
         self._stop = True
@@ -678,13 +712,11 @@ class InflightEngine:
                 key = self._prefix_key(req)
                 if key not in self._prefix_store:
                     row = self._extract(k)(local, jnp.asarray(i, jnp.int32))
-                    self._prefix_store[key] = (
+                    self._store_put(key, (
                         row, int(first[i]), last_logits[i].copy(),
                         int(n_valid[i]), self._prompt_rows[slot].copy(),
                         self._valid_ids(req.ids, req.mask),
-                        self._pix_key(req))
-                    while len(self._prefix_store) > self.prefix_cache:
-                        self._prefix_store.popitem(last=False)
+                        self._pix_key(req)))
             # the prefill already produced the first token
             self._harvest_token(slot, tok0)
 
@@ -753,13 +785,11 @@ class InflightEngine:
         if self.prefix_cache > 0:
             full_key = self._prefix_key(req)
             if full_key not in self._prefix_store:
-                self._prefix_store[full_key] = (
+                self._store_put(full_key, (
                     row, int(first[0]), logits[0].copy(), n_total,
                     key_valid[0, :self.l_out_max].copy(),
                     self._valid_ids(req.ids, req.mask),
-                    self._pix_key(req))
-                while len(self._prefix_store) > self.prefix_cache:
-                    self._prefix_store.popitem(last=False)
+                    self._pix_key(req)))
         self._harvest_token(slot, int(self._tok[slot]))
 
     def _harvest_token(self, slot: int, tok: int) -> None:

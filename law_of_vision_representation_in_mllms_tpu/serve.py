@@ -183,7 +183,8 @@ class _InflightWorker:
 
     def __init__(self, lmm, n_slots: int = 4, prompt_cap: int = 256,
                  gen_cap: int = 256, chunk: int = 4,
-                 prefix_cache: int = 0, prefix_block: int = 64):
+                 prefix_cache: int = 0, prefix_block: int = 64,
+                 prefix_cache_bytes: int = 0):
         import numpy as np
         from .data.image_processing import preprocess_image
         from .data.preprocess import tokenizer_image_token
@@ -203,7 +204,8 @@ class _InflightWorker:
             # every generation through the engine, so the adapter's own
             # (dead) tree is never dispatched.
             negotiate_layouts=getattr(lmm, "negotiate_layouts", False),
-            prefix_cache=prefix_cache, prefix_block=prefix_block)
+            prefix_cache=prefix_cache, prefix_block=prefix_block,
+            prefix_cache_bytes=prefix_cache_bytes)
 
     @property
     def dispatches(self):

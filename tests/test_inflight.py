@@ -193,6 +193,56 @@ def test_inflight_prefix_cache():
         eng.shutdown()
 
 
+def test_inflight_prefix_cache_byte_budget():
+    """`prefix_cache_bytes` bounds the store by BYTES (the production
+    bound for large models — at 7B one stored prompt row is ~800 MB, so
+    an entry-count LRU alone OOMs the chip): byte accounting tracks
+    inserts AND evictions, the budget evicts below the entry cap, and
+    the newest entry survives even when it alone exceeds the budget."""
+    cfg, params = _tiny(9)
+    eos = 3
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=3,
+                         precision=FP32_PRECISION, use_flash=False,
+                         prefix_cache=8, prefix_cache_bytes=1)
+    try:
+        rng = np.random.RandomState(11)
+        ra, rb = _request(rng, 8), _request(rng, 12)
+        ref_a = _reference(params, cfg, *ra, 8, eos)
+        assert eng.submit(*ra, 8).result(timeout=120).tolist() == ref_a
+        st = eng.stats()
+        # one entry survives its own over-budget insert (never empty)
+        assert st["prefix_entries"] == 1
+        entry_bytes = st["prefix_bytes"]
+        assert entry_bytes > 1                 # real row bytes counted
+        eng.submit(*rb, 8).result(timeout=120)
+        st = eng.stats()
+        assert st["prefix_entries"] == 1       # budget evicted ra
+        # eviction SUBTRACTED ra's bytes (not accumulated)
+        assert st["prefix_bytes"] < 2 * entry_bytes
+        # repeat rb now hits the surviving entry
+        n_hits = eng.prefix_hits
+        eng.submit(*rb, 8).result(timeout=120)
+        assert eng.prefix_hits == n_hits + 1
+    finally:
+        eng.shutdown()
+
+    # a budget large enough for both entries keeps both
+    eng = InflightEngine(params, cfg, eos_id=eos, n_slots=2,
+                         prompt_cap=32, gen_cap=16, chunk=3,
+                         precision=FP32_PRECISION, use_flash=False,
+                         prefix_cache=8,
+                         prefix_cache_bytes=4 * entry_bytes)
+    try:
+        rng = np.random.RandomState(11)
+        ra, rb = _request(rng, 8), _request(rng, 12)
+        eng.submit(*ra, 8).result(timeout=120)
+        eng.submit(*rb, 8).result(timeout=120)
+        assert eng.stats()["prefix_entries"] == 2
+    finally:
+        eng.shutdown()
+
+
 def test_inflight_prefix_cache_negotiated():
     """prefix_cache composes with the 7B-scale negotiated-layouts AOT
     path: store entries live in the negotiated k=1 local-cache format and
