@@ -1587,9 +1587,14 @@ def bench_serve_hetero(results, quick=False):
                                      "prompt_cap": 192,
                                      "gen_cap": 32, "chunk": 4,
                                      "prefix_cache":
-                                         (4 if hetero_7b else 64)
-                                         if mode == "inflight_prefix"
+                                         64 if mode == "inflight_prefix"
                                          else 0,
+                                     # 7B: bound the store by BYTES (the
+                                     # production bound) — ~400 MB per
+                                     # int8 row, so 2 GB ≈ 5 entries;
+                                     # partial hits need only one
+                                     "prefix_cache_bytes":
+                                         2 << 30 if hetero_7b else 0,
                                      "prefix_block": 64}
                     if inflight else None)
     srv.start_background()
