@@ -166,6 +166,9 @@ def _attention(q, k, v, mask, accum_dtype=jnp.float32,
     b, s, nh, dh = q.shape
     nkv = k.shape[2]
     scale = dh ** -0.5
+    if s == 1 and k.shape[1] > 1:
+        return _decode_attention(q, k, v, mask, accum_dtype,
+                                 k_scale, v_scale)
     if k.dtype != q.dtype:
         k = k.astype(q.dtype)
     if v.dtype != q.dtype:
@@ -201,6 +204,57 @@ def _attention(q, k, v, mask, accum_dtype=jnp.float32,
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(q.dtype), v,
                      preferred_element_type=accum_dtype)
     return out.reshape(b, s, nh, dh).astype(q.dtype)
+
+
+def _decode_attention(q, k, v, mask, accum_dtype=jnp.float32,
+                      k_scale=None, v_scale=None):
+    """Single-token (decode-step) attention as elementwise-multiply +
+    reduce, reading the KV cache ONCE in its stored [B,T,KV,Dh] layout.
+
+    The batched-dot form (`einsum "bqhd,bkhd->bhqk"`) puts (b, h) in the
+    dot's batch dims, and against the [B,T,H,Dh] cache XLA materializes
+    a TRANSPOSED [B,H,T,Dh] copy of both cache halves every step — at
+    vicuna-7B b16/T545 that transpose traffic measured 27.6 ms of the
+    41.5 ms decode step (benchmarks: step@l512 − step@l48, round 5).
+    With q a single token the "dot" is a matvec, so sum-reduce over the
+    lane axis is the same math with no transpose: QK^T, masking, softmax
+    over T, and PV all stream the cache in layout. int8 cache codes
+    convert in-register on the fused read; per-(slot, head) scales
+    apply exactly as in the dot form (K scale on the logits' key axis,
+    V scale folded into probs). fp32 logits/softmax as before."""
+    b, _, nh, dh = q.shape
+    nkv = k.shape[2]
+    scale = dh ** -0.5
+    f32 = jnp.float32
+    mask_bt = mask[:, 0, 0, :]                       # [B,T]
+    if nkv == nh:
+        qv = q[:, 0].astype(accum_dtype)             # [B,H,Dh]
+        s_btk = jnp.sum(k.astype(accum_dtype) * qv[:, None], axis=-1)
+        s_btk = s_btk * scale                        # [B,T,H]
+        if k_scale is not None:
+            s_btk = s_btk * k_scale.astype(s_btk.dtype)
+        s_btk = jnp.where(mask_bt[:, :, None], s_btk,
+                          jnp.asarray(-1e30, s_btk.dtype))
+        p = jax.nn.softmax(s_btk.astype(f32), axis=1)
+        if v_scale is not None:
+            p = p * v_scale
+        out = jnp.sum(p[..., None].astype(accum_dtype)
+                      * v.astype(accum_dtype), axis=1)   # [B,H,Dh]
+        return out[:, None].astype(q.dtype)
+    g = nh // nkv
+    qg = q[:, 0].reshape(b, nkv, g, dh).astype(accum_dtype)
+    s_btkg = jnp.sum(k.astype(accum_dtype)[:, :, :, None, :]
+                     * qg[:, None], axis=-1) * scale      # [B,T,KV,g]
+    if k_scale is not None:
+        s_btkg = s_btkg * k_scale.astype(s_btkg.dtype)[..., None]
+    s_btkg = jnp.where(mask_bt[:, :, None, None], s_btkg,
+                       jnp.asarray(-1e30, s_btkg.dtype))
+    p = jax.nn.softmax(s_btkg.astype(f32), axis=1)
+    if v_scale is not None:
+        p = p * v_scale[..., None]
+    out = jnp.sum(p[..., None].astype(accum_dtype)
+                  * v.astype(accum_dtype)[:, :, :, None, :], axis=1)
+    return out.reshape(b, 1, nh, dh).astype(q.dtype)
 
 
 def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
