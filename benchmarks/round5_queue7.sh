@@ -11,7 +11,7 @@ echo "=== round5_queue7 start $(date)" >> "$LOG"
 
 echo "--- spec7b int8 kv8 b4 $(date)" >> "$LOG"
 LVR_SPEC_7B=1 LVR_DECODE_QUANT=int8 LVR_KV_QUANT=int8 LVR_DECODE_B=4 \
-  timeout 5400 python benchmarks/run_all.py --only speculative >> "$LOG" 2>&1
+  timeout 5400 python benchmarks/run_all.py --only spec >> "$LOG" 2>&1
 echo "rc=$? $(date)" >> "$LOG"
 sleep 30
 
