@@ -21,4 +21,8 @@ for env in "LVR_DECODE_B=16 LVR_DECODE_CHUNK=8 LVR_DECODE_QUANT=int8" \
   sleep 30
 done
 
+echo "--- decode 1.4B family (new attention) $(date)" >> "$LOG"
+timeout 3600 python benchmarks/run_all.py --only decode >> "$LOG" 2>&1
+echo "rc=$? $(date)" >> "$LOG"
+
 echo "=== round5_queue9 done $(date)" >> "$LOG"
