@@ -41,6 +41,10 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     max_seq_len: int = 2048
+    # decode-step (q_len=1) attention route: "xla" = the single-pass
+    # elementwise formulation (_decode_attention), "pallas" = the
+    # flash-decode kernel (ops/decode_attention.py, opt-in)
+    decode_attn: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -146,7 +150,7 @@ def apply_rope(x, cos, sin):
 
 
 def _attention(q, k, v, mask, accum_dtype=jnp.float32,
-               k_scale=None, v_scale=None):
+               k_scale=None, v_scale=None, decode_impl: str = "xla"):
     """q [B,S,H,Dh], k/v [B,T,KV,Dh], mask [B,1,S,T] bool.
 
     Grouped-query attention without materializing repeated KV heads: query
@@ -167,6 +171,9 @@ def _attention(q, k, v, mask, accum_dtype=jnp.float32,
     nkv = k.shape[2]
     scale = dh ** -0.5
     if s == 1 and k.shape[1] > 1:
+        if decode_impl == "pallas":
+            from ..ops.decode_attention import decode_attention
+            return decode_attention(q, k, v, mask, k_scale, v_scale)
         return _decode_attention(q, k, v, mask, accum_dtype,
                                  k_scale, v_scale)
     if k.dtype != q.dtype:
@@ -355,7 +362,8 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
         attn = flash_mha_trainable(q, kf, vf, causal=True)
     else:
         attn = _attention(q, k_all, v_all, mask, prec.accum_dtype,
-                          k_scale=k_sc, v_scale=v_sc)
+                          k_scale=k_sc, v_scale=v_sc,
+                          decode_impl=cfg.decode_attn)
     h = h + mm(attn.reshape(b, s, nh * hd), "wo")
 
     x = rms_norm(h, lp["rms2"], cfg.rms_eps)

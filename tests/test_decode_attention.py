@@ -1,0 +1,114 @@
+"""Flash-decode Pallas kernel (ops/decode_attention.py): parity with the
+dense decode attention (`models/llama._decode_attention` — itself
+parity-locked to the batched-dot `_attention` the HF goldens cover) for
+MHA/GQA, bf16/int8 caches, ragged tile boundaries, and masks with holes
+(the inflight engine's short-prompt slots are valid-prefix + invalid
+tail + valid gen region)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from law_of_vision_representation_in_mllms_tpu.models.llama import (
+    _attention)
+from law_of_vision_representation_in_mllms_tpu.ops.decode_attention \
+    import decode_attention
+from law_of_vision_representation_in_mllms_tpu.ops.quant import quantize_kv
+
+
+def _case(rng, b, t, nh, nkv, dh, holes=False):
+    q = jnp.asarray(rng.randn(b, 1, nh, dh), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, nkv, dh), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, nkv, dh), jnp.float32)
+    m = np.ones((b, t), bool)
+    for i in range(b):                       # ragged valid lengths
+        m[i, rng.randint(2, t):] = False
+    if holes:                                # invalid mid-run + valid tail
+        m[:, t // 3: t // 2] = False
+        m[:, -1] = True
+    mask = jnp.asarray(m)[:, None, None, :]
+    return q, k, v, mask
+
+
+def _assert_close(got, want, tol=2e-5):
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_decode_kernel_matches_dense_mha():
+    rng = np.random.RandomState(0)
+    q, k, v, mask = _case(rng, b=3, t=40, nh=4, nkv=4, dh=32)
+    want = _attention(q, k, v, mask)
+    got = decode_attention(q, k, v, mask, block_t=16)
+    _assert_close(got, want)
+
+
+def test_decode_kernel_matches_dense_gqa():
+    rng = np.random.RandomState(1)
+    q, k, v, mask = _case(rng, b=2, t=33, nh=8, nkv=2, dh=16)
+    want = _attention(q, k, v, mask)
+    got = decode_attention(q, k, v, mask, block_t=16)   # ragged: 33/16
+    _assert_close(got, want)
+
+
+def test_decode_kernel_mask_holes():
+    rng = np.random.RandomState(2)
+    q, k, v, mask = _case(rng, b=2, t=50, nh=4, nkv=4, dh=32, holes=True)
+    want = _attention(q, k, v, mask)
+    got = decode_attention(q, k, v, mask, block_t=16)
+    _assert_close(got, want)
+
+
+def test_decode_kernel_int8_cache():
+    rng = np.random.RandomState(3)
+    q, k, v, mask = _case(rng, b=2, t=37, nh=4, nkv=4, dh=32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    want = _attention(q, kq, vq, mask, k_scale=ks, v_scale=vs)
+    got = decode_attention(q, kq, vq, mask, ks, vs, block_t=16)
+    _assert_close(got, want)
+
+
+def test_decode_kernel_routes_from_forward():
+    """cfg.decode_attn='pallas' drives the kernel through the full
+    decode step and matches the xla route's tokens."""
+    import dataclasses
+    from law_of_vision_representation_in_mllms_tpu.models import llama as L
+    from law_of_vision_representation_in_mllms_tpu.core.precision import (
+        FP32_PRECISION)
+    cfg = L.tiny(vocab_size=97, hidden_size=64, num_layers=2, num_heads=4,
+                 num_kv_heads=2, intermediate_size=64)
+    params = L.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.RandomState(4)
+    ids = jnp.asarray(rng.randint(3, 97, size=(2, 9)), jnp.int32)
+
+    def decode(cfg):
+        b, l = ids.shape
+        t_max = l + 4
+        cache = L.init_cache(cfg, b, t_max, jnp.float32)
+        emb = L.embed_tokens(params, ids, FP32_PRECISION)
+        pos = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
+        h, cache = L.forward(params, cfg, emb, pos,
+                             attn_mask=jnp.arange(t_max)[None] < l,
+                             cache=cache, cache_index=0,
+                             precision=FP32_PRECISION)
+        tok = jnp.argmax(L.logits_fn(params, h[:, -1:], FP32_PRECISION
+                                     )[:, -1], -1).astype(jnp.int32)
+        out = [tok]
+        for t in range(3):
+            emb = L.embed_tokens(params, tok[:, None], FP32_PRECISION)
+            p = jnp.full((b, 1), l + t, jnp.int32)
+            h, cache = L.forward(
+                params, cfg, emb, p,
+                attn_mask=jnp.arange(t_max)[None] < l + t + 1,
+                cache=cache, cache_index=l + t,
+                precision=FP32_PRECISION)
+            tok = jnp.argmax(L.logits_fn(params, h, FP32_PRECISION
+                                         )[:, -1], -1).astype(jnp.int32)
+            out.append(tok)
+        return np.asarray(jnp.stack(out, 1))
+
+    ref = decode(cfg)
+    got = decode(dataclasses.replace(cfg, decode_attn="pallas"))
+    np.testing.assert_array_equal(got, ref)
