@@ -795,6 +795,12 @@ def bench_decode_7b(results, quick=False):
 
     prec = Precision(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     cfg = llama.vicuna_7b()
+    # LVR_DECODE_ATTN=pallas: flash-decode kernel (ops/decode_attention)
+    # instead of the single-pass XLA formulation for the s==1 steps
+    dattn = os.environ.get("LVR_DECODE_ATTN")
+    if dattn:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, decode_attn=dattn)
     quant = os.environ.get("LVR_DECODE_QUANT", "")
     if quant in ("int8", "int4"):
         # weight-only int8/int4 decode (ops/quant.py): resident params
@@ -844,6 +850,7 @@ def bench_decode_7b(results, quick=False):
 
     iters = 2 if quick else 4
     qsuf = ((f"_{quant}" if quant else "") + ("_kv8" if kvq else "")
+            + ("_pattn" if dattn == "pallas" else "")
             + ("" if l == 512 else f"_l{l}"))
     dt = _timed(lambda i: prefill(params, i), (ids,),
                 [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
