@@ -21,6 +21,13 @@ for env in "LVR_DECODE_B=16 LVR_DECODE_CHUNK=8 LVR_DECODE_QUANT=int8" \
   sleep 30
 done
 
+echo "--- decode7b b16 int8 PALLAS flash-decode kernel $(date)" >> "$LOG"
+LVR_DECODE_B=16 LVR_DECODE_CHUNK=8 LVR_DECODE_QUANT=int8 \
+  LVR_DECODE_ATTN=pallas timeout 5400 \
+  python benchmarks/run_all.py --only decode7b >> "$LOG" 2>&1
+echo "rc=$? $(date)" >> "$LOG"
+sleep 30
+
 echo "--- decode 1.4B family (new attention) $(date)" >> "$LOG"
 timeout 3600 python benchmarks/run_all.py --only decode >> "$LOG" 2>&1
 echo "rc=$? $(date)" >> "$LOG"
