@@ -1322,6 +1322,11 @@ def bench_pipeline(results, quick=False):
                             *args], cwd=repo, env=env,
                            capture_output=True, text=True, timeout=timeout)
         dt = time.perf_counter() - t0
+        # full phase output to a debug log: the driver row truncates the
+        # error to ~200 chars, which buried the first on-chip failure
+        with open("/tmp/lvr_pipeline_phase.log", "a") as f:
+            f.write(f"\n=== lvr {' '.join(args)} rc={r.returncode} "
+                    f"{dt:.1f}s\n{r.stdout[-4000:]}\n{r.stderr[-8000:]}\n")
         if r.returncode != 0:
             raise RuntimeError(
                 f"lvr {args[0]} rc={r.returncode}: {r.stderr[-2000:]}")
@@ -1363,8 +1368,6 @@ def bench_pipeline(results, quick=False):
 
     # SD bundle: REAL production architecture (SD1.5 UNet+VAE presets),
     # random weights, saved through the real bundle IO
-    from law_of_vision_representation_in_mllms_tpu.io.featurizer_bundle \
-        import save_featurizer_bundle
     if tiny:
         import pathlib
         from test_diffusion_cli import _write_bundle
@@ -1375,38 +1378,20 @@ def bench_pipeline(results, quick=False):
                   "sd": "runwayml/stable-diffusion-v1-5"}
         dec = {"decoder": "tiny"}
     else:
-        import jax
-        import jax.numpy as jnp
-        from law_of_vision_representation_in_mllms_tpu.core.precision \
-            import BF16_TOWER_PRECISION
         from law_of_vision_representation_in_mllms_tpu.models import (
             featurizer as F)
-        from law_of_vision_representation_in_mllms_tpu.models import (
-            unet as UN)
-        from law_of_vision_representation_in_mllms_tpu.models import (
-            vae as VA)
+        # the bundle's random params are built ON CPU IN A SUBPROCESS:
+        # the driver must never init the axon backend itself — its CLI
+        # phases are TPU subprocesses and the tunnel serves one process
+        # at a time (the first on-chip pipeline run failed this way)
+        bundle = f"{root}/sd15.npz"
+        r = subprocess.run([sys.executable, "-m",
+                            "benchmarks._build_sd_bundle", bundle],
+                           cwd=repo, capture_output=True, text=True,
+                           timeout=1800)
+        if r.returncode != 0:
+            raise RuntimeError(f"bundle build: {r.stderr[-1500:]}")
         fcfg = F.FEATURIZER_PRESETS["runwayml/stable-diffusion-v1-5"]()
-        rng0 = jax.random.PRNGKey(0)
-        px1 = jnp.zeros((1, fcfg.img_size, fcfg.img_size, 3), jnp.float32)
-        lat = fcfg.img_size // (2 ** (len(fcfg.vae.block_out_channels) - 1))
-        latents = jnp.zeros((1, lat, lat, fcfg.vae.latent_channels),
-                            jnp.bfloat16)
-        ctx = jnp.zeros((1, 77, fcfg.unet.cross_attention_dim),
-                        jnp.bfloat16)
-        prec_t = BF16_TOWER_PRECISION
-        params = {
-            "vae": jax.jit(VA.VAEEncoder(fcfg.vae, prec_t).init)(
-                rng0, px1)["params"],
-            "backbone": jax.jit(UN.UNetHarvest(
-                fcfg.unet, (fcfg.up_ft_index,), prec_t).init)(
-                rng0, latents, 1, ctx)["params"],
-            "prompt_embeds": np.zeros((1, 77, fcfg.unet.cross_attention_dim),
-                                      np.float32),
-        }
-        params = jax.tree.map(
-            lambda x: np.asarray(x, np.float32), params)
-        bundle = save_featurizer_bundle(f"{root}/sd15.npz", params, fcfg)
-        del params
         grids = {"clip": 24, "clip224": 16, "sd": F.feature_grid(fcfg)}
         towers = {"clip": "openai/clip-vit-large-patch14-336",
                   "clip224": "openai/clip-vit-large-patch14",
