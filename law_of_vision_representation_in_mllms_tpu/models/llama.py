@@ -333,13 +333,28 @@ def _layer(cfg: LlamaConfig, h, lp, cos, sin, mask, cache, cache_index,
         cv_all = lax.dynamic_update_slice(
             cv_all, vw[None].astype(cv_all.dtype),
             (li, 0, cache_index, 0, 0))
+        new_cache = ((ck_all, cv_all) if ks_all is None
+                     else (ck_all, cv_all, ks_all, vs_all))
+        if cfg.decode_attn == "pallas_stacked" and s == 1:
+            # flash-decode straight off the STACKED cache: the
+            # dynamic_index below hands XLA a [B,T,KV,Dh] slice to
+            # materialize for the attention consumer; indexing the
+            # layer dim inside the kernel's BlockSpec avoids the copy
+            from ..ops.decode_attention import decode_attention_stacked
+            attn = decode_attention_stacked(
+                q, ck_all, cv_all, li, mask,
+                ks_all if ks_all is not None else None,
+                vs_all if ks_all is not None else None)
+            h = h + mm(attn.reshape(b, s, nh * hd), "wo")
+            x = rms_norm(h, lp["rms2"], cfg.rms_eps)
+            gated = jax.nn.silu(mm(x, "gate")) * mm(x, "up")
+            h = h + mm(gated, "down")
+            return h, new_cache
         # attention reads the cache at its stored dtype; the einsum promotes
         # (bf16/int8 cache x bf16/f32 q) without materializing a converted
         # copy
         k_all = lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
         v_all = lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
-        new_cache = ((ck_all, cv_all) if ks_all is None
-                     else (ck_all, cv_all, ks_all, vs_all))
     else:
         k_all, v_all = k, v
         new_cache = None

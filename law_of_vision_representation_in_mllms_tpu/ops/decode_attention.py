@@ -89,6 +89,131 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref, o_ref,
                     ).astype(o_ref.dtype)
 
 
+def decode_attention_stacked(q, ck_all, cv_all, layer_idx, mask,
+                             ks_all=None, vs_all=None, *,
+                             block_t: int = 128,
+                             interpret: bool = False):
+    """Same kernel, fed the FULL stacked [L,B,T,KV,Dh] cache + a traced
+    layer index (scalar prefetch): the per-layer `dynamic_index_in_dim`
+    the dense path runs inside the layer scan gives XLA a [B,T,KV,Dh]
+    slice to materialize for the attention consumer; indexing the
+    leading dim in the BlockSpec instead means tiles DMA straight from
+    the stacked buffer and no slice copy can exist."""
+    b, s_q, nh, dh = q.shape
+    assert s_q == 1, f"decode kernel is q_len=1 only, got {s_q}"
+    if jax.default_backend() != "tpu":
+        interpret = True
+    t, nkv = ck_all.shape[2], ck_all.shape[3]
+    g = nh // nkv
+    scale = dh ** -0.5
+    quantized = ks_all is not None
+    if mask.ndim == 4:
+        mask = mask[:, 0, 0, :]
+    qg = q[:, 0].reshape(b, nkv, g, dh)
+    bt = min(block_t, t)
+    nt = pl.cdiv(t, bt)
+    maskf = mask.astype(jnp.float32)
+    if nt * bt != t:
+        maskf = jnp.pad(maskf, ((0, 0), (0, nt * bt - t)))
+    li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    in_specs = [
+        pl.BlockSpec((1, nkv, g, dh), lambda i, j, li_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bt, nkv, dh),
+                     lambda i, j, li_: (li_[0], i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bt, nkv, dh),
+                     lambda i, j, li_: (li_[0], i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt), lambda i, j, li_: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qg, ck_all, cv_all, maskf]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, bt, nkv),
+                         lambda i, j, li_: (li_[0], i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt, nkv),
+                         lambda i, j, li_: (li_[0], i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ks_all.astype(jnp.float32), vs_all.astype(jnp.float32)]
+    else:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1), lambda i, j, li_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j, li_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        z = jnp.zeros((1, 1, 1), jnp.float32)
+        args += [z, z]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nkv, g, dh),
+                               lambda i, j, li_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nkv, g), jnp.float32),
+            pltpu.VMEM((nkv, g), jnp.float32),
+            pltpu.VMEM((nkv, g, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_stacked, scale=scale, quantized=quantized),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, g, dh), q.dtype),
+        interpret=interpret,
+    )(li, *args)
+    return out.reshape(b, 1, nh, dh)
+
+
+def _kernel_stacked(li_ref, q_ref, k_ref, v_ref, mask_ref, ks_ref,
+                    vs_ref, o_ref, m_scr, l_scr, acc_scr, *, scale,
+                    quantized):
+    """Stacked-cache body: identical math to `_kernel`, block indexing
+    differs (leading [1,1,...] layer/batch dims squeezed here)."""
+    tb = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(tb == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    k_t = k_ref[0, 0].astype(jnp.float32)       # [TB, KV, D]
+    q_t = q_ref[0].astype(jnp.float32)          # [KV, G, D]
+    s = jnp.sum(k_t[:, :, None, :] * q_t[None], axis=-1) * scale
+    if quantized:
+        s = s * ks_ref[0, 0][:, :, None]
+    valid = mask_ref[0] > 0
+    s = jnp.where(valid[:, None, None], s, _NEG)
+
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
+    p = jnp.exp(s - m_new[None]) * valid[:, None, None].astype(jnp.float32)
+    corr = jnp.exp(m_prev - m_new)
+    l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=0)
+    if quantized:
+        vs = jnp.where(valid[:, None], vs_ref[0, 0], 0.0)
+        p = p * vs[:, :, None]
+    v_t = jnp.where(valid[:, None, None],
+                    v_ref[0, 0].astype(jnp.float32), 0.0)
+    pv = jnp.sum(p[..., None] * v_t[:, :, None, :], axis=0)
+    acc_scr[...] = acc_scr[...] * corr[..., None] + pv
+    m_scr[...] = m_new
+
+    @pl.when(tb == nt - 1)
+    def _():
+        o_ref[0] = (acc_scr[...] / l_scr[...][..., None]
+                    ).astype(o_ref.dtype)
+
+
 def decode_attention(q, k, v, mask, k_scale=None, v_scale=None, *,
                      block_t: int = 128, interpret: bool = False):
     """q [B,1,H,Dh], k/v [B,T,KV,Dh] (bf16 or int8 codes), mask

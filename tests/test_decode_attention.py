@@ -70,9 +70,16 @@ def test_decode_kernel_int8_cache():
     _assert_close(got, want)
 
 
-def test_decode_kernel_routes_from_forward():
-    """cfg.decode_attn='pallas' drives the kernel through the full
-    decode step and matches the xla route's tokens."""
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_stacked"])
+@pytest.mark.parametrize("kvq", [None, "int8"])
+def test_decode_kernel_routes_from_forward(impl, kvq):
+    """cfg.decode_attn='pallas'/'pallas_stacked' drives the kernel
+    through the full decode step and matches the xla route's tokens
+    (the stacked variant block-indexes the [L,B,T,KV,D] cache directly
+    — no per-layer slice)."""
     import dataclasses
     from law_of_vision_representation_in_mllms_tpu.models import llama as L
     from law_of_vision_representation_in_mllms_tpu.core.precision import (
@@ -86,7 +93,7 @@ def test_decode_kernel_routes_from_forward():
     def decode(cfg):
         b, l = ids.shape
         t_max = l + 4
-        cache = L.init_cache(cfg, b, t_max, jnp.float32)
+        cache = L.init_cache(cfg, b, t_max, jnp.float32, quant=kvq)
         emb = L.embed_tokens(params, ids, FP32_PRECISION)
         pos = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
         h, cache = L.forward(params, cfg, emb, pos,
@@ -110,5 +117,5 @@ def test_decode_kernel_routes_from_forward():
         return np.asarray(jnp.stack(out, 1))
 
     ref = decode(cfg)
-    got = decode(dataclasses.replace(cfg, decode_attn="pallas"))
+    got = decode(dataclasses.replace(cfg, decode_attn=impl))
     np.testing.assert_array_equal(got, ref)
