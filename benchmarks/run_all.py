@@ -850,7 +850,8 @@ def bench_decode_7b(results, quick=False):
 
     iters = 2 if quick else 4
     qsuf = ((f"_{quant}" if quant else "") + ("_kv8" if kvq else "")
-            + ("_pattn" if dattn == "pallas" else "")
+            + ({"pallas": "_pattn", "pallas_stacked": "_psattn"}
+               .get(dattn or "", ""))
             + ("" if l == 512 else f"_l{l}"))
     dt = _timed(lambda i: prefill(params, i), (ids,),
                 [(jnp.roll(ids, k, axis=1),) for k in range(1, iters + 1)],
