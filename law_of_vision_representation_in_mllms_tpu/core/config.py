@@ -73,6 +73,13 @@ class ModelSection:
     # flash prefill (TPU) prompt K/V compute exactly; only the cache
     # storage is int8. None (default) = exact bf16 cache parity.
     kv_quant: Optional[str] = None
+    # Decode-step (q_len=1) attention route for generation
+    # ("xla" | "pallas" | "pallas_stacked"). "pallas_stacked" is the
+    # flash-decode kernel that block-indexes the stacked KV cache
+    # directly (ops/decode_attention.py); "xla" (default) is the
+    # reference batched-dot path. See benchmarks/README.md round-5
+    # window-term decomposition for the measured difference at 7B.
+    decode_attn: Optional[str] = None
     # ViT-tower attention impl override (None = measured per-backend
     # default). "xla_expclamp_fused" is the fastest CLIP-336 path on v5e
     # (+33% end-to-end: 370.6 vs 278 img/s; "xla_expclamp" without the

@@ -114,6 +114,8 @@ def build_model(cfg: RunConfig, rng=None):
         raise ValueError(f"unknown decoder {cfg.model.decoder}")
     if cfg.model.decoder_layers:
         dec = dataclasses.replace(dec, num_layers=cfg.model.decoder_layers)
+    if cfg.model.decode_attn:
+        dec = dataclasses.replace(dec, decode_attn=cfg.model.decode_attn)
     model_cfg = llava.LlavaConfig(
         tower_spec=spec, decoder=dec,
         projector_type=cfg.model.projector_type,
