@@ -56,15 +56,18 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref, o_ref,
     if quantized:
         s = s * ks_ref[0][:, :, None]           # per-(slot, head) K scale
     # the caller zero-pads the mask to the block grid, so a ragged last
-    # tile's out-of-bounds K garbage is always masked here
-    valid = mask_ref[0] > 0                     # [TB] (f32 0/1 in HBM)
-    s = jnp.where(valid[:, None, None], s, _NEG)
+    # tile's out-of-bounds K garbage is always masked here. The mask
+    # rides as a [B,T,KV] broadcast: its (1, bt, nkv) tile has a FULL
+    # lane dim, the shape Mosaic accepts (a (1, bt) tile of a [B,T]
+    # mask fails the 8x128 block-tiling rule — first TPU compile).
+    valid = mask_ref[0] > 0                     # [TB, KV] (f32 0/1)
+    s = jnp.where(valid[:, :, None], s, _NEG)
 
     m_prev = m_scr[...]                         # [KV, G]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
     # exp after masking can still give exp(0)=1 on fully-masked tiles
     # (s == m_new == _NEG); the explicit valid multiply zeroes those
-    p = jnp.exp(s - m_new[None]) * valid[:, None, None].astype(jnp.float32)
+    p = jnp.exp(s - m_new[None]) * valid[:, :, None].astype(jnp.float32)
     corr = jnp.exp(m_prev - m_new)
     # l accumulates RAW probabilities (the softmax denominator); the V
     # scale below only enters the numerator — same algebra as the dense
@@ -73,11 +76,11 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref, o_ref,
     if quantized:
         # sanitize: a ragged tile's OOB scale read may be NaN, and
         # NaN * (p == 0) would poison the accumulator
-        vs = jnp.where(valid[:, None], vs_ref[0], 0.0)
+        vs = jnp.where(valid, vs_ref[0], 0.0)
         p = p * vs[:, :, None]                  # per-(slot, head) V scale
     # where (not multiply): a ragged tile's OOB V rows may be NaN and
     # p==0 would not neutralize them (0 * NaN = NaN)
-    v_t = jnp.where(valid[:, None, None], v_ref[0].astype(jnp.float32),
+    v_t = jnp.where(valid[:, :, None], v_ref[0].astype(jnp.float32),
                     0.0)                        # [TB, KV, D]
     pv = jnp.sum(p[..., None] * v_t[:, :, None, :], axis=0)   # [KV, G, D]
     acc_scr[...] = acc_scr[...] * corr[..., None] + pv
@@ -115,6 +118,7 @@ def decode_attention_stacked(q, ck_all, cv_all, layer_idx, mask,
     maskf = mask.astype(jnp.float32)
     if nt * bt != t:
         maskf = jnp.pad(maskf, ((0, 0), (0, nt * bt - t)))
+    maskf = jnp.broadcast_to(maskf[:, :, None], (b, nt * bt, nkv))
     li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     in_specs = [
@@ -126,7 +130,7 @@ def decode_attention_stacked(q, ck_all, cv_all, layer_idx, mask,
         pl.BlockSpec((1, 1, bt, nkv, dh),
                      lambda i, j, li_: (li_[0], i, j, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bt), lambda i, j, li_: (i, j),
+        pl.BlockSpec((1, bt, nkv), lambda i, j, li_: (i, j, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qg, ck_all, cv_all, maskf]
@@ -191,18 +195,18 @@ def _kernel_stacked(li_ref, q_ref, k_ref, v_ref, mask_ref, ks_ref,
     s = jnp.sum(k_t[:, :, None, :] * q_t[None], axis=-1) * scale
     if quantized:
         s = s * ks_ref[0, 0][:, :, None]
-    valid = mask_ref[0] > 0
-    s = jnp.where(valid[:, None, None], s, _NEG)
+    valid = mask_ref[0] > 0                     # [TB, KV] (f32 0/1)
+    s = jnp.where(valid[:, :, None], s, _NEG)
 
     m_prev = m_scr[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
-    p = jnp.exp(s - m_new[None]) * valid[:, None, None].astype(jnp.float32)
+    p = jnp.exp(s - m_new[None]) * valid[:, :, None].astype(jnp.float32)
     corr = jnp.exp(m_prev - m_new)
     l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=0)
     if quantized:
-        vs = jnp.where(valid[:, None], vs_ref[0, 0], 0.0)
+        vs = jnp.where(valid, vs_ref[0, 0], 0.0)
         p = p * vs[:, :, None]
-    v_t = jnp.where(valid[:, None, None],
+    v_t = jnp.where(valid[:, :, None],
                     v_ref[0, 0].astype(jnp.float32), 0.0)
     pv = jnp.sum(p[..., None] * v_t[:, :, None, :], axis=0)
     acc_scr[...] = acc_scr[...] * corr[..., None] + pv
@@ -238,6 +242,7 @@ def decode_attention(q, k, v, mask, k_scale=None, v_scale=None, *,
     maskf = mask.astype(jnp.float32)            # [B, T]
     if nt * bt != t:
         maskf = jnp.pad(maskf, ((0, 0), (0, nt * bt - t)))
+    maskf = jnp.broadcast_to(maskf[:, :, None], (b, nt * bt, nkv))
 
     in_specs = [
         pl.BlockSpec((1, nkv, g, dh), lambda i, j: (i, 0, 0, 0),
@@ -246,7 +251,7 @@ def decode_attention(q, k, v, mask, k_scale=None, v_scale=None, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt, nkv, dh), lambda i, j: (i, j, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bt), lambda i, j: (i, j),
+        pl.BlockSpec((1, bt, nkv), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qg, k, v, maskf]
