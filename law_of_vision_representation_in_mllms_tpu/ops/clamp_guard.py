@@ -50,7 +50,12 @@ def max_expclamp_logit(fn: Callable, *args) -> float:
             if not acc:
                 return jnp.float32(-jnp.inf)
             return jnp.max(jnp.stack(acc))
-    return float(jax.jit(wrapped)(*args))
+    from ..utils.retry import retry_transient
+    # the guard compile is the first (and slowest) remote compile of an
+    # extraction process — the relay's transient broken-pipe failures
+    # have killed it twice; bounded retry, transport errors only
+    return retry_transient(lambda: float(jax.jit(wrapped)(*args)),
+                           label="clamp guard compile")
 
 
 def check_clamp_headroom(fn: Callable, *args, clamp: float = 85.0,

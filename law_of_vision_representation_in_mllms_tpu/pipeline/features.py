@@ -77,7 +77,10 @@ def extract_tower_features(apply_fn: Callable, image_paths: Sequence[str],
             pixels = np.concatenate(
                 [pixels, np.zeros((batch_size - n, *pixels.shape[1:]),
                                   np.float32)])
-        feats = np.asarray(apply_fn(jnp.asarray(pixels)))[:n]
+        from ..utils.retry import retry_transient
+        px = jnp.asarray(pixels)
+        feats = np.asarray(retry_transient(
+            lambda: apply_fn(px), label="feature extraction"))[:n]
         for p, f in zip(chunk, feats):
             stem = os.path.splitext(os.path.basename(p))[0]
             out = os.path.join(out_dir, f"{stem}{suffix}.npy")
