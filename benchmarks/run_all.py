@@ -1417,17 +1417,24 @@ def bench_pipeline(results, quick=False):
     scores = {}
 
     # ---- 1. offline feature extraction (SPair images, per rep) --------
+    # batch sizes match the zoo/diffusion benches' shapes (b64 ViT /
+    # b8 SD): on a degraded-relay day a NEW program shape can take
+    # >60 min to compile (attempt 3 timed out exactly there), while
+    # matching shapes can hit the relay's persistent compile cache.
+    # Timeout 7200: compile variance per CLAUDE.md, observed worse.
     for r in reps:
+        bs = "4" if tiny else ("8" if r == "sd" else "64")
         dt, _ = cli("extract-features", "--config", cfgs[r],
                     "--images", f"{spair}/JPEGImages/cat",
-                    "--out-dir", f"{root}/feats_{r}", "--batch-size", "4")
+                    "--out-dir", f"{root}/feats_{r}", "--batch-size", bs,
+                    timeout=7200)
         phases[f"extract_features_{r}_s"] = round(dt, 1)
 
     # ---- 2. A-score embedding dumps (per rep + anchor roles) ----------
     for r in reps:
         dt, _ = cli("extract-embeds", "--config", cfgs[r], "--task", task,
                     "--out-dir", f"{root}/embeds/{r}_t",
-                    "--limit", str(n_docs))
+                    "--limit", str(n_docs), timeout=7200)
         phases[f"extract_embeds_{r}_s"] = round(dt, 1)
     # anchors: the CLIP-336/224 dumps under their anchor names
     shutil.copytree(f"{root}/embeds/clip_t", f"{root}/embeds/clip336")

@@ -121,9 +121,17 @@ def decode_attention_stacked(q, ck_all, cv_all, layer_idx, mask,
     maskf = jnp.broadcast_to(maskf[:, :, None], (b, nt * bt, nkv))
     li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
+    mha = g == 1
+    if mha:
+        qg = qg.reshape(b, nkv, dh)             # 3D kernel path
+        q_spec = pl.BlockSpec((1, nkv, dh), lambda i, j, li_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        q_spec = pl.BlockSpec((1, nkv, g, dh),
+                              lambda i, j, li_: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, nkv, g, dh), lambda i, j, li_: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        q_spec,
         pl.BlockSpec((1, 1, bt, nkv, dh),
                      lambda i, j, li_: (li_[0], i, j, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -154,26 +162,82 @@ def decode_attention_stacked(q, ck_all, cv_all, layer_idx, mask,
         z = jnp.zeros((1, 1, 1), jnp.float32)
         args += [z, z]
 
+    if mha:
+        out_spec = pl.BlockSpec((1, nkv, dh), lambda i, j, li_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, nkv, dh), q.dtype)
+        scratch = [pltpu.VMEM((1, nkv), jnp.float32),
+                   pltpu.VMEM((1, nkv), jnp.float32),
+                   pltpu.VMEM((nkv, dh), jnp.float32)]
+        body = partial(_kernel_stacked_mha, scale=scale,
+                       quantized=quantized)
+    else:
+        out_spec = pl.BlockSpec((1, nkv, g, dh),
+                                lambda i, j, li_: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, nkv, g, dh), q.dtype)
+        scratch = [pltpu.VMEM((nkv, g), jnp.float32),
+                   pltpu.VMEM((nkv, g), jnp.float32),
+                   pltpu.VMEM((nkv, g, dh), jnp.float32)]
+        body = partial(_kernel_stacked, scale=scale, quantized=quantized)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nt),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nkv, g, dh),
-                               lambda i, j, li_: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((nkv, g), jnp.float32),
-            pltpu.VMEM((nkv, g), jnp.float32),
-            pltpu.VMEM((nkv, g, dh), jnp.float32),
-        ],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        partial(_kernel_stacked, scale=scale, quantized=quantized),
+        body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nkv, g, dh), q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(li, *args)
     return out.reshape(b, 1, nh, dh)
+
+
+def _kernel_stacked_mha(li_ref, q_ref, k_ref, v_ref, mask_ref, ks_ref,
+                        vs_ref, o_ref, m_scr, l_scr, acc_scr, *, scale,
+                        quantized):
+    """MHA (G==1) specialization: every array is <=3D with (sublane,
+    lane) = (TB or KV, KV or D) — the shape family the production flash
+    kernel lowers with. The generic G-dim body's [TB,KV,1,D] forms gave
+    Mosaic's compile helper an INTERNAL crash at 7B (first stacked TPU
+    attempt); this path avoids single-lane arrays entirely."""
+    tb = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(tb == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    k_t = k_ref[0, 0].astype(jnp.float32)       # [TB, KV, D]
+    q_t = q_ref[0].astype(jnp.float32)          # [KV, D]
+    s = jnp.sum(k_t * q_t[None], axis=-1) * scale          # [TB, KV]
+    if quantized:
+        s = s * ks_ref[0, 0]
+    valid = mask_ref[0] > 0                     # [TB, KV]
+    s = jnp.where(valid, s, _NEG)
+
+    m_prev = m_scr[0]                           # [KV]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
+    p = jnp.exp(s - m_new[None]) * valid.astype(jnp.float32)
+    corr = jnp.exp(m_prev - m_new)
+    l_scr[0] = l_scr[0] * corr + jnp.sum(p, axis=0)
+    if quantized:
+        vs = jnp.where(valid, vs_ref[0, 0], 0.0)
+        p = p * vs
+    v_t = jnp.where(valid[:, :, None],
+                    v_ref[0, 0].astype(jnp.float32), 0.0)  # [TB, KV, D]
+    pv = jnp.sum(p[..., None] * v_t, axis=0)    # [KV, D]
+    acc_scr[...] = acc_scr[...] * corr[:, None] + pv
+    m_scr[0] = m_new
+
+    @pl.when(tb == nt - 1)
+    def _():
+        o_ref[0] = (acc_scr[...] / l_scr[0][:, None]).astype(o_ref.dtype)
 
 
 def _kernel_stacked(li_ref, q_ref, k_ref, v_ref, mask_ref, ks_ref,

@@ -70,6 +70,41 @@ def test_decode_kernel_int8_cache():
     _assert_close(got, want)
 
 
+def test_decode_kernel_stacked_mha_direct():
+    """The 3D MHA specialization of the stacked kernel (the 7B shape
+    family) matches the dense path, bf16-style f32 and int8 caches,
+    ragged tiles."""
+    from law_of_vision_representation_in_mllms_tpu.ops.decode_attention \
+        import decode_attention_stacked
+    rng = np.random.RandomState(7)
+    b, t, nh, dh, L = 2, 37, 4, 32, 3
+    q = jnp.asarray(rng.randn(b, 1, nh, dh), jnp.float32)
+    ck = jnp.asarray(rng.randn(L, b, t, nh, dh), jnp.float32)
+    cv = jnp.asarray(rng.randn(L, b, t, nh, dh), jnp.float32)
+    m = np.ones((b, t), bool)
+    m[0, 20:] = False
+    m[1, 9:13] = False                        # hole
+    mask = jnp.asarray(m)[:, None, None, :]
+    for li in (0, 2):
+        want = _attention(q, ck[li], cv[li], mask)
+        got = decode_attention_stacked(q, ck, cv, li, mask, block_t=16)
+        _assert_close(got, want)
+    # int8 cache + per-layer scales
+    kq = np.empty((L, b, t, nh, dh), np.int8)
+    ks = np.empty((L, b, t, nh), np.float32)
+    vq, vs = kq.copy(), ks.copy()
+    for li in range(L):
+        a, s_ = quantize_kv(ck[li])
+        kq[li], ks[li] = np.asarray(a), np.asarray(s_)
+        a, s_ = quantize_kv(cv[li])
+        vq[li], vs[li] = np.asarray(a), np.asarray(s_)
+    kq, ks = jnp.asarray(kq), jnp.asarray(ks)
+    vq, vs = jnp.asarray(vq), jnp.asarray(vs)
+    want = _attention(q, kq[1], vq[1], mask, k_scale=ks[1], v_scale=vs[1])
+    got = decode_attention_stacked(q, kq, vq, 1, mask, ks, vs, block_t=16)
+    _assert_close(got, want)
+
+
 import pytest
 
 
