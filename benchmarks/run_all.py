@@ -1307,6 +1307,14 @@ def bench_pipeline(results, quick=False):
     from PIL import Image
 
     tiny = bool(os.environ.get("LVR_PIPELINE_TINY"))
+    # LVR_PIPELINE_REPS subsets the rep list (e.g. "clip,clip224" drops
+    # the SD phases — the heaviest compiles — on degraded-relay days;
+    # every CLI phase still executes). clip+clip224 minimum: they are
+    # the A-score anchors.
+    reps = [r for r in
+            os.environ.get("LVR_PIPELINE_REPS", "clip,clip224,sd"
+                           ).split(",") if r]
+    assert {"clip", "clip224"} <= set(reps), reps
     root = tempfile.mkdtemp(prefix="lvr_pipeline_")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(repo, "tests"))
@@ -1386,12 +1394,13 @@ def bench_pipeline(results, quick=False):
         # phases are TPU subprocesses and the tunnel serves one process
         # at a time (the first on-chip pipeline run failed this way)
         bundle = f"{root}/sd15.npz"
-        r = subprocess.run([sys.executable, "-m",
-                            "benchmarks._build_sd_bundle", bundle],
-                           cwd=repo, capture_output=True, text=True,
-                           timeout=1800)
-        if r.returncode != 0:
-            raise RuntimeError(f"bundle build: {r.stderr[-1500:]}")
+        if "sd" in reps:
+            r = subprocess.run([sys.executable, "-m",
+                                "benchmarks._build_sd_bundle", bundle],
+                               cwd=repo, capture_output=True, text=True,
+                               timeout=1800)
+            if r.returncode != 0:
+                raise RuntimeError(f"bundle build: {r.stderr[-1500:]}")
         fcfg = F.FEATURIZER_PRESETS["runwayml/stable-diffusion-v1-5"]()
         grids = {"clip": 24, "clip224": 16, "sd": F.feature_grid(fcfg)}
         towers = {"clip": "openai/clip-vit-large-patch14-336",
@@ -1399,7 +1408,6 @@ def bench_pipeline(results, quick=False):
                   "sd": "runwayml/stable-diffusion-v1-5"}
         dec = {"decoder": "vicuna-7b", "decoder_layers": 2}
 
-    reps = ["clip", "clip224", "sd"]
     cfgs = {}
     for r in reps:
         m = {"vision_tower": towers[r], **dec}
@@ -1448,9 +1456,10 @@ def bench_pipeline(results, quick=False):
     a_scores = json.loads(out)
     scores["a"] = a_scores
     # identity sanity: the clip reps ARE their own anchors — both must
-    # dominate the unrelated SD rep
-    assert min(a_scores["clip_t"], a_scores["clip224_t"]) \
-        >= a_scores["sd_t"] - 1e-6, a_scores
+    # dominate the unrelated SD rep (when SD is in the rep subset)
+    if "sd" in reps:
+        assert min(a_scores["clip_t"], a_scores["clip224_t"]) \
+            >= a_scores["sd_t"] - 1e-6, a_scores
 
     # ---- 4. C score (per rep) ------------------------------------------
     c_scores = {}
